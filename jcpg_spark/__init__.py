@@ -1,0 +1,28 @@
+"""jcpg_spark — PySpark-native knowledge-graph construction over agent transcripts.
+
+A brand-new engine (NOT a port) with the capabilities of the reference
+``nashid/JCPG`` (a Java code-property-graph generator), reinterpreted per
+BASELINE.json's north rule as partition-parallel (subj, pred, obj) triple
+extraction over tables of multi-turn conversation transcripts
+``(conv_id, turn_idx, role, text, tool, ts)``.
+
+Layer map (reference -> this engine):
+
+- AST layer (``JavacpgCFGBuilder`` hierarchy edges)      -> ``ast.*`` triples
+- CFG layer (``FLOWS_TO`` threading)                     -> ``flow.*`` triples
+- ICFG layer (``CALLS``/``RETURN``)                      -> ``call``/``return``
+- DDG layer (``DDG_U``/``DDG_D``/``SELF_FLOW`` def-use)  -> ``ref.*`` triples
+- iterative fixpoint (``JavacpgDDGBuilder.java:102-117``) -> connected-components
+  canonicalization -> ``same_as`` triples
+
+Everything is DataFrame-first: stable turn ordering via a window over
+``(conv_id, turn_idx)``, vectorized pandas/Arrow UDFs for text work,
+broadcast joins for the entity dictionary, and driver-coordinated iterative
+connected components for canonicalization.
+"""
+
+from jcpg_spark.session import get_spark
+from jcpg_spark.pipeline import build_graph, PipelineResult
+
+__all__ = ["get_spark", "build_graph", "PipelineResult"]
+__version__ = "0.1.0"

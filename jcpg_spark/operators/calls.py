@@ -1,0 +1,121 @@
+"""Interprocedural (ICFG-layer) call / return triples.
+
+Reference analog: ``JavacpgICFGBuilder.java`` — call-site -> method-entry
+``CALLS`` edges (:111-141, resolved via the MethodKey equi-join J2) and
+method-exit -> call-site ``RETURN`` edges (:129-134, exits collected at
+:96-108 as out-degree-0 CFG nodes).
+
+Transcript semantics:
+
+- an assistant turn with ``tool`` non-null is a CALL SITE; the callee is the
+  tool -> triple ``(call_turn, 'call', tool:<name>, var=<name>)``.
+- the maximal run of consecutive ``role='tool'`` turns immediately following
+  a call site is the callee body; its LAST turn is the exit -> triple
+  ``(exit_turn, 'return', call_turn, var=<name>)``.
+
+Both are pure window algebra over the same ``(conv_id, turn_idx)`` exchange
+as the flow layer — no join is needed because the callee body is adjacent to
+its call site in turn order (unlike the reference, which must join MethodKeys
+across files; when cross-conversation tool registries appear, this becomes
+the J2 broadcast equi-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from jcpg_spark import schema as S
+from jcpg_spark.operators.flow import w_conv
+
+_SENTINEL = "\x00"  # marks a tool run whose preceding turn is not a call site
+
+
+def call_triples(transcripts: DataFrame) -> DataFrame:
+    """(assistant turn with tool, 'call', tool:<name>) — CALLS analog."""
+    return transcripts.filter(
+        (F.col("role") == "assistant") & F.col("tool").isNotNull()
+    ).select(
+        S.turn_node(F.col("conv_id"), F.col("turn_idx")).alias("src"),
+        F.lit("call").alias("pred"),
+        S.tool_node(F.col("tool")).alias("dst"),
+        F.col("tool").alias("var"),
+        "conv_id",
+    )
+
+
+def return_triples(transcripts: DataFrame) -> DataFrame:
+    """(last turn of a tool run, 'return', call site) — RETURN analog.
+
+    Implementation: mark run starts (tool turn whose predecessor is not a
+    tool turn); at a run start, capture the call site from ``lag`` if the
+    predecessor is a valid call site, else a sentinel; propagate the capture
+    across the run with ``last(ignorenulls)``; emit on run ends.
+    """
+    prev_role = F.lag("role").over(w_conv())
+    prev_tool = F.lag("tool").over(w_conv())
+    prev_idx = F.lag("turn_idx").over(w_conv())
+    next_role = F.lead("role").over(w_conv())
+
+    is_tool = F.col("role") == "tool"
+    run_start = is_tool & ((prev_role != "tool") | prev_role.isNull())
+    callsite_ok = (prev_role == "assistant") & prev_tool.isNotNull()
+
+    t = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        is_tool.alias("is_tool"),
+        F.when(
+            run_start,
+            F.when(callsite_ok, S.turn_node(F.col("conv_id"), prev_idx)).otherwise(
+                F.lit(_SENTINEL)
+            ),
+        ).alias("run_callsite"),
+        F.when(run_start, F.when(callsite_ok, prev_tool)).alias("run_tool"),
+        ((next_role != "tool") | next_role.isNull()).alias("run_end"),
+    )
+    w_fill = w_conv().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t = t.withColumn("callsite", F.last("run_callsite", ignorenulls=True).over(w_fill))
+    t = t.withColumn("callee_tool", F.last("run_tool", ignorenulls=True).over(w_fill))
+    return (
+        t.filter(F.col("is_tool") & F.col("run_end") & (F.col("callsite") != _SENTINEL))
+        .select(
+            S.turn_node(F.col("conv_id"), F.col("turn_idx")).alias("src"),
+            F.lit("return").alias("pred"),
+            F.col("callsite").alias("dst"),
+            F.col("callee_tool").alias("var"),
+            "conv_id",
+        )
+    )
+
+
+def tool_nodes(transcripts: DataFrame) -> DataFrame:
+    """One node per distinct tool (tiny dimension; global distinct-agg)."""
+    return (
+        transcripts.filter(F.col("tool").isNotNull())
+        .select("tool")
+        .distinct()
+        .select(
+            S.tool_node(F.col("tool")).alias("node_id"),
+            F.lit(None).cast("string").alias("conv_id"),
+            F.lit("tool").alias("kind"),
+            F.col("tool").alias("label"),
+            F.lit(None).cast("int").alias("turn_idx"),
+        )
+    )
+
+
+def role_nodes(transcripts: DataFrame) -> DataFrame:
+    """One node per distinct role."""
+    return (
+        transcripts.select("role")
+        .distinct()
+        .select(
+            S.role_node(F.col("role")).alias("node_id"),
+            F.lit(None).cast("string").alias("conv_id"),
+            F.lit("role").alias("kind"),
+            F.col("role").alias("label"),
+            F.lit(None).cast("int").alias("turn_idx"),
+        )
+    )

@@ -1,0 +1,101 @@
+"""Reference (DDG-layer) triples: reaching def -> use with kill-at-redef.
+
+Reference analog: ``addDataFlowEdges`` (``JavacpgDDGBuilder.java:293-346``)
+— for every node with DEFs, a forward DFS adds ``DDG_U`` (def -> use) edges
+until the variable is re-defined (kill: ``DDG_D`` def -> redef edge at
+:329-335, then the path is abandoned), plus ``SELF_FLOW`` loops for ``++/--``
+(:311-314). The reference's path enumeration is exponential and
+order-dependent; SURVEY §4.1 replaces it with the deterministic
+reaching-definition formulation — an as-of join expressed as a window
+(``last(def, ignorenulls)`` over turn order), O(n log n) in one shuffle.
+
+Transcript semantics (the golden definition, encoded in tests/oracle):
+
+- a mention is a DEF when its dictionary surface has ``defs_state`` (stateDEF
+  analog, JavacpgMethodLevel.java:3093-3103) OR it is the entity's first
+  mention in the conversation (declaration analog).
+- per (conv, entity, turn): has_def / has_use aggregate over that turn's
+  mentions; edges connect TURN nodes (the reference's DDG connects statement
+  nodes, not variables), ``var`` = canonical entity id.
+- ``ref.use``   (d, u): use-only turn u binds to the latest def turn d <= u
+  not killed in between.
+- ``ref.redef`` (d, d'): def turn d' kills the previous def turn d.
+- ``ref.self``  (t, t): a turn that both defs and uses the entity
+  (the ``x = x + 1`` SELF_FLOW analog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from jcpg_spark import schema as S
+
+
+def reference_triples(linked_mentions: DataFrame) -> DataFrame:
+    """linked mentions (from linking.link_mentions) -> ref.* triples."""
+    w_entity = Window.partitionBy("conv_id", "canonical").orderBy("turn_idx", "ordinal")
+    m = linked_mentions.withColumn(
+        "is_def",
+        F.col("defs_state") | (F.row_number().over(w_entity) == 1),
+    )
+
+    per_turn = m.groupBy("conv_id", "canonical", "turn_idx").agg(
+        F.max(F.col("is_def").cast("int")).alias("has_def"),
+        F.max((~F.col("is_def")).cast("int")).alias("has_use"),
+    )
+
+    w_turns = Window.partitionBy("conv_id", "canonical").orderBy("turn_idx")
+    w_prev = w_turns.rowsBetween(Window.unboundedPreceding, -1)
+    per_turn = per_turn.withColumn(
+        "prev_def_turn",
+        F.last(
+            F.when(F.col("has_def") == 1, S.turn_node(F.col("conv_id"), F.col("turn_idx"))),
+            ignorenulls=True,
+        ).over(w_prev),
+    )
+    turn = S.turn_node(F.col("conv_id"), F.col("turn_idx"))
+
+    use = per_turn.filter(
+        (F.col("has_use") == 1) & (F.col("has_def") == 0) & F.col("prev_def_turn").isNotNull()
+    ).select(
+        F.col("prev_def_turn").alias("src"),
+        F.lit("ref.use").alias("pred"),
+        turn.alias("dst"),
+        F.col("canonical").alias("var"),
+        "conv_id",
+    )
+    redef = per_turn.filter(
+        (F.col("has_def") == 1) & F.col("prev_def_turn").isNotNull()
+    ).select(
+        F.col("prev_def_turn").alias("src"),
+        F.lit("ref.redef").alias("pred"),
+        turn.alias("dst"),
+        F.col("canonical").alias("var"),
+        "conv_id",
+    )
+    self_flow = per_turn.filter(
+        (F.col("has_def") == 1) & (F.col("has_use") == 1)
+    ).select(
+        turn.alias("src"),
+        F.lit("ref.self").alias("pred"),
+        turn.alias("dst"),
+        F.col("canonical").alias("var"),
+        "conv_id",
+    )
+    return use.unionByName(redef).unionByName(self_flow)
+
+
+def entity_nodes(linked_mentions: DataFrame) -> DataFrame:
+    """One node per distinct linked entity."""
+    return (
+        linked_mentions.select("canonical")
+        .distinct()
+        .select(
+            S.entity_node(F.col("canonical")).alias("node_id"),
+            F.lit(None).cast("string").alias("conv_id"),
+            F.lit("entity").alias("kind"),
+            F.col("canonical").alias("label"),
+            F.lit(None).cast("int").alias("turn_idx"),
+        )
+    )

@@ -1,0 +1,61 @@
+"""Structural (AST-layer) nodes and triples.
+
+Reference analog: the AST hierarchy edges emitted by the CFG builder's
+visitor (``JavacpgCFGBuilder.java:196,228``) and node construction on
+fixpoint iteration 1 (``JavacpgDDGBuilder.java:903-910``). Here the
+"syntax tree" of a conversation is conversation -> turns -> mentions, all
+derivable with pure projections — no shuffle at all (node ids are content
+keys, so no ordering or numbering pass is needed, unlike the reference's
+export-time numbering at ``CodePropertyGraph.java:95-113``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jcpg_spark import schema as S
+
+
+def turn_nodes(transcripts: DataFrame) -> DataFrame:
+    """One node per turn, kind='turn', label=role."""
+    return transcripts.select(
+        S.turn_node(F.col("conv_id"), F.col("turn_idx")).alias("node_id"),
+        "conv_id",
+        F.lit("turn").alias("kind"),
+        F.col("role").alias("label"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+    )
+
+
+def conversation_nodes(transcripts: DataFrame) -> DataFrame:
+    """One node per conversation (distinct-agg; map-side partial combine)."""
+    return transcripts.groupBy("conv_id").agg(F.count("*").alias("_n")).select(
+        S.conv_node(F.col("conv_id")).alias("node_id"),
+        "conv_id",
+        F.lit("conversation").alias("kind"),
+        F.col("conv_id").alias("label"),
+        F.lit(None).cast("int").alias("turn_idx"),
+    )
+
+
+def ast_has_turn(transcripts: DataFrame) -> DataFrame:
+    """(conversation, 'ast.has_turn', turn) — pure projection, no shuffle."""
+    return transcripts.select(
+        S.conv_node(F.col("conv_id")).alias("src"),
+        F.lit("ast.has_turn").alias("pred"),
+        S.turn_node(F.col("conv_id"), F.col("turn_idx")).alias("dst"),
+        F.lit(None).cast("string").alias("var"),
+        "conv_id",
+    )
+
+
+def act_role(transcripts: DataFrame) -> DataFrame:
+    """(turn, 'act.role', role:<role>) — speaker-act triples."""
+    return transcripts.select(
+        S.turn_node(F.col("conv_id"), F.col("turn_idx")).alias("src"),
+        F.lit("act.role").alias("pred"),
+        S.role_node(F.col("role")).alias("dst"),
+        F.lit(None).cast("string").alias("var"),
+        "conv_id",
+    )

@@ -1,0 +1,45 @@
+"""Packaging: ship the jcpg_spark package to executors.
+
+north_rule requires the job to run via ``spark-submit --py-files`` on a
+multi-executor cluster. ``build_pyfiles_zip`` produces that artifact; the
+session factory also calls ``ship_package`` so any programmatically created
+session (tests, bench, driver harness) gets the package on the executor
+python path regardless of the driver's CWD — without it, every pandas UDF
+deserialization fails with ModuleNotFoundError on the workers.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def build_pyfiles_zip(dest: str | None = None) -> str:
+    """Zip the jcpg_spark package for ``spark-submit --py-files``.
+
+    The zip contains ``jcpg_spark/*.py`` at the archive root so it is
+    directly importable when placed on PYTHONPATH.
+    """
+    if dest is None:
+        dest = os.path.join(os.path.dirname(_PKG_DIR), "dist", "jcpg_spark.zip")
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(_PKG_DIR):
+            for fn in sorted(files):
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.join("jcpg_spark", os.path.relpath(full, _PKG_DIR))
+                zf.write(full, rel)
+    return dest
+
+
+def ship_package(spark) -> None:
+    """Make jcpg_spark importable on executors via addPyFile of the zip."""
+    import tempfile
+
+    dest = os.path.join(tempfile.gettempdir(), "jcpg_spark_pyfiles.zip")
+    build_pyfiles_zip(dest)
+    spark.sparkContext.addPyFile(dest)

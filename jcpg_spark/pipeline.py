@@ -1,0 +1,87 @@
+"""End-to-end pipeline: transcripts -> (nodes, edges, canonical map).
+
+Mirrors the reference's build lifecycle (``JavacpgDDGBuilder.buildForAll``,
+SURVEY §3) as one declarative Spark job:
+
+    read transcripts
+      -> structural + flow + call/return triples   [1 shuffle: hash(conv_id)]
+      -> detect_mentions pandas UDF + explode       [map-side]
+      -> broadcast-join dictionary + score + rank   [map-side + tiny rank
+                                                     shuffle on mention id]
+      -> reaching-reference window (ref.*)          [shuffle: (conv, entity)]
+      -> alias pairs -> iterative CC -> same_as     [driver loop, k small
+                                                     shuffles on entity]
+      -> union all edge layers; nodes union         [no extra shuffle]
+
+The reference does all of this single-threaded per file with three static
+maps as shared state (``JavacpgDDGBuilder.java:32-36``); here per-conv_id
+parallelism is the unit of scale and the dictionary is the only broadcast
+state, so the job scales horizontally in the number of conversations.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from jcpg_spark.operators import calls, canonicalize, flow, linking, mentions, references, structural
+
+
+@dataclass
+class PipelineResult:
+    nodes: DataFrame
+    edges: DataFrame
+    mentions: DataFrame
+    linked: DataFrame
+    canonical: DataFrame  # (mention_id, canonical_id)
+    cc_rounds: int
+    cc_converged: bool
+
+
+def build_graph(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    dictionary: DataFrame,
+    cc_max_iter: int = 25,
+) -> PipelineResult:
+    surfaces = [r["surface"] for r in dictionary.select("surface").distinct().collect()]
+
+    m = mentions.detect_mentions(spark, transcripts, surfaces)
+    linked = linking.link_mentions(m, dictionary)
+    # linked feeds three consumers (ref edges, alias pairs, canonical map) —
+    # persist so mention detection + linking run once.
+    linked = linked.persist()
+
+    pairs = canonicalize.alias_pairs(transcripts, linked)
+    mapping, rounds, converged = canonicalize.connected_components(pairs, max_iter=cc_max_iter)
+
+    edges = (
+        structural.ast_has_turn(transcripts)
+        .unionByName(structural.act_role(transcripts))
+        .unionByName(flow.flow_next(transcripts))
+        .unionByName(flow.flow_branch(transcripts))
+        .unionByName(calls.call_triples(transcripts))
+        .unionByName(calls.return_triples(transcripts))
+        .unionByName(mentions.ast_has_mention(m))
+        .unionByName(references.reference_triples(linked))
+        .unionByName(canonicalize.same_as_triples(mapping))
+    )
+    nodes = (
+        structural.conversation_nodes(transcripts)
+        .unionByName(structural.turn_nodes(transcripts))
+        .unionByName(mentions.mention_nodes(m))
+        .unionByName(references.entity_nodes(linked))
+        .unionByName(calls.tool_nodes(transcripts))
+        .unionByName(calls.role_nodes(transcripts))
+    )
+    canonical = canonicalize.canonical_map(linked, mapping)
+    return PipelineResult(
+        nodes=nodes,
+        edges=edges,
+        mentions=m,
+        linked=linked,
+        canonical=canonical,
+        cc_rounds=rounds,
+        cc_converged=converged,
+    )
