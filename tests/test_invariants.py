@@ -1,0 +1,67 @@
+"""Property-based invariants (SURVEY §5.2 item 3)."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pytest
+
+from jcpg_spark.pipeline import build_graph
+from jcpg_spark.synth import synth_transcripts
+
+
+@pytest.fixture(scope="module")
+def t_small(spark):
+    df = synth_transcripts(spark, 12, skew=False).persist()
+    df.count()
+    return df
+
+
+def _fingerprint(df):
+    rows = sorted(tuple(r) for r in df.collect())
+    return hashlib.sha256(json.dumps(rows, default=str).encode()).hexdigest()
+
+
+def test_triples_invariant_to_repartitioning(spark, dictionary, t_small):
+    """df.repartition(k) for k in {1,4,32} => identical sorted hash."""
+    hashes = {
+        k: _fingerprint(build_graph(spark, t_small.repartition(k), dictionary).edges)
+        for k in (1, 4, 32)
+    }
+    assert len(set(hashes.values())) == 1, hashes
+
+
+def test_per_turn_text_equality(spark, dictionary, t_small):
+    """input_hint invariant: turn text round-trips unchanged; every mention
+    span re-slices to its surface."""
+    orig = {(r.conv_id, r.turn_idx): r.text for r in t_small.collect()}
+    res = build_graph(spark, t_small, dictionary)
+    for m in res.mentions.collect():
+        assert orig[(m.conv_id, m.turn_idx)][m.start : m.end].lower() == m.surface
+
+
+def test_synth_deterministic_across_parallelism(spark):
+    a = sorted(tuple(r) for r in synth_transcripts(spark, 6, skew=False).collect())
+    b = sorted(tuple(r) for r in synth_transcripts(spark, 6, skew=False, parallelism=1).collect())
+    assert a == b
+
+
+def test_node_ids_unique(spark, dictionary, t_small):
+    res = build_graph(spark, t_small, dictionary)
+    n = res.nodes.count()
+    assert res.nodes.select("node_id").distinct().count() == n
+
+
+def test_edges_reference_existing_nodes(spark, dictionary, t_small):
+    """Referential integrity: every src/dst appears in the nodes table."""
+    res = build_graph(spark, t_small, dictionary)
+    node_ids = res.nodes.select("node_id")
+    for col in ("src", "dst"):
+        dangling = (
+            res.edges.select(res.edges[col].alias("node_id"))
+            .distinct()
+            .join(node_ids, "node_id", "left_anti")
+            .count()
+        )
+        assert dangling == 0, f"dangling {col}"

@@ -1,0 +1,190 @@
+"""Per-operator semantics tests on hand-crafted fixtures (SURVEY §5.2 item 2)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from jcpg_spark import schema as S
+from jcpg_spark.operators import calls, canonicalize, flow, linking, mentions, references
+
+TS = dt.datetime(2026, 1, 1)
+
+
+def _t(spark, rows):
+    """rows: (conv_id, turn_idx, role, text, tool)"""
+    return spark.createDataFrame(
+        [(c, i, r, x, tool, TS) for (c, i, r, x, tool) in rows], schema=S.TRANSCRIPT_SCHEMA
+    )
+
+
+def _edges(df):
+    return {(r.src, r.pred, r.dst, r.var) for r in df.collect()}
+
+
+# --- W1: flow threading ------------------------------------------------------
+def test_flow_next_orders_by_turn_idx_not_input_order(spark):
+    rows = [("c1", 2, "user", "x", None), ("c1", 0, "user", "x", None), ("c1", 1, "user", "x", None)]
+    got = _edges(flow.flow_next(_t(spark, rows)))
+    assert got == {
+        ("t:c1:0", "flow.next", "t:c1:1", None),
+        ("t:c1:1", "flow.next", "t:c1:2", None),
+    }
+
+
+def test_flow_next_no_cross_conversation_edges(spark):
+    rows = [("c1", 0, "user", "x", None), ("c2", 0, "user", "x", None)]
+    assert _edges(flow.flow_next(_t(spark, rows))) == set()
+
+
+# --- W2: branch edges --------------------------------------------------------
+def test_branch_true_and_false(spark):
+    rows = [
+        ("c1", 0, "assistant", "x", "search"),
+        ("c1", 1, "tool", "out", None),
+        ("c1", 2, "assistant", "x", "db"),
+        ("c1", 3, "user", "declined", None),  # tool not run -> branch_false
+    ]
+    got = _edges(flow.flow_branch(_t(spark, rows)))
+    assert got == {
+        ("t:c1:0", "flow.branch_true", "t:c1:1", "search"),
+        ("t:c1:2", "flow.branch_false", "t:c1:3", "db"),
+    }
+
+
+# --- J2/J3: call / return ----------------------------------------------------
+def test_return_from_multi_turn_tool_run(spark):
+    rows = [
+        ("c1", 0, "assistant", "x", "db"),
+        ("c1", 1, "tool", "part 1", None),
+        ("c1", 2, "tool", "part 2", None),
+        ("c1", 3, "user", "thanks", None),
+    ]
+    t = _t(spark, rows)
+    assert _edges(calls.call_triples(t)) == {("t:c1:0", "call", "tool:db", "db")}
+    assert _edges(calls.return_triples(t)) == {("t:c1:2", "return", "t:c1:0", "db")}
+
+
+def test_orphan_tool_run_emits_no_return(spark):
+    # tool turn not preceded by a tool-invoking assistant turn
+    rows = [("c1", 0, "user", "x", None), ("c1", 1, "tool", "out", None)]
+    assert _edges(calls.return_triples(_t(spark, rows))) == set()
+
+
+def test_stale_callsite_not_attributed_to_later_run(spark):
+    # valid call+run, then an orphan run later: the orphan must NOT inherit
+    # the earlier call site via the forward fill.
+    rows = [
+        ("c1", 0, "assistant", "x", "db"),
+        ("c1", 1, "tool", "out", None),
+        ("c1", 2, "user", "y", None),
+        ("c1", 3, "tool", "orphan", None),
+    ]
+    assert _edges(calls.return_triples(_t(spark, rows))) == {
+        ("t:c1:1", "return", "t:c1:0", "db")
+    }
+
+
+# --- S2/P3: mention detection ------------------------------------------------
+def test_longest_match_shadows_embedded_surface(spark):
+    t = _t(spark, [("c1", 0, "user", "please set alpha cache now", None)])
+    m = mentions.detect_mentions(spark, t, ["alpha cache", "set alpha cache"])
+    got = [(r.surface, r.start, r.end, r.ordinal) for r in m.collect()]
+    assert got == [("set alpha cache", 7, 22, 0)]
+
+
+def test_mentions_word_bounded_and_case_insensitive(spark):
+    t = _t(spark, [("c1", 0, "user", "Alpha Cache vs alphacache", None)])
+    m = mentions.detect_mentions(spark, t, ["alpha cache"])
+    got = [(r.surface, r.start) for r in m.collect()]
+    assert got == [("alpha cache", 0)]
+
+
+# --- J1/W5: linking ranked pick ----------------------------------------------
+@pytest.fixture()
+def ambiguous_dict(spark):
+    rows = [
+        ("db tool", "tool_db", "db", "tool", 0.5, False),
+        ("db tool", "generic_db", "core", "artifact", 0.6, False),
+    ]
+    return spark.createDataFrame(rows, schema=S.DICTIONARY_SCHEMA)
+
+
+def test_link_context_bonus_beats_prior(spark, ambiguous_dict):
+    # on an assistant turn invoking 'db', tool_db scores 0.5+0.3+0.05=0.85 > 0.65
+    t = _t(spark, [("c1", 0, "assistant", "use the db tool", "db")])
+    m = mentions.detect_mentions(spark, t, ["db tool"])
+    linked = linking.link_mentions(m, ambiguous_dict)
+    assert [r.canonical for r in linked.collect()] == ["tool_db"]
+
+
+def test_link_prior_wins_without_context(spark, ambiguous_dict):
+    t = _t(spark, [("c1", 0, "user", "use the db tool", None)])
+    m = mentions.detect_mentions(spark, t, ["db tool"])
+    linked = linking.link_mentions(m, ambiguous_dict)
+    assert [r.canonical for r in linked.collect()] == ["generic_db"]
+
+
+# --- J6: reaching-reference kill semantics ------------------------------------
+@pytest.fixture()
+def ref_dict(spark):
+    rows = [
+        ("alpha", "ent_a", "core", "artifact", 0.9, False),
+        ("set alpha", "ent_a", "core", "artifact", 0.9, True),
+    ]
+    return spark.createDataFrame(rows, schema=S.DICTIONARY_SCHEMA)
+
+
+def _ref_edges(spark, ref_dict, rows):
+    t = _t(spark, rows)
+    m = mentions.detect_mentions(spark, t, ["alpha", "set alpha"])
+    linked = linking.link_mentions(m, ref_dict)
+    return _edges(references.reference_triples(linked))
+
+
+def test_use_binds_to_latest_def_and_redef_kills(spark, ref_dict):
+    rows = [
+        ("c1", 0, "user", "alpha is here", None),        # intro = def
+        ("c1", 1, "user", "check alpha", None),          # use -> def@0
+        ("c1", 2, "user", "set alpha to 5", None),       # redef (kills def@0)
+        ("c1", 3, "user", "check alpha again", None),    # use -> def@2
+    ]
+    got = _ref_edges(spark, ref_dict, rows)
+    assert got == {
+        ("t:c1:0", "ref.use", "t:c1:1", "ent_a"),
+        ("t:c1:0", "ref.redef", "t:c1:2", "ent_a"),
+        ("t:c1:2", "ref.use", "t:c1:3", "ent_a"),
+    }
+
+
+def test_self_flow_when_turn_defs_and_uses(spark, ref_dict):
+    rows = [
+        ("c1", 0, "user", "alpha intro", None),
+        ("c1", 1, "user", "set alpha using alpha", None),  # def + use same turn
+    ]
+    got = _ref_edges(spark, ref_dict, rows)
+    assert ("t:c1:1", "ref.self", "t:c1:1", "ent_a") in got
+    assert ("t:c1:0", "ref.redef", "t:c1:1", "ent_a") in got
+    # the same-turn use binds to the old def (self), not a ref.use edge
+    assert not any(p == "ref.use" for (_, p, _, _) in got)
+
+
+# --- A6: connected components -------------------------------------------------
+def test_cc_path_graph_worst_case(spark):
+    # path a-b-c-d-e: worst case for min-label propagation (diameter rounds)
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("d", "c"), ("e", "d")], ["a", "b"]
+    )
+    mapping, rounds, converged = canonicalize.connected_components(pairs)
+    assert converged
+    got = {r.entity: r.canonical_id for r in mapping.collect()}
+    assert got == {k: "a" for k in "abcde"}
+
+
+def test_cc_two_components(spark):
+    pairs = spark.createDataFrame([("a", "b"), ("x", "y"), ("y", "z")], ["a", "b"])
+    mapping, _, converged = canonicalize.connected_components(pairs)
+    assert converged
+    got = {r.entity: r.canonical_id for r in mapping.collect()}
+    assert got == {"a": "a", "b": "a", "x": "x", "y": "x", "z": "x"}
