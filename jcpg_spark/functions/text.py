@@ -1,0 +1,78 @@
+"""Scalar text functions (SURVEY §2.7 F1-F9 analogs) + training-data text
+analysis (language-ID heuristic, quality scoring, token counting,
+fingerprinting).
+
+Everything here is a pure Column expression (JVM-side, whole-stage codegen) —
+no Python in the hot path. The reference's equivalents are tiny Java string
+helpers (utils/StringUtils.java:12-88, literal classification
+JavacpgDDGBuilder.java:1329-1341).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# F2/F3 analog: escape + removeConsecutiveSpaces (StringUtils.java:12-39)
+def normalize_text(col: Column) -> Column:
+    """lowercase, trim, collapse runs of whitespace to single spaces."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def words(col: Column) -> Column:
+    """Array of alphabetic word tokens from lowercased text."""
+    return F.regexp_extract_all(F.lower(col), F.lit(r"[a-z]+"), 0)
+
+
+# F5 analog: literal classification -> $INT/$DBL/$STR sentinels
+def classify_literal(col: Column) -> Column:
+    return (
+        F.when(col.rlike(r"^-?\d+$"), "$INT")
+        .when(col.rlike(r"^-?\d*\.\d+$"), "$DBL")
+        .when(F.lower(col).isin("true", "false"), "$BOL")
+        .when(F.lower(col) == "null", "$NUL")
+        .otherwise("$STR")
+    )
+
+
+# --- training-data text analysis -------------------------------------------
+
+STOPWORDS_EN = ("the", "a", "of", "and", "is", "to", "in")
+
+
+def stopword_count(col: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    """Count of stopword tokens — the core of the n-gram/lexicon language-ID
+    heuristic (vocabulary overlap with an English function-word list)."""
+    pat = r"\b(?:" + "|".join(stopwords) + r")\b"
+    return F.regexp_count(F.lower(col), F.lit(pat))
+
+
+def whitespace_token_count(col: Column) -> Column:
+    return F.when(F.trim(col) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(col), r"\s+"))
+    )
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish segmentation count: alpha runs, digit runs, single punctuation."""
+    return F.regexp_count(F.lower(col), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"))
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Normalized-content fingerprint (cross-engine checkable)."""
+    return F.md5(normalize_text(col))
+
+
+def rolling_fingerprint(col: Column, base: int = 257, mod: int = (1 << 61) - 1) -> Column:
+    """Polynomial rolling hash over the word sequence (document fingerprint).
+
+    fp = sum(hash(word_i) * base^(n-1-i)) mod p, computed with F.aggregate —
+    stays JVM-side; deterministic; order-sensitive (unlike a bag-of-words
+    md5), so reorderings produce different fingerprints.
+    """
+    ws = words(col)
+    return F.aggregate(
+        ws,
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * base + F.abs(F.xxhash64(w)) % mod) % mod,
+    )

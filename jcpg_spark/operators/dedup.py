@@ -1,0 +1,207 @@
+"""Deduplication operators for training-data pipelines over ``documents``.
+
+Four strategies, increasing in fuzziness; all shuffle-aware:
+
+- exact:       hash-groupBy on normalized text (one shuffle on the hash)
+- ngram exact-Jaccard: shingle explode -> self-join on shingle (candidate
+  generation) -> group pair -> Jaccard. Quadratic only within shingle
+  buckets; at 100 TB the shingle join is the scale path IF shingles are
+  salted/df-filtered — frequent-shingle stopping is applied (a shingle
+  shared by > max_df docs is dropped, the standard trick to stop hub
+  shingles from exploding the join).
+- MinHash+LSH: k permutations via xxhash64(seed_i, shingle); band-hash ->
+  bucket join -> candidate pairs -> optional exact verify. Linear in data,
+  constant per-doc sketch size — the 100 TB default.
+- SimHash:     64-bit sign-sketch of word hashes; near-dup = small Hamming
+  distance; candidate generation by 4x16-bit band equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jcpg_spark.functions.text import normalize_text, words
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """-> (canonical_doc_id, n_dups) per distinct normalized text."""
+    return (
+        docs.select("doc_id", normalize_text(F.col(text_col)).alias("norm"))
+        .groupBy("norm")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_dups"))
+        .select("canonical_doc_id", "n_dups")
+    )
+
+
+def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """-> (doc_id, shingle) distinct word n-grams."""
+    ws = words(F.col(text_col))
+    # guard size<n: sequence(0, negative) would generate a DESCENDING range
+    # and element_at(_, 0) throws — short docs get an empty shingle set.
+    shingles = F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, (i + k + 1).cast("int")) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
+    ).distinct()
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.4,
+    max_df: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: -> (doc_a, doc_b, jaccard).
+
+    ``max_df`` drops hub shingles (document frequency cap) so the candidate
+    self-join stays near-linear at scale.
+    """
+    sh = word_shingles(docs, n=n, text_col=text_col)
+    # document-frequency filter (two-pass: cheap agg, then semi join)
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh = sh.join(
+        df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle", "left_semi"
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return jac.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def minhash_signatures(docs: DataFrame, num_perm: int = 32, n: int = 3) -> DataFrame:
+    """-> (doc_id, sig: array<bigint>) MinHash signatures over word shingles.
+
+    Permutation i is ``xxhash64(i, shingle)``; min per doc per permutation.
+    Computed as one explode + groupBy (single shuffle), sketch size constant.
+    """
+    sh = word_shingles(docs, n=n)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_perm)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, num_perm: int = 32, bands: int = 8, n: int = 3, threshold: float = 0.4
+) -> DataFrame:
+    """MinHash LSH candidate pairs verified by estimated Jaccard.
+
+    -> (doc_a, doc_b, est_jaccard). Band hash -> bucket join generates
+    candidates in ~linear time; the signature-agreement fraction estimates
+    Jaccard and filters at ``threshold``.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(docs, num_perm=num_perm, n=n)
+    band_cols = [
+        F.xxhash64(F.lit(b), *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", "sig", *band_cols)
+    bucketed = banded.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh")) for b in range(bands)])
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    a = bucketed.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bh")
+    b = bucketed.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bh")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    cand = cand.withColumn(
+        "est_jaccard",
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0))),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.size("sig_a"),
+    )
+    return cand.filter(F.col("est_jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """-> (doc_id, simhash: bigint). 64-bit sign sketch over word hashes.
+
+    Per word w: h = xxhash64(w); bit b contributes +1/-1 to counter b; the
+    sketch sets bit b iff counter b > 0. Expressed as explode + groupBy with
+    64 conditional sums (one shuffle; JVM-side).
+    """
+    w = docs.select("doc_id", F.explode(words(F.col(text_col))).alias("word"))
+    w = w.withColumn("h", F.xxhash64("word"))
+    sums = [
+        F.sum(F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = w.groupBy("doc_id").agg(*sums)
+    bit_terms = [
+        F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (1 << b) if b < 63 else F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    sh = agg.select("doc_id", sum(bit_terms[1:], bit_terms[0]).alias("simhash"))
+    return sh
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, candidates via 4x16-bit
+    band equality (a doc pair within Hamming<=3 of each other must agree on
+    at least one band; wider radii still prune massively)."""
+    sh = simhash(docs)
+    bands = [
+        (F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))).alias(f"band{i}")
+        for i in range(4)
+    ]
+    banded = sh.select("doc_id", "simhash", *bands)
+    stacked = banded.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("band"), F.col(f"band{i}").alias("bv")) for i in range(4)])
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    a = stacked.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "band", "bv")
+    b = stacked.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "band", "bv")
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+        "doc_a", "doc_b", "hamming"
+    )

@@ -1,0 +1,641 @@
+"""Driver-facing correctness queries: Spark implementation + DuckDB oracle.
+
+Each entry exercises one operator family from SURVEY.md §2 over the driver's
+parquet tables (events as the transcript stand-in per FIXTURES.md §4;
+documents/embeddings for the training-data operators). The paired ANSI-SQL
+string must produce IDENTICAL column names and values under DuckDB.
+
+Conventions shared by both sides:
+- event ordering inside a user: ORDER BY ts, event_id (total order)
+- conv_id = printf('u%06d', user_id); turn node = 't:<conv>:<idx>'
+- no raw timestamps in outputs; doubles only when either taken verbatim
+  from the file or rounded after exact/deterministic arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jcpg_spark.functions.text import (
+    bpe_ish_token_count,
+    fingerprint_md5,
+    normalize_text,
+    stopword_count,
+    whitespace_token_count,
+    words,
+)
+from jcpg_spark.operators import calls, canonicalize, dedup, flow, references, similarity
+from jcpg_spark.sources.transcripts import (
+    EVENTS_GAZETTEER,
+    events_gazetteer,
+    transcripts_from_events,
+)
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _w_user():
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+# SQL fragment: per-user turn index (the stable-ordering window, W1)
+_SQL_ORDERED = """
+  SELECT printf('u%06d', user_id) AS conv_id,
+         user_id, event_id, event_type, value, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS idx
+  FROM events
+"""
+
+_SQL_ROLE = """CASE WHEN event_type IN ('signup','purchase') THEN 'assistant'
+                    WHEN event_type = 'error' THEN 'tool'
+                    ELSE 'user' END"""
+_SQL_TOOL = """CASE WHEN event_type = 'purchase' THEN 'db'
+                    WHEN event_type = 'signup' THEN 'search'
+                    ELSE NULL END"""
+
+
+# ---------------------------------------------------------------------------
+# KG layer over events-derived transcripts
+# ---------------------------------------------------------------------------
+
+def q_kg_flow_next(spark, sf_dir):
+    t = transcripts_from_events(spark, sf_dir)
+    return flow.flow_next(t).select("src", "pred", "dst", "conv_id")
+
+
+SQL_KG_FLOW_NEXT = f"""
+WITH o AS ({_SQL_ORDERED}),
+e AS (SELECT conv_id, idx, lead(idx) OVER (PARTITION BY conv_id ORDER BY idx) AS nxt FROM o)
+SELECT 't:' || conv_id || ':' || CAST(idx AS VARCHAR) AS src,
+       'flow.next' AS pred,
+       't:' || conv_id || ':' || CAST(nxt AS VARCHAR) AS dst,
+       conv_id
+FROM e WHERE nxt IS NOT NULL
+"""
+
+
+def q_kg_act_role(spark, sf_dir):
+    from jcpg_spark.operators import structural
+
+    t = transcripts_from_events(spark, sf_dir)
+    return structural.act_role(t).select("src", "pred", "dst", "conv_id")
+
+
+SQL_KG_ACT_ROLE = f"""
+WITH o AS ({_SQL_ORDERED})
+SELECT 't:' || conv_id || ':' || CAST(idx AS VARCHAR) AS src,
+       'act.role' AS pred,
+       'role:' || {_SQL_ROLE} AS dst,
+       conv_id
+FROM o
+"""
+
+
+def q_kg_branch(spark, sf_dir):
+    t = transcripts_from_events(spark, sf_dir)
+    return flow.flow_branch(t).select("src", "pred", "dst", "var", "conv_id")
+
+
+SQL_KG_BRANCH = f"""
+WITH o AS ({_SQL_ORDERED}),
+r AS (SELECT conv_id, idx, {_SQL_ROLE} AS role, {_SQL_TOOL} AS tool FROM o),
+e AS (SELECT conv_id, idx, role, tool,
+             lead(idx)  OVER (PARTITION BY conv_id ORDER BY idx) AS nxt,
+             lead(role) OVER (PARTITION BY conv_id ORDER BY idx) AS nrole
+      FROM r)
+SELECT 't:' || conv_id || ':' || CAST(idx AS VARCHAR) AS src,
+       CASE WHEN nrole = 'tool' THEN 'flow.branch_true' ELSE 'flow.branch_false' END AS pred,
+       't:' || conv_id || ':' || CAST(nxt AS VARCHAR) AS dst,
+       tool AS var,
+       conv_id
+FROM e WHERE role = 'assistant' AND tool IS NOT NULL AND nxt IS NOT NULL
+"""
+
+
+def q_kg_call_return(spark, sf_dir):
+    t = transcripts_from_events(spark, sf_dir)
+    return (
+        calls.call_triples(t)
+        .unionByName(calls.return_triples(t))
+        .select("src", "pred", "dst", "var", "conv_id")
+    )
+
+
+SQL_KG_CALL_RETURN = f"""
+WITH o AS ({_SQL_ORDERED}),
+r AS (SELECT conv_id, idx, {_SQL_ROLE} AS role, {_SQL_TOOL} AS tool FROM o),
+x AS (SELECT conv_id, idx, role, tool,
+             lag(role)  OVER (PARTITION BY conv_id ORDER BY idx) AS prole,
+             lag(tool)  OVER (PARTITION BY conv_id ORDER BY idx) AS ptool,
+             lead(role) OVER (PARTITION BY conv_id ORDER BY idx) AS nrole
+      FROM r),
+m AS (SELECT conv_id, idx, role, tool, nrole,
+             CASE WHEN role = 'tool' AND (prole IS NULL OR prole <> 'tool')
+                  THEN CASE WHEN prole = 'assistant' AND ptool IS NOT NULL
+                            THEN 't:' || conv_id || ':' || CAST(idx - 1 AS VARCHAR)
+                            ELSE '~' END END AS run_callsite,
+             CASE WHEN role = 'tool' AND (prole IS NULL OR prole <> 'tool')
+                       AND prole = 'assistant' AND ptool IS NOT NULL
+                  THEN ptool END AS run_tool
+      FROM x),
+f AS (SELECT conv_id, idx, role, nrole,
+             last_value(run_callsite IGNORE NULLS) OVER
+               (PARTITION BY conv_id ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS callsite,
+             last_value(run_tool IGNORE NULLS) OVER
+               (PARTITION BY conv_id ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS callee_tool
+      FROM m)
+SELECT 't:' || conv_id || ':' || CAST(idx AS VARCHAR) AS src,
+       'call' AS pred, 'tool:' || tool AS dst, tool AS var, conv_id
+FROM r WHERE role = 'assistant' AND tool IS NOT NULL
+UNION ALL
+SELECT 't:' || conv_id || ':' || CAST(idx AS VARCHAR) AS src,
+       'return' AS pred, callsite AS dst, callee_tool AS var, conv_id
+FROM f WHERE role = 'tool' AND (nrole IS NULL OR nrole <> 'tool') AND callsite <> '~'
+"""
+
+
+def q_kg_reaching_ref(spark, sf_dir):
+    """Full ref.* triples over events-derived transcripts (one mention per
+    turn: the event_type surface; defs = signup/error or first occurrence)."""
+    from jcpg_spark.operators import linking, mentions
+
+    t = transcripts_from_events(spark, sf_dir)
+    m = mentions.detect_mentions(spark, t, [g[0] for g in EVENTS_GAZETTEER])
+    linked = linking.link_mentions(m, events_gazetteer(spark))
+    return references.reference_triples(linked).select("src", "pred", "dst", "var", "conv_id")
+
+
+SQL_KG_REACHING_REF = f"""
+WITH o AS ({_SQL_ORDERED}),
+m AS (SELECT conv_id, idx, event_type,
+             'ev_' || event_type AS entity,
+             (event_type IN ('signup','error')
+              OR row_number() OVER (PARTITION BY conv_id, event_type ORDER BY idx) = 1) AS is_def
+      FROM o),
+d AS (SELECT conv_id, idx, entity, is_def,
+             last_value(CASE WHEN is_def THEN 't:' || conv_id || ':' || CAST(idx AS VARCHAR) END IGNORE NULLS)
+               OVER (PARTITION BY conv_id, entity ORDER BY idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_def
+      FROM m)
+SELECT prev_def AS src, 'ref.use' AS pred,
+       't:' || conv_id || ':' || CAST(idx AS VARCHAR) AS dst, entity AS var, conv_id
+FROM d WHERE NOT is_def AND prev_def IS NOT NULL
+UNION ALL
+SELECT prev_def AS src, 'ref.redef' AS pred,
+       't:' || conv_id || ':' || CAST(idx AS VARCHAR) AS dst, entity AS var, conv_id
+FROM d WHERE is_def AND prev_def IS NOT NULL
+"""
+
+
+def q_kg_metrics_rollup(spark, sf_dir):
+    """A7 metrics with rollup (free in Spark per SURVEY §2.4)."""
+    return (
+        _ev(spark, sf_dir)
+        .rollup("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_KG_METRICS_ROLLUP = "SELECT event_type, count(*) AS n FROM events GROUP BY ROLLUP(event_type)"
+
+
+# ---------------------------------------------------------------------------
+# Window / ordering operators on raw events
+# ---------------------------------------------------------------------------
+
+def q_w3_sessionize(spark, sf_dir):
+    """W3 region segmentation analog: session ids from >30min gaps."""
+    ev = _ev(spark, sf_dir)
+    w = _w_user()
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    brk = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("seg"),
+    )
+
+
+SQL_W3_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+  FROM events)
+SELECT user_id, event_id,
+       sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+FROM g
+"""
+
+
+def q_w5_top1_per_user_type(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("top_event_id"))
+    )
+
+
+SQL_W5_TOP1 = """
+SELECT user_id, event_type, event_id AS top_event_id
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY value DESC, event_id) AS rk
+      FROM events) WHERE rk = 1
+"""
+
+
+def q_a4_exit_points(spark, sf_dir):
+    """Out-degree-0 node per conversation = last event per user."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_id").alias("exit_event_id"))
+    )
+
+
+SQL_A4_EXIT = """
+SELECT user_id, event_id AS exit_event_id
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events) WHERE rk = 1
+"""
+
+
+def q_a5_counter_norm(spark, sf_dir):
+    """$VARL_n normalization counters via row_number (A5)."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.concat(F.lit("$VARL_"), F.row_number().over(w).cast("string")).alias("norm"),
+    )
+
+
+SQL_A5_COUNTER = """
+SELECT user_id, event_id,
+       '$VARL_' || CAST(row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS VARCHAR) AS norm
+FROM events
+"""
+
+
+def q_j6_reaching_event(spark, sf_dir):
+    """As-of lookup on raw ids: each purchase binds to latest prior signup."""
+    ev = _ev(spark, sf_dir)
+    w = _w_user().rowsBetween(Window.unboundedPreceding, -1)
+    out = ev.withColumn(
+        "def_event_id",
+        F.last(F.when(F.col("event_type") == "signup", F.col("event_id")), ignorenulls=True).over(w),
+    )
+    return (
+        out.filter((F.col("event_type") == "purchase") & F.col("def_event_id").isNotNull())
+        .select("user_id", F.col("event_id").alias("use_event_id"), "def_event_id")
+    )
+
+
+SQL_J6_REACHING = """
+WITH d AS (
+  SELECT user_id, event_id, event_type,
+         last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS def_event_id
+  FROM events)
+SELECT user_id, event_id AS use_event_id, def_event_id
+FROM d WHERE event_type = 'purchase' AND def_event_id IS NOT NULL
+"""
+
+
+def q_p6_scope_interval(spark, sf_dir):
+    """Block-scoping analog: events within 1h of the user's first event."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("t0", F.min("ts").over(w))
+        .filter(F.unix_timestamp("ts") - F.unix_timestamp("t0") <= 3600)
+        .select("user_id", "event_id")
+    )
+
+
+SQL_P6_SCOPE = """
+SELECT user_id, event_id
+FROM (SELECT user_id, event_id, ts, min(ts) OVER (PARTITION BY user_id) AS t0 FROM events)
+WHERE epoch(ts) - epoch(t0) <= 3600
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins on TPC-H dims
+# ---------------------------------------------------------------------------
+
+def q_j1_ranked_link(spark, sf_dir):
+    """J1 broadcast candidate join + W5 rank-1 pick: top order per customer."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    joined = orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+    w = Window.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice")
+    )
+
+
+SQL_J1_RANKED = """
+SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+FROM (SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY c.c_custkey ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+WHERE rk = 1
+"""
+
+
+def q_j5_semi_join(spark, sf_dir):
+    """Import-class semi-join analog: customers having at least one order."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_semi"
+    ).select("c_custkey")
+
+
+SQL_J5_SEMI = "SELECT c_custkey FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+
+
+# ---------------------------------------------------------------------------
+# Connected components with a SQL-checkable island structure
+# ---------------------------------------------------------------------------
+
+def q_a6_cc_islands(spark, sf_dir):
+    """Real iterative CC on a chain graph (consecutive same-lang docs),
+    where the expected components are SQL-derivable via gaps-and-islands."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    nxt = docs.select((F.col("doc_id") - 1).alias("doc_id"), F.col("lang").alias("lang_next"))
+    pairs = (
+        docs.join(nxt, "doc_id")
+        .filter(F.col("lang") == F.col("lang_next"))
+        .select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
+    )
+    mapping, _rounds, _conv = canonicalize.connected_components(pairs)
+    return (
+        docs.join(mapping, docs["doc_id"] == mapping["entity"], "left")
+        .select("doc_id", F.coalesce("canonical_id", "doc_id").alias("canonical_id"))
+    )
+
+
+SQL_A6_CC = """
+WITH d AS (SELECT doc_id, lang, lag(lang) OVER (ORDER BY doc_id) AS plang FROM documents),
+f AS (SELECT doc_id, CASE WHEN plang IS NULL OR plang <> lang THEN 1 ELSE 0 END AS brk FROM d),
+g AS (SELECT doc_id, sum(brk) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM f)
+SELECT doc_id, min(doc_id) OVER (PARTITION BY grp) AS canonical_id FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = r"""
+SELECT min(doc_id) AS canonical_doc_id, count(*) AS n_dups
+FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm FROM documents)
+GROUP BY norm
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.4)
+
+
+SQL_DEDUP_NGRAM = r"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+s AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 3
+          THEN list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+          ELSE [] END)) AS shingle
+      FROM w),
+flt AS (SELECT s.* FROM s JOIN (SELECT shingle FROM s GROUP BY shingle HAVING count(*) <= 1000) ok USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM flt GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM flt a JOIN flt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.4
+"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup pairs — hash functions are engine-specific, so
+    this entry has no SQL oracle (rows-only check); exactness is covered by
+    pytest against jaccard_pairs."""
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs — engine-specific hashing, rows-only check."""
+    return dedup.simhash_pairs(_docs(spark, sf_dir))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+SQL_ANN_COSINE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS score
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s)
+SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM r WHERE rank <= 5
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN — scale path; no SQL oracle (bucketing is
+    hash-defined), recall vs brute force is asserted in pytest."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    ws = words(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(ws).alias("n_words"),
+        F.size(F.array_distinct(ws)).alias("n_uniq_words"),
+        F.array_max(F.transform(ws, lambda w: F.length(w))).alias("max_word_len"),
+    )
+
+
+SQL_TEXT_QUALITY = """
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents)
+SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_uniq_words,
+       list_max(list_transform(ws, w -> len(w))) AS max_word_len
+FROM w
+"""
+
+
+def q_text_lang_score(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    n_stop = stopword_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n_stop.alias("n_stop"),
+        (n_stop >= 3).cast("int").alias("pred_en"),
+    )
+
+
+SQL_TEXT_LANG = r"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '\b(?:the|a|of|and|is|to|in)\b')) AS n_stop,
+       CAST(len(regexp_extract_all(lower(text), '\b(?:the|a|of|and|is|to|in)\b')) >= 3 AS INT) AS pred_en
+FROM documents
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H anchors (general agg/join capability; decimal sums for exact compare)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")).cast("double"), 4).alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum((dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast("decimal(28,8)")).cast("double"),
+                4,
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_base_price,
+       round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DOUBLE), 4) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3_topk(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)") * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))).cast("decimal(28,8)")
+    agg = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")), orders["o_custkey"] == F.col("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
+    )
+    return agg.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
+
+
+SQL_TPCH_Q3 = """
+SELECT o_orderkey,
+       round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DOUBLE), 4) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline (rows-only smoke at sf — the flagship)
+# ---------------------------------------------------------------------------
+
+def q_kg_full_pipeline(spark, sf_dir):
+    """Entire KG build over events-derived transcripts; returns the edges
+    (triple) table. Non-SQL-expressible as one statement (iterative CC),
+    so no oracle — component layers are each verified by their own entry."""
+    from jcpg_spark.pipeline import build_graph
+
+    t = transcripts_from_events(spark, sf_dir)
+    res = build_graph(spark, t, events_gazetteer(spark))
+    return res.edges
+
+
+# name -> (spark_fn, oracle_sql or None)
+REGISTRY: dict[str, tuple] = {
+    "kg_flow_next": (q_kg_flow_next, SQL_KG_FLOW_NEXT),
+    "kg_act_role": (q_kg_act_role, SQL_KG_ACT_ROLE),
+    "kg_branch": (q_kg_branch, SQL_KG_BRANCH),
+    "kg_call_return": (q_kg_call_return, SQL_KG_CALL_RETURN),
+    "kg_reaching_ref": (q_kg_reaching_ref, SQL_KG_REACHING_REF),
+    "kg_metrics_rollup": (q_kg_metrics_rollup, SQL_KG_METRICS_ROLLUP),
+    "kg_full_pipeline": (q_kg_full_pipeline, None),
+    "w3_sessionize": (q_w3_sessionize, SQL_W3_SESSIONIZE),
+    "w5_top1_per_user_type": (q_w5_top1_per_user_type, SQL_W5_TOP1),
+    "a4_exit_points": (q_a4_exit_points, SQL_A4_EXIT),
+    "a5_counter_norm": (q_a5_counter_norm, SQL_A5_COUNTER),
+    "j6_reaching_event": (q_j6_reaching_event, SQL_J6_REACHING),
+    "p6_scope_interval": (q_p6_scope_interval, SQL_P6_SCOPE),
+    "j1_ranked_link": (q_j1_ranked_link, SQL_J1_RANKED),
+    "j5_semi_join": (q_j5_semi_join, SQL_J5_SEMI),
+    "a6_cc_islands": (q_a6_cc_islands, SQL_A6_CC),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
+    "dedup_minhash": (q_dedup_minhash, None),
+    "dedup_simhash": (q_dedup_simhash, None),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE),
+    "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_lang_score": (q_text_lang_score, SQL_TEXT_LANG),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "tpch_q3_topk": (q_tpch_q3_topk, SQL_TPCH_Q3),
+}

@@ -1,0 +1,73 @@
+"""Transcript sources (S1 analog — FileUtils.java:23-57 file-set scan).
+
+Two readers:
+
+- ``read_transcripts``: the production path — a parquet/Iceberg table already
+  in the input_hint shape ``(conv_id, turn_idx, role, text, tool, ts)``.
+  Plain ``spark.read.parquet``; Catalyst handles partition pruning and
+  column pruning. (Iceberg runtime jars are not in this sandbox image;
+  the reader seam is the place they plug in — see SURVEY §7.)
+
+- ``transcripts_from_events``: deterministic adapter from the driver's
+  ``events`` table (event_id, ts, user_id, event_type, value, props) to the
+  transcript shape, used by the driver-facing correctness queries so the
+  same operators can be checked against a DuckDB oracle over shared data.
+  Users ≈ conversations; (ts, event_id) ordering ≈ turn order; event types
+  map onto roles; the synthesized text embeds the event type as an entity
+  surface so mention/linking/reference stages have real work to do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jcpg_spark import schema as S
+
+# role mapping: 'signup'/'purchase' are agent actions, 'error' is a tool
+# response, the rest are user activity.
+ROLE_MAP = {"signup": "assistant", "purchase": "assistant", "error": "tool"}
+TOOL_MAP = {"signup": "search", "purchase": "db"}
+
+# Gazetteer over event vocabulary: event types are the entity surfaces;
+# 'signup' and 'error' are state-defining (defs_state analog).
+EVENTS_GAZETTEER = [
+    # surface, canonical, namespace, kind, prior, defs_state
+    ("signup", "ev_signup", "events", "artifact", 0.9, True),
+    ("purchase", "ev_purchase", "events", "artifact", 0.9, False),
+    ("view", "ev_view", "events", "artifact", 0.9, False),
+    ("click", "ev_click", "events", "artifact", 0.9, False),
+    ("error", "ev_error", "events", "system", 0.9, True),
+]
+
+
+def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(S.TRANSCRIPT_SCHEMA).parquet(path)
+
+
+def events_gazetteer(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(EVENTS_GAZETTEER, schema=S.DICTIONARY_SCHEMA)
+
+
+def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    role = F.coalesce(
+        *[F.when(F.col("event_type") == k, F.lit(v)) for k, v in ROLE_MAP.items()],
+        F.lit("user"),
+    )
+    tool = F.coalesce(
+        *[F.when(F.col("event_type") == k, F.lit(v)) for k, v in TOOL_MAP.items()],
+        F.lit(None).cast("string"),
+    )
+    return ev.select(
+        F.format_string("u%06d", F.col("user_id")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.concat(
+            F.lit("event "), F.col("event_type"), F.lit(" observed value "),
+            F.round(F.col("value")).cast("long").cast("string"),
+        ).alias("text"),
+        tool.alias("tool"),
+        F.col("ts"),
+    )
