@@ -12,20 +12,22 @@ Spark-native form (SURVEY §2.3 J1, §2.5 W5):
    reference's in-memory map, but executor-resident instead of static.
 2. ``score_links`` — vectorized scoring of (mention, candidate) pairs;
    replaces the reference's theta conditions with a deterministic score.
-3. rank-1 pick — ``row_number`` over (score DESC, canonical ASC) per
-   mention; replaces list-order first-match-wins with an explicit,
-   partition-stable ordering.
+3. rank-1 pick — ``min_by`` over the composite ordering key
+   ``(-score, canonical, namespace)`` per mention; replaces list-order
+   first-match-wins with an explicit, partition-stable ordering.
 
-The ranking window partitions by mention id, i.e. by ``(conv_id, turn_idx,
-ordinal)``; because candidates-per-surface is tiny (<=3), AQE coalesces this
-into a cheap shuffle; at 10^12-turn scale the candidate multiplicity stays
-bounded so no skew can form on the mention side.
+The rank-1 pick is a hash AGGREGATION, not a window: ``min_by(payload,
+key)`` grouped by mention id gets a map-side partial combine and no sort,
+which at 10^12-turn scale is strictly cheaper than the row_number window
+(same shuffle key, no per-partition ordering pass). The tie-break key is
+total (score desc, canonical asc, namespace asc), so the pick is
+deterministic under any partitioning.
 """
 
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -59,11 +61,16 @@ def link_mentions(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
             F.col("prior"), F.col("kind"), F.col("namespace"), F.col("role"), F.col("tool")
         ),
     )
-    w = Window.partitionBy("conv_id", "turn_idx", "ordinal").orderBy(
-        F.desc("score"), F.asc("canonical")
+    payload_cols = [c for c in cand.columns if c not in ("conv_id", "turn_idx", "ordinal")]
+    best = cand.groupBy("conv_id", "turn_idx", "ordinal").agg(
+        F.min_by(
+            F.struct(*payload_cols),
+            F.struct((-F.col("score")).alias("s"), F.col("canonical"), F.col("namespace")),
+        ).alias("best")
     )
-    return (
-        cand.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .drop("rk", "prior")
+    return best.select(
+        "conv_id",
+        "turn_idx",
+        "ordinal",
+        *[F.col(f"best.{c}").alias(c) for c in payload_cols if c != "prior"],
     )

@@ -36,56 +36,117 @@ _MENTION_ELEM = T.StructType(
 )
 
 
+def _trie_pattern(surfaces: list[str]) -> str:
+    """Compile the surface set into a prefix-trie regex.
+
+    Python's ``re`` scans flat alternations branch-by-branch at every
+    position; a trie-shaped pattern shares common prefixes so each input
+    position is rejected after at most one character class — ~10-50x faster
+    for a couple hundred surfaces. Longest-match preference is preserved by
+    ordering each trie level's branches so that longer continuations are
+    tried before accepting a shorter terminal (terminal marker last).
+    """
+    trie: dict = {}
+    for s in set(surfaces):
+        node = trie
+        for ch in s:
+            node = node.setdefault(ch, {})
+        node[""] = {}  # terminal marker
+
+    def emit(node: dict) -> str:
+        # branches sorted: non-terminal children first (prefer longer match),
+        # deterministic order within.
+        keys = sorted(node.keys(), key=lambda k: (k == "", k))
+        parts = []
+        for k in keys:
+            if k == "":
+                parts.append("")
+                continue
+            child = emit(node[k])
+            parts.append(re.escape(k) + child)
+        alts = [p for p in parts if p != ""]
+        has_terminal = "" in parts
+        if not alts:
+            return ""
+        body = "|".join(alts)
+        if len(alts) == 1 and not has_terminal:
+            return body
+        return "(?:" + body + ")" + ("?" if has_terminal else "")
+
+    return r"\b" + emit(trie) + r"\b"
+
+
 def compile_gazetteer(surfaces: list[str]) -> re.Pattern:
-    """Alternation regex over all dictionary surfaces, longest first so the
-    regex engine prefers maximal matches; word-bounded; case-insensitive."""
-    ordered = sorted(set(surfaces), key=len, reverse=True)
-    pat = r"\b(?:" + "|".join(re.escape(s) for s in ordered) + r")\b"
-    return re.compile(pat, re.IGNORECASE)
+    """Trie-optimized regex over all dictionary surfaces; prefers the
+    longest match at each position; word-bounded; case-insensitive."""
+    return re.compile(_trie_pattern(surfaces), re.IGNORECASE)
+
+
+_MENTIONS_OUT = (
+    "conv_id string, turn_idx int, role string, tool string, "
+    "ordinal int, surface string, start int, end int"
+)
 
 
 def detect_mentions(
     spark: SparkSession, transcripts: DataFrame, surfaces: list[str]
 ) -> DataFrame:
-    """-> mentions DF (conv_id, turn_idx, ordinal, surface, start, end).
+    """-> mentions DF (conv_id, turn_idx, role, tool, ordinal, surface,
+    start, end).
 
     ``ordinal`` is the 0-based match index within the turn (deterministic:
     regex scan order), giving mention node ids ``m:<conv>:<turn>:<ordinal>``.
+
+    Implemented with ``mapInPandas`` emitting already-exploded flat columns:
+    returning ``array<struct>`` from a scalar pandas UDF forces a per-row
+    Python->Arrow nested conversion that costs ~10x the regex matching
+    itself; flat column buffers convert in bulk. Map-side only, keeps the
+    parent partitioning.
     """
     bc = spark.sparkContext.broadcast(sorted(set(surfaces)))
     _local: dict[str, re.Pattern] = {}
 
-    @F.pandas_udf(T.ArrayType(_MENTION_ELEM))
-    def _detect(texts: pd.Series) -> pd.Series:
+    def _detect(batches):
         rx = _local.get("rx")
         if rx is None:
             rx = compile_gazetteer(bc.value)
             _local["rx"] = rx
+        for pdf in batches:
+            conv, turn, role, tool = [], [], [], []
+            ordinal, surface, start, end = [], [], [], []
+            for c, ti, ro, to, tx in zip(
+                pdf["conv_id"].values,
+                pdf["turn_idx"].values,
+                pdf["role"].values,
+                pdf["tool"].values,
+                pdf["text"].values,
+            ):
+                if not tx:
+                    continue
+                for i, m in enumerate(rx.finditer(tx)):
+                    conv.append(c)
+                    turn.append(ti)
+                    role.append(ro)
+                    tool.append(to)
+                    ordinal.append(i)
+                    surface.append(m.group(0).lower())
+                    start.append(m.start())
+                    end.append(m.end())
+            yield pd.DataFrame(
+                {
+                    "conv_id": conv,
+                    "turn_idx": pd.array(turn, dtype="int32"),
+                    "role": role,
+                    "tool": tool,
+                    "ordinal": pd.array(ordinal, dtype="int32"),
+                    "surface": surface,
+                    "start": pd.array(start, dtype="int32"),
+                    "end": pd.array(end, dtype="int32"),
+                }
+            )
 
-        def one(text):
-            if not text:
-                return []
-            return [
-                (i, m.group(0).lower(), m.start(), m.end())
-                for i, m in enumerate(rx.finditer(text))
-            ]
-
-        return texts.map(one)
-
-    exploded = (
-        transcripts.select("conv_id", "turn_idx", "role", "tool", _detect("text").alias("ms"))
-        .filter(F.size("ms") > 0)
-        .select("conv_id", "turn_idx", "role", "tool", F.explode("ms").alias("m"))
-    )
-    return exploded.select(
-        "conv_id",
-        "turn_idx",
-        "role",
-        "tool",
-        F.col("m.ordinal").alias("ordinal"),
-        F.col("m.surface").alias("surface"),
-        F.col("m.start").alias("start"),
-        F.col("m.end").alias("end"),
+    return transcripts.select("conv_id", "turn_idx", "role", "tool", "text").mapInPandas(
+        _detect, schema=_MENTIONS_OUT
     )
 
 

@@ -33,20 +33,35 @@ from jcpg_spark import schema as S
 
 
 def reference_triples(linked_mentions: DataFrame) -> DataFrame:
-    """linked mentions (from linking.link_mentions) -> ref.* triples."""
-    w_entity = Window.partitionBy("conv_id", "canonical").orderBy("turn_idx", "ordinal")
-    m = linked_mentions.withColumn(
-        "is_def",
-        F.col("defs_state") | (F.row_number().over(w_entity) == 1),
-    )
+    """linked mentions (from linking.link_mentions) -> ref.* triples.
 
-    per_turn = m.groupBy("conv_id", "canonical", "turn_idx").agg(
-        F.max(F.col("is_def").cast("int")).alias("has_def"),
-        F.max((~F.col("is_def")).cast("int")).alias("has_use"),
+    Physical shape: ONE hash aggregation (per-turn rollup, map-side
+    combinable) followed by ONE window pass over (conv, entity) in turn
+    order. The per-mention "first mention is a def" rule folds into the
+    aggregate via ``min_by(defs_state, ordinal)`` + ``row_number`` on the
+    same window, so no second differently-ordered sort is needed.
+    """
+    per_turn = linked_mentions.groupBy("conv_id", "canonical", "turn_idx").agg(
+        F.count("*").alias("n_mentions"),
+        F.sum(F.col("defs_state").cast("int")).alias("n_exp_def"),
+        F.min_by("defs_state", "ordinal").alias("first_def_state"),
     )
 
     w_turns = Window.partitionBy("conv_id", "canonical").orderBy("turn_idx")
     w_prev = w_turns.rowsBetween(Window.unboundedPreceding, -1)
+    # intro rule: the entity's first turn's first mention is an implicit def
+    # (declaration analog) unless it is already an explicit def.
+    intro_bonus = F.when(
+        (F.row_number().over(w_turns) == 1) & ~F.col("first_def_state"), F.lit(1)
+    ).otherwise(F.lit(0))
+    per_turn = per_turn.withColumn("n_def", F.col("n_exp_def") + intro_bonus)
+    per_turn = per_turn.select(
+        "conv_id",
+        "canonical",
+        "turn_idx",
+        (F.col("n_def") > 0).cast("int").alias("has_def"),
+        (F.col("n_mentions") > F.col("n_def")).cast("int").alias("has_use"),
+    )
     per_turn = per_turn.withColumn(
         "prev_def_turn",
         F.last(

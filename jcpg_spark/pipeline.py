@@ -47,7 +47,15 @@ def build_graph(
 ) -> PipelineResult:
     surfaces = [r["surface"] for r in dictionary.select("surface").distinct().collect()]
 
+    # transcripts may itself be a derived plan (e.g. the events adapter's
+    # window); it feeds ~8 consumers below — persist so the source is
+    # computed once instead of once per edge layer.
+    transcripts = transcripts.persist()
+
     m = mentions.detect_mentions(spark, transcripts, surfaces)
+    # the mention-detection pandas UDF is the most expensive map stage; it
+    # feeds both ast_has_mention and linking — persist to run it once.
+    m = m.persist()
     linked = linking.link_mentions(m, dictionary)
     # linked feeds three consumers (ref edges, alias pairs, canonical map) —
     # persist so mention detection + linking run once.
