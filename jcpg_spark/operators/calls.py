@@ -90,6 +90,93 @@ def return_triples(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def cfg_triples(transcripts: DataFrame) -> DataFrame:
+    """Fused CFG/ICFG emitter: ast.has_turn + act.role + flow.next +
+    flow.branch_* + call + return in ONE window pass.
+
+    The separate per-layer operators (flow.flow_next, flow.flow_branch,
+    call_triples, return_triples, structural.ast_has_turn/act_role) are
+    semantically identical but each carries its own exchange+sort when
+    unioned (Catalyst only reuses exchanges for identical subplans, and the
+    per-layer projections differ). This emitter computes every lead/lag
+    column over the single mandated (conv_id, turn_idx) window, builds the
+    per-turn edge candidates as an array of structs, and explodes — one
+    shuffle + one sort for six edge kinds. Used by the pipeline; the
+    per-layer functions remain for targeted queries/tests.
+    """
+    w = w_conv()
+    w_fill = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    prev_role = F.lag("role").over(w)
+    prev_tool = F.lag("tool").over(w)
+    prev_idx = F.lag("turn_idx").over(w)
+    next_idx = F.lead("turn_idx").over(w)
+    next_role = F.lead("role").over(w)
+
+    is_tool = F.col("role") == "tool"
+    run_start = is_tool & ((prev_role != "tool") | prev_role.isNull())
+    callsite_ok = (prev_role == "assistant") & prev_tool.isNotNull()
+
+    e = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        next_idx.alias("next_idx"),
+        next_role.alias("next_role"),
+        is_tool.alias("is_tool"),
+        F.when(
+            run_start,
+            F.when(callsite_ok, S.turn_node(F.col("conv_id"), prev_idx)).otherwise(
+                F.lit(_SENTINEL)
+            ),
+        ).alias("run_callsite"),
+        F.when(run_start, F.when(callsite_ok, prev_tool)).alias("run_tool"),
+    )
+    e = e.select(
+        "*",
+        F.last("run_callsite", ignorenulls=True).over(w_fill).alias("callsite"),
+        F.last("run_tool", ignorenulls=True).over(w_fill).alias("callee_tool"),
+        ((F.lead("is_tool").over(w).isNull()) | ~F.lead("is_tool").over(w)).alias("run_end"),
+    )
+
+    turn = S.turn_node(F.col("conv_id"), F.col("turn_idx"))
+    nxt = S.turn_node(F.col("conv_id"), F.col("next_idx"))
+    is_call = (F.col("role") == "assistant") & F.col("tool").isNotNull()
+    nul = F.lit(None).cast("string")
+
+    def edge(src, pred, dst, var):
+        return F.struct(
+            src.alias("src"), F.lit(pred).alias("pred") if isinstance(pred, str) else pred.alias("pred"),
+            dst.alias("dst"), var.alias("var"),
+        )
+
+    branch_pred = F.when(F.col("next_role") == "tool", F.lit("flow.branch_true")).otherwise(
+        F.lit("flow.branch_false")
+    )
+    arr = F.array_compact(
+        F.array(
+            edge(S.conv_node(F.col("conv_id")), "ast.has_turn", turn, nul),
+            edge(turn, "act.role", S.role_node(F.col("role")), nul),
+            F.when(F.col("next_idx").isNotNull(), edge(turn, "flow.next", nxt, nul)),
+            F.when(is_call & F.col("next_idx").isNotNull(), edge(turn, branch_pred, nxt, F.col("tool"))),
+            F.when(is_call, edge(turn, "call", S.tool_node(F.col("tool")), F.col("tool"))),
+            F.when(
+                F.col("is_tool") & F.col("run_end") & (F.col("callsite") != _SENTINEL),
+                edge(turn, "return", F.col("callsite"), F.col("callee_tool")),
+            ),
+        )
+    )
+    out = e.select("conv_id", F.explode(arr).alias("m"))
+    return out.select(
+        F.col("m.src").alias("src"),
+        F.col("m.pred").alias("pred"),
+        F.col("m.dst").alias("dst"),
+        F.col("m.var").alias("var"),
+        "conv_id",
+    )
+
+
 def tool_nodes(transcripts: DataFrame) -> DataFrame:
     """One node per distinct tool (tiny dimension; global distinct-agg)."""
     return (

@@ -31,6 +31,37 @@ from jcpg_spark import schema as S
 log = logging.getLogger(__name__)
 
 
+def _driver_union_find_rows(rows, pairs: DataFrame) -> DataFrame:
+    """In-memory union-find with min-label roots over collected pair rows;
+    returns (entity, canonical_id) as a DataFrame with the pair columns'
+    type."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = [(e, find(e)) for e in parent]
+    spark = pairs.sparkSession
+    a_type = pairs.schema[0].dataType
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("entity", a_type, False), T.StructField("canonical_id", a_type, False)]
+    )
+    return spark.createDataFrame(out, schema=schema)
+
+
 def alias_pairs(transcripts: DataFrame, linked_mentions: DataFrame) -> DataFrame:
     """Extract (entity_a, entity_b) assertions from alias-introduction turns.
 
@@ -38,14 +69,29 @@ def alias_pairs(transcripts: DataFrame, linked_mentions: DataFrame) -> DataFrame
     asserts that its first and second linked mentions co-refer. Returns
     distinct (a, b) with a < b (undirected edge, deduped).
     """
+    from pyspark.sql import Window
+
     intro = transcripts.filter(F.col("text").rlike(r"^introducing\b")).select(
         "conv_id", "turn_idx"
     )
     m = linked_mentions.join(intro, on=["conv_id", "turn_idx"], how="left_semi")
+    # first/last mention per turn WITHOUT min_by/max_by (TypedImperative
+    # aggregates fall back to sort-based aggregation at data-scale group
+    # counts): rank within turn, then conditional string max — min/max on
+    # strings stay in hash aggregation with partial combine.
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("ordinal")
+    w_all = Window.partitionBy("conv_id", "turn_idx")
+    m = m.select(
+        "conv_id",
+        "turn_idx",
+        "canonical",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(w_all).alias("cnt"),
+    )
     per_turn = m.groupBy("conv_id", "turn_idx").agg(
-        F.min_by("canonical", "ordinal").alias("first"),
-        F.max_by("canonical", "ordinal").alias("second"),
-        F.count("*").alias("n"),
+        F.max(F.when(F.col("rn") == 1, F.col("canonical"))).alias("first"),
+        F.max(F.when(F.col("rn") == F.col("cnt"), F.col("canonical"))).alias("second"),
+        F.max("cnt").alias("n"),
     )
     pairs = per_turn.filter((F.col("n") >= 2) & (F.col("first") != F.col("second")))
     return pairs.select(
@@ -54,7 +100,7 @@ def alias_pairs(transcripts: DataFrame, linked_mentions: DataFrame) -> DataFrame
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 25
+    pairs: DataFrame, max_iter: int = 25, driver_threshold: int = 1_000_000
 ) -> tuple[DataFrame, int, bool]:
     """Min-label propagation over undirected (a, b) pairs.
 
@@ -62,7 +108,21 @@ def connected_components(
     The mapping contains every entity that appears in ``pairs``; entities
     with no alias edge are their own canonical by definition (callers treat
     absence as identity).
+
+    Scale-adaptive: the alias-pair graph is ENTITY-vocabulary-sized, not
+    data-sized, so below ``driver_threshold`` distinct pairs the component
+    labels are computed with an in-memory union-find on the driver (one
+    collect, zero iterative shuffles — same move as Spark's own broadcast
+    threshold). Above it, the distributed min-label propagation loop runs;
+    both paths produce identical min-of-component labels.
     """
+    # single probing job: fetch threshold+1 rows; if the graph is small we
+    # already hold it (no separate count + re-collect round trips)
+    probe = pairs.limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        mapping = _driver_union_find_rows(probe, pairs)
+        return mapping, 1, True
+    pairs = pairs.persist()
     edges = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
         pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )

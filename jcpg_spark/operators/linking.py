@@ -5,23 +5,22 @@ Reference analog: the method-name candidate lookup ``findDefInfo``
 of each call site against ``methodDEFs.get(name)`` with package / class /
 arity / type filters and first-match-wins selection (``:569-577``).
 
-Spark-native form (SURVEY §2.3 J1, §2.5 W5):
+Spark-native form (SURVEY §2.3 J1/J7, §2.5 W5):
 
-1. ``mentions LEFT JOIN broadcast(dictionary) ON surface`` — a broadcast
-   hash join; the dictionary is the small build side exactly like the
-   reference's in-memory map, but executor-resident instead of static.
-2. ``score_links`` — vectorized scoring of (mention, candidate) pairs;
-   replaces the reference's theta conditions with a deterministic score.
-3. rank-1 pick — ``min_by`` over the composite ordering key
-   ``(-score, canonical, namespace)`` per mention; replaces list-order
-   first-match-wins with an explicit, partition-stable ordering.
+The link score depends only on ``(candidate, role, tool)`` — never on the
+individual mention — so the rank-1 decision is precomputed on the DICTIONARY
+side: cross the (tiny) dictionary with the distinct ``(role, tool)`` contexts
+observed in the data, score with ``score_links``, keep the winner per
+``(surface, role, tool)``, and broadcast THAT. Linking the 10^12-row mention
+table is then a single broadcast hash join with zero shuffle and zero
+aggregation on the big side (the reference's per-call-site nested-loop theta
+join, ``JavacpgDDGBuilder.java:561-667``, hoisted to the build side — the
+same move as its dictionary pre-aggregation at ``:67-84``).
 
-The rank-1 pick is a hash AGGREGATION, not a window: ``min_by(payload,
-key)`` grouped by mention id gets a map-side partial combine and no sort,
-which at 10^12-turn scale is strictly cheaper than the row_number window
-(same shuffle key, no per-partition ordering pass). The tie-break key is
-total (score desc, canonical asc, namespace asc), so the pick is
-deterministic under any partitioning.
+A naive per-mention rank (window or min_by) is a trap at scale: mention ids
+are unique, so grouped aggregation degenerates to a sort on the full data
+(ObjectHashAggregate falls back to sort-based beyond its key threshold) —
+measured 160x slower than the dimension-side precompute on 7M mentions.
 """
 
 from __future__ import annotations
@@ -54,23 +53,31 @@ def link_mentions(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
     dropped, mirroring the reference skipping unresolved call sites
     (JavacpgDDGBuilder.java:563-566 returns null -> no edge).
     """
-    cand = mentions.join(F.broadcast(dictionary), on="surface", how="inner")
-    cand = cand.withColumn(
+    # contexts actually present in the data: tiny (|roles| x |tools|)
+    ctx = mentions.select("role", "tool").distinct()
+    cand = ctx.crossJoin(dictionary).withColumn(
         "score",
         score_links(
             F.col("prior"), F.col("kind"), F.col("namespace"), F.col("role"), F.col("tool")
         ),
     )
-    payload_cols = [c for c in cand.columns if c not in ("conv_id", "turn_idx", "ordinal")]
-    best = cand.groupBy("conv_id", "turn_idx", "ordinal").agg(
+    # rank-1 per (surface, context); min_by over a total ordering key
+    # (score desc, canonical asc, namespace asc) — deterministic; the input
+    # is dictionary-sized, so the aggregate is trivial.
+    payload = [c for c in cand.columns if c not in ("surface", "role", "tool")]
+    best = cand.groupBy("surface", "role", "tool").agg(
         F.min_by(
-            F.struct(*payload_cols),
+            F.struct(*payload),
             F.struct((-F.col("score")).alias("s"), F.col("canonical"), F.col("namespace")),
         ).alias("best")
+    ).select(
+        "surface",
+        "role",
+        F.coalesce(F.col("tool"), F.lit("\x00")).alias("_tool_key"),
+        *[F.col(f"best.{c}").alias(c) for c in payload if c != "prior"],
     )
-    return best.select(
-        "conv_id",
-        "turn_idx",
-        "ordinal",
-        *[F.col(f"best.{c}").alias(c) for c in payload_cols if c != "prior"],
+    # broadcast hash join on (surface, role, tool) — null-safe via sentinel
+    m = mentions.withColumn("_tool_key", F.coalesce(F.col("tool"), F.lit("\x00")))
+    return m.join(F.broadcast(best), on=["surface", "role", "_tool_key"], how="inner").drop(
+        "_tool_key"
     )

@@ -41,10 +41,18 @@ def reference_triples(linked_mentions: DataFrame) -> DataFrame:
     aggregate via ``min_by(defs_state, ordinal)`` + ``row_number`` on the
     same window, so no second differently-ordered sort is needed.
     """
+    # "defs_state of the min-ordinal mention" is parity-encoded into a
+    # single min(long): min(ordinal*2 + defs_state) — ordinal monotone in
+    # the high bits, flag in the LSB. A min_by here would fall back to
+    # sort-based aggregation at data-scale group counts (TypedImperative
+    # aggregates lose hash aggregation beyond the ObjectHashAggregate key
+    # threshold); min(long) stays in whole-stage-codegen HashAggregate with
+    # map-side partial combine.
+    enc = F.col("ordinal").cast("long") * 2 + F.col("defs_state").cast("long")
     per_turn = linked_mentions.groupBy("conv_id", "canonical", "turn_idx").agg(
         F.count("*").alias("n_mentions"),
         F.sum(F.col("defs_state").cast("int")).alias("n_exp_def"),
-        F.min_by("defs_state", "ordinal").alias("first_def_state"),
+        ((F.min(enc) % 2) == 1).alias("first_def_state"),
     )
 
     w_turns = Window.partitionBy("conv_id", "canonical").orderBy("turn_idx")
@@ -69,36 +77,39 @@ def reference_triples(linked_mentions: DataFrame) -> DataFrame:
             ignorenulls=True,
         ).over(w_prev),
     )
+    # single-pass emission of all three edge kinds (a 3-way union of filters
+    # over per_turn would recompute the aggregation + window per branch)
     turn = S.turn_node(F.col("conv_id"), F.col("turn_idx"))
 
-    use = per_turn.filter(
-        (F.col("has_use") == 1) & (F.col("has_def") == 0) & F.col("prev_def_turn").isNotNull()
-    ).select(
-        F.col("prev_def_turn").alias("src"),
-        F.lit("ref.use").alias("pred"),
-        turn.alias("dst"),
-        F.col("canonical").alias("var"),
+    def edge(src, pred, dst):
+        return F.struct(src.alias("src"), F.lit(pred).alias("pred"), dst.alias("dst"))
+
+    arr = F.array_compact(
+        F.array(
+            F.when(
+                (F.col("has_use") == 1)
+                & (F.col("has_def") == 0)
+                & F.col("prev_def_turn").isNotNull(),
+                edge(F.col("prev_def_turn"), "ref.use", turn),
+            ),
+            F.when(
+                (F.col("has_def") == 1) & F.col("prev_def_turn").isNotNull(),
+                edge(F.col("prev_def_turn"), "ref.redef", turn),
+            ),
+            F.when(
+                (F.col("has_def") == 1) & (F.col("has_use") == 1),
+                edge(turn, "ref.self", turn),
+            ),
+        )
+    )
+    out = per_turn.select("conv_id", F.col("canonical").alias("var"), F.explode(arr).alias("m"))
+    return out.select(
+        F.col("m.src").alias("src"),
+        F.col("m.pred").alias("pred"),
+        F.col("m.dst").alias("dst"),
+        "var",
         "conv_id",
     )
-    redef = per_turn.filter(
-        (F.col("has_def") == 1) & F.col("prev_def_turn").isNotNull()
-    ).select(
-        F.col("prev_def_turn").alias("src"),
-        F.lit("ref.redef").alias("pred"),
-        turn.alias("dst"),
-        F.col("canonical").alias("var"),
-        "conv_id",
-    )
-    self_flow = per_turn.filter(
-        (F.col("has_def") == 1) & (F.col("has_use") == 1)
-    ).select(
-        turn.alias("src"),
-        F.lit("ref.self").alias("pred"),
-        turn.alias("dst"),
-        F.col("canonical").alias("var"),
-        "conv_id",
-    )
-    return use.unionByName(redef).unionByName(self_flow)
 
 
 def entity_nodes(linked_mentions: DataFrame) -> DataFrame:

@@ -64,13 +64,11 @@ def build_graph(
     pairs = canonicalize.alias_pairs(transcripts, linked)
     mapping, rounds, converged = canonicalize.connected_components(pairs, max_iter=cc_max_iter)
 
+    # fused CFG/ICFG emitter: ast.has_turn + act.role + flow.* + call/return
+    # in a single window pass (see calls.cfg_triples) instead of six
+    # separately-shuffled layers.
     edges = (
-        structural.ast_has_turn(transcripts)
-        .unionByName(structural.act_role(transcripts))
-        .unionByName(flow.flow_next(transcripts))
-        .unionByName(flow.flow_branch(transcripts))
-        .unionByName(calls.call_triples(transcripts))
-        .unionByName(calls.return_triples(transcripts))
+        calls.cfg_triples(transcripts)
         .unionByName(mentions.ast_has_mention(m))
         .unionByName(references.reference_triples(linked))
         .unionByName(canonicalize.same_as_triples(mapping))

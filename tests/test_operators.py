@@ -171,20 +171,28 @@ def test_self_flow_when_turn_defs_and_uses(spark, ref_dict):
 
 
 # --- A6: connected components -------------------------------------------------
-def test_cc_path_graph_worst_case(spark):
+# threshold=0 forces the distributed min-label loop; default takes the
+# driver union-find fast path. Both must produce identical labels.
+@pytest.mark.parametrize("threshold", [1_000_000, 0])
+def test_cc_path_graph_worst_case(spark, threshold):
     # path a-b-c-d-e: worst case for min-label propagation (diameter rounds)
     pairs = spark.createDataFrame(
         [("b", "a"), ("c", "b"), ("d", "c"), ("e", "d")], ["a", "b"]
     )
-    mapping, rounds, converged = canonicalize.connected_components(pairs)
+    mapping, rounds, converged = canonicalize.connected_components(
+        pairs, driver_threshold=threshold
+    )
     assert converged
     got = {r.entity: r.canonical_id for r in mapping.collect()}
     assert got == {k: "a" for k in "abcde"}
 
 
-def test_cc_two_components(spark):
+@pytest.mark.parametrize("threshold", [1_000_000, 0])
+def test_cc_two_components(spark, threshold):
     pairs = spark.createDataFrame([("a", "b"), ("x", "y"), ("y", "z")], ["a", "b"])
-    mapping, _, converged = canonicalize.connected_components(pairs)
+    mapping, _, converged = canonicalize.connected_components(
+        pairs, driver_threshold=threshold
+    )
     assert converged
     got = {r.entity: r.canonical_id for r in mapping.collect()}
     assert got == {"a": "a", "b": "a", "x": "x", "y": "x", "z": "x"}
