@@ -1,0 +1,92 @@
+"""Table IO seam: snapshot-committed parquet tables with manifests.
+
+north_rule requires every stage to checkpoint per-partition lineage +
+triple-count metrics and the pipeline to resume from the last committed
+snapshot. The production target is Iceberg (atomic snapshot commits,
+bucket partitioning); the Iceberg runtime jar is not in this sandbox image,
+so this module provides the same contract over plain parquet:
+
+- ``write_table`` writes parquet then atomically commits a manifest JSON
+  (write temp + rename) recording row count, schema, and per-partition
+  lineage (partition id -> rows), exactly the bookkeeping an Iceberg
+  snapshot + manifest list would carry.
+- ``is_committed`` / ``read_table`` give stage-skip resume: a stage whose
+  manifest exists is never recomputed.
+
+Swapping in Iceberg later = replacing these four functions with
+``df.writeTo(...).createOrReplace()`` and snapshot inspection; callers are
+unchanged (SURVEY §7 "thin io.py seam").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_MANIFEST.json"
+
+
+def table_path(base_dir: str, name: str) -> str:
+    return os.path.join(base_dir, name)
+
+
+def is_committed(base_dir: str, name: str) -> bool:
+    return os.path.exists(os.path.join(table_path(base_dir, name), MANIFEST))
+
+
+def write_table(
+    df: DataFrame,
+    base_dir: str,
+    name: str,
+    bucket_col: str | None = None,
+    num_buckets: int = 32,
+) -> dict:
+    """Write ``df`` as a committed snapshot table; returns the manifest.
+
+    ``bucket_col`` hash-distributes output files by the column (the parquet
+    stand-in for Iceberg ``bucket(N, col)`` partitioning — co-locates later
+    equi-joins on that column and bounds file sizes under skew).
+    """
+    path = table_path(base_dir, name)
+    out = df
+    if bucket_col is not None:
+        out = df.repartition(num_buckets, F.col(bucket_col))
+    # per-partition lineage computed on the same data that is written
+    out = out.withColumn("_pid", F.spark_partition_id())
+    out.write.mode("overwrite").parquet(path)
+
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    lineage_rows = written.groupBy("_pid").count().collect()
+    lineage = {str(r["_pid"]): r["count"] for r in lineage_rows}
+    n_rows = sum(lineage.values())
+    # strip the lineage column from the final table (rewrite would double IO;
+    # readers use read_table which drops it)
+    manifest = {
+        "table": name,
+        "rows": n_rows,
+        "partitions": len(lineage),
+        "lineage": lineage,
+        "schema": [f.name for f in df.schema.fields],
+        "bucket_col": bucket_col,
+        "num_buckets": num_buckets if bucket_col else None,
+        "format_version": 1,
+    }
+    tmp = os.path.join(path, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.rename(tmp, os.path.join(path, MANIFEST))  # atomic commit
+    return manifest
+
+
+def read_table(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(table_path(base_dir, name))
+    return df.drop("_pid") if "_pid" in df.columns else df
+
+
+def read_manifest(base_dir: str, name: str) -> dict:
+    with open(os.path.join(table_path(base_dir, name), MANIFEST)) as f:
+        return json.load(f)

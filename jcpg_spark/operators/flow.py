@@ -43,6 +43,51 @@ def flow_next(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def flow_next_salted(transcripts: DataFrame, chunk_size: int = 100_000) -> DataFrame:
+    """Skew-safe flow threading: salt hot conversations by turn-range chunk.
+
+    The plain window puts an entire conversation in ONE task; a pathological
+    conversation (north_star: hot conversations at 10^12-turn scale) then
+    bounds the stage by its own length. Salting: partition by
+    ``(conv_id, turn_idx div chunk_size)`` so a hot conversation spreads
+    over ceil(len/chunk) tasks, compute intra-chunk edges with the same
+    window, then stitch chunk boundaries with a per-chunk summary join
+    (tiny: one row per chunk). Output is row-identical to ``flow_next``
+    (pytest-verified on the 100x skew fixture).
+    """
+    chunk = (F.col("turn_idx") / chunk_size).cast("long")
+    t = transcripts.select("conv_id", "turn_idx", chunk.alias("chunk"))
+
+    w_chunk = Window.partitionBy("conv_id", "chunk").orderBy("turn_idx")
+    intra = (
+        t.select("conv_id", "turn_idx", "chunk", F.lead("turn_idx").over(w_chunk).alias("next_idx"))
+        .filter(F.col("next_idx").isNotNull())
+    )
+
+    # boundary stitching: previous chunk's last turn -> this chunk's first
+    summaries = t.groupBy("conv_id", "chunk").agg(
+        F.min("turn_idx").alias("first_idx"), F.max("turn_idx").alias("last_idx")
+    )
+    w_conv_chunks = Window.partitionBy("conv_id").orderBy("chunk")
+    boundary = (
+        summaries.select(
+            "conv_id",
+            F.lag("last_idx").over(w_conv_chunks).alias("turn_idx"),
+            F.col("first_idx").alias("next_idx"),
+        )
+        .filter(F.col("turn_idx").isNotNull())
+    )
+
+    both = intra.select("conv_id", "turn_idx", "next_idx").unionByName(boundary)
+    return both.select(
+        S.turn_node(F.col("conv_id"), F.col("turn_idx")).alias("src"),
+        F.lit("flow.next").alias("pred"),
+        S.turn_node(F.col("conv_id"), F.col("next_idx")).alias("dst"),
+        F.lit(None).cast("string").alias("var"),
+        "conv_id",
+    )
+
+
 def flow_branch(transcripts: DataFrame) -> DataFrame:
     """Branch triples from tool-invoking assistant turns (FLOWS_TO_TRUE/FALSE
     analog, JavacpgCFGBuilder.java:827-875).

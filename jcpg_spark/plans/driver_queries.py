@@ -81,6 +81,14 @@ FROM e WHERE nxt IS NOT NULL
 """
 
 
+def q_kg_flow_next_salted(spark, sf_dir):
+    """Skew-salted flow threading (chunked window + boundary stitch) —
+    must produce exactly the same triples as the plain window, so it shares
+    the plain SQL oracle."""
+    t = transcripts_from_events(spark, sf_dir)
+    return flow.flow_next_salted(t, chunk_size=16).select("src", "pred", "dst", "conv_id")
+
+
 def q_kg_act_role(spark, sf_dir):
     from jcpg_spark.operators import structural
 
@@ -533,6 +541,101 @@ SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp FRO
 """
 
 
+def q_a1_group_collect(spark, sf_dir):
+    """A1 dictionary-build analog: group -> sorted candidate list
+    (methodDEFs multimap, JavacpgDDGBuilder.java:67-84)."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return part.groupBy("p_brand").agg(
+        F.sort_array(F.collect_list("p_partkey")).alias("partkeys"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_A1_GROUP_COLLECT = """
+SELECT p_brand, list_sort(list(p_partkey)) AS partkeys, count(*) AS n
+FROM part GROUP BY p_brand
+"""
+
+
+def q_a2_collect_set(spark, sf_dir):
+    """A2 DEF/USE set accumulation analog: per-user distinct sorted set
+    (Set<String> dedup, JavacpgDDGBuilder.java:407-483)."""
+    return _ev(spark, sf_dir).groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("kinds"),
+        F.countDistinct("event_type").alias("n_kinds"),
+    )
+
+
+SQL_A2_COLLECT_SET = """
+SELECT user_id, list_sort(list(DISTINCT event_type)) AS kinds,
+       count(DISTINCT event_type) AS n_kinds
+FROM events GROUP BY user_id
+"""
+
+
+def q_f_escape(spark, sf_dir):
+    """F2/F3 analog: escape + whitespace collapse (StringUtils.java:12-39)."""
+    docs = _docs(spark, sf_dir)
+    esc = F.regexp_replace(
+        F.regexp_replace(normalize_text(F.col("text")), r'"', '\\\\"'), r"'", "\\\\'"
+    )
+    return docs.select("doc_id", F.md5(esc).alias("escaped_fp"))
+
+
+SQL_F_ESCAPE = r"""
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+           '"', '\"', 'g'), '''', '\''', 'g')) AS escaped_fp
+FROM documents
+"""
+
+
+def q_f_literal_class(spark, sf_dir):
+    """F5 analog: literal classification -> $INT/$DBL/$BOL/$NUL/$STR
+    sentinels (JavacpgDDGBuilder.java:1329-1341), applied to the numeric
+    prop embedded in events.props JSON."""
+    from jcpg_spark.functions.text import classify_literal
+
+    ev = _ev(spark, sf_dir)
+    tok = F.regexp_extract(F.col("props"), r'"k":\s*(\S+)\}', 1)
+    return ev.select("event_id", classify_literal(tok).alias("lit_class"))
+
+
+SQL_F_LITERAL_CLASS = r"""
+SELECT event_id,
+       CASE WHEN regexp_extract(props, '"k":\s*(\S+)\}', 1) SIMILAR TO '-?[0-9]+' THEN '$INT'
+            WHEN regexp_extract(props, '"k":\s*(\S+)\}', 1) SIMILAR TO '-?[0-9]*\.[0-9]+' THEN '$DBL'
+            WHEN lower(regexp_extract(props, '"k":\s*(\S+)\}', 1)) IN ('true','false') THEN '$BOL'
+            WHEN lower(regexp_extract(props, '"k":\s*(\S+)\}', 1)) = 'null' THEN '$NUL'
+            ELSE '$STR' END AS lit_class
+FROM events
+"""
+
+
+def q_p3_usability(spark, sf_dir):
+    """P3 usability-predicate analog (isUsableExpression,
+    JavacpgDDGBuilder.java:1392-1416): reject $-prefixed literals, calls
+    '...)', indexing '...]' — here applied to document trailing tokens."""
+    docs = _docs(spark, sf_dir)
+    last_tok = F.element_at(F.split(F.trim(F.col("text")), r"\s+"), -1)
+    usable = (
+        ~F.coalesce(last_tok, F.lit("")).startswith("$")
+        & ~F.coalesce(last_tok, F.lit("")).endswith(")")
+        & ~F.coalesce(last_tok, F.lit("")).endswith("]")
+    )
+    return docs.filter(F.trim(F.col("text")) != "").select(
+        "doc_id", usable.cast("int").alias("usable")
+    )
+
+
+SQL_P3_USABILITY = r"""
+SELECT doc_id,
+       CAST(NOT (starts_with(t, '$') OR t LIKE '%)' OR t LIKE '%]') AS INT) AS usable
+FROM (SELECT doc_id, list_extract(regexp_split_to_array(trim(text), '\s+'), -1) AS t
+      FROM documents WHERE trim(text) <> '')
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H anchors (general agg/join capability; decimal sums for exact compare)
 # ---------------------------------------------------------------------------
@@ -611,6 +714,7 @@ def q_kg_full_pipeline(spark, sf_dir):
 # name -> (spark_fn, oracle_sql or None)
 REGISTRY: dict[str, tuple] = {
     "kg_flow_next": (q_kg_flow_next, SQL_KG_FLOW_NEXT),
+    "kg_flow_next_salted": (q_kg_flow_next_salted, SQL_KG_FLOW_NEXT),
     "kg_act_role": (q_kg_act_role, SQL_KG_ACT_ROLE),
     "kg_branch": (q_kg_branch, SQL_KG_BRANCH),
     "kg_call_return": (q_kg_call_return, SQL_KG_CALL_RETURN),
@@ -636,6 +740,11 @@ REGISTRY: dict[str, tuple] = {
     "text_lang_score": (q_text_lang_score, SQL_TEXT_LANG),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "a1_group_collect": (q_a1_group_collect, SQL_A1_GROUP_COLLECT),
+    "a2_collect_set": (q_a2_collect_set, SQL_A2_COLLECT_SET),
+    "f_escape": (q_f_escape, SQL_F_ESCAPE),
+    "f_literal_class": (q_f_literal_class, SQL_F_LITERAL_CLASS),
+    "p3_usability": (q_p3_usability, SQL_P3_USABILITY),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3_topk": (q_tpch_q3_topk, SQL_TPCH_Q3),
 }

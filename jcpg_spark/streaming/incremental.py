@@ -1,0 +1,110 @@
+"""Incremental (Structured Streaming) variants of the triple extractors.
+
+SURVEY §2.8: the reference is strictly batch; north_rule imposes no
+streaming obligation, but the operators were deliberately designed so an
+incremental variant drops in — stateless layers are identical plans under
+``readStream``, and the only stateful layer (flow threading needs the
+previous turn) carries one tiny state row per conversation via
+``applyInPandasWithState``.
+
+Ordering assumption (documented contract): turns of a conversation arrive
+in non-decreasing ``turn_idx`` order across micro-batches (true for
+append-only transcript logs). Within a batch, rows are sorted before
+linking, so intra-batch disorder is tolerated.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from jcpg_spark import schema as S
+
+
+def stream_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    return spark.readStream.schema(S.TRANSCRIPT_SCHEMA).parquet(path)
+
+
+def streaming_call_triples(stream: DataFrame) -> DataFrame:
+    """Stateless: identical plan to calls.call_triples, just under
+    readStream (filter + projection; no shuffle, no state)."""
+    from jcpg_spark.operators.calls import call_triples
+
+    return call_triples(stream)
+
+
+def streaming_act_counts(stream: DataFrame, window: str = "5 minutes") -> DataFrame:
+    """Watermarked windowed speaker-act counts (late data tolerated 10m)."""
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", window), "role")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("w_start"),
+            F.col("window.end").alias("w_end"),
+            "role",
+            "n",
+        )
+    )
+
+
+_FLOW_OUT = "src string, pred string, dst string, var string, conv_id string"
+_FLOW_STATE = "last_idx int"
+
+
+def _flow_fn(key, pdf_iter, state: GroupState):
+    (conv_id,) = key
+    last_idx = state.get[0] if state.exists else None
+    out_src, out_dst = [], []
+    for pdf in pdf_iter:
+        for idx in sorted(pdf["turn_idx"].tolist()):
+            if last_idx is not None:
+                out_src.append(f"t:{conv_id}:{last_idx}")
+                out_dst.append(f"t:{conv_id}:{idx}")
+            last_idx = idx
+    if last_idx is not None:
+        state.update((int(last_idx),))
+    if out_src:
+        yield pd.DataFrame(
+            {
+                "src": out_src,
+                "pred": "flow.next",
+                "dst": out_dst,
+                "var": None,
+                "conv_id": conv_id,
+            }
+        )
+
+
+def streaming_flow_next(stream: DataFrame) -> DataFrame:
+    """Stateful flow threading: one state row (last turn idx) per
+    conversation; emits (prev, 'flow.next', current) as turns arrive.
+    The streaming analog of the batch lag window (W1)."""
+    return (
+        stream.select("conv_id", "turn_idx")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _flow_fn,
+            outputStructType=_FLOW_OUT,
+            stateStructType=_FLOW_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str):
+    """Drive a streaming query over all available input synchronously
+    (local smoke-test harness; memory sink)."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

@@ -196,3 +196,31 @@ def test_cc_two_components(spark, threshold):
     assert converged
     got = {r.entity: r.canonical_id for r in mapping.collect()}
     assert got == {"a": "a", "b": "a", "x": "x", "y": "x", "z": "x"}
+
+
+# --- skew: salted flow threading ----------------------------------------------
+def test_flow_next_salted_equals_plain_on_skew(spark, dictionary):
+    from jcpg_spark.synth import synth_transcripts
+
+    # includes the 100x skew conversation (conv000000, 2000 turns)
+    t = synth_transcripts(spark, 8, skew=True)
+    plain = {tuple(r) for r in flow.flow_next(t).collect()}
+    for chunk in (7, 100, 10_000):  # chunk < conv len, ~conv len, > conv len
+        salted = {tuple(r) for r in flow.flow_next_salted(t, chunk_size=chunk).collect()}
+        assert salted == plain, f"chunk_size={chunk}"
+
+
+def test_flow_next_salted_noncontiguous_turn_idx(spark):
+    import datetime as dt
+
+    from jcpg_spark import schema as S
+
+    # gaps across chunk boundaries must still produce correct threading
+    rows = [("c1", i, "user", "x", None) for i in (0, 5, 9, 10, 23, 24)]
+    t = spark.createDataFrame(
+        [(c, i, r, x, to, dt.datetime(2026, 1, 1)) for (c, i, r, x, to) in rows],
+        schema=S.TRANSCRIPT_SCHEMA,
+    )
+    plain = {tuple(r) for r in flow.flow_next(t).collect()}
+    salted = {tuple(r) for r in flow.flow_next_salted(t, chunk_size=10).collect()}
+    assert salted == plain

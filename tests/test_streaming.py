@@ -1,0 +1,74 @@
+"""Streaming variants: equivalence with batch operators (SURVEY §2.8)."""
+
+from __future__ import annotations
+
+import pytest
+
+from jcpg_spark.operators import calls, flow
+from jcpg_spark.streaming import incremental as inc
+from jcpg_spark.synth import synth_transcripts
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    # two parquet files = two potential micro-batches; maxFilesPerTrigger
+    # forces the split so cross-batch state is exercised.
+    base = str(tmp_path_factory.mktemp("stream"))
+    t = synth_transcripts(spark, 6, skew=False).orderBy("conv_id", "turn_idx").persist()
+    t.filter("turn_idx < 5").coalesce(1).write.mode("overwrite").parquet(base + "/b1")
+    t.filter("turn_idx >= 5").coalesce(1).write.mode("overwrite").parquet(base + "/b2")
+    # single dir with both files
+    import shutil, glob, os
+
+    merged = base + "/all"
+    os.makedirs(merged, exist_ok=True)
+    for i, f in enumerate(sorted(glob.glob(base + "/b*/part-*.parquet"))):
+        shutil.copy(f, f"{merged}/file{i}.parquet")
+    return merged, t
+
+
+def test_streaming_call_triples_match_batch(spark, stream_dir):
+    path, t = stream_dir
+    stream = inc.stream_transcripts(spark, path)
+    inc.run_to_memory(inc.streaming_call_triples(stream), "calls_out")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM calls_out").collect()}
+    want = {tuple(r) for r in calls.call_triples(t).collect()}
+    assert got == want
+
+
+def test_streaming_flow_next_matches_batch_across_batches(spark, stream_dir):
+    path, t = stream_dir
+    stream = (
+        spark.readStream.schema(t.schema)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .parquet(path)
+    )
+    inc.run_to_memory(inc.streaming_flow_next(stream), "flow_out")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM flow_out").collect()}
+    want = {tuple(r) for r in flow.flow_next(t).collect()}
+    assert got == want
+
+
+def test_streaming_act_counts_runs(spark, stream_dir):
+    path, t = stream_dir
+    stream = inc.stream_transcripts(spark, path)
+    # append-mode windowed aggregation only emits on watermark advance; use
+    # availableNow + update-mode memory sink to observe counts.
+    q = (
+        inc.streaming_act_counts(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("acts_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # rows may be withheld by the watermark in append mode; the assertion is
+    # that the query runs and the schema is right.
+    assert [f.name for f in spark.sql("SELECT * FROM acts_out").schema.fields] == [
+        "w_start",
+        "w_end",
+        "role",
+        "n",
+    ]
