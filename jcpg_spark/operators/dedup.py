@@ -71,24 +71,31 @@ def jaccard_pairs(
     sh = sh.join(
         df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle", "left_semi"
     )
+    # the capped shingle set feeds four consumers (sizes + both self-join
+    # sides, each otherwise re-running the regexp+explode+distinct chain) —
+    # persist so shingling happens once.
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh = sh.join(sizes, "doc_id")  # carry size for the ratio prune
 
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "shingle")
+    # size-ratio prune (semantics-preserving): J(A,B) <= min(|A|,|B|)/max —
+    # a pair whose shingle-set sizes differ by more than the threshold ratio
+    # can never reach it, so drop it BEFORE the pair aggregation.
     inter = (
         a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("na") >= threshold * F.col("nb"))
+            & (F.col("nb") >= threshold * F.col("na"))
+        )
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    jac = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    jac = inter.withColumn(
+        "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    ).filter(F.col("jaccard") >= threshold)
     return jac.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 

@@ -3,10 +3,11 @@
 - ``cosine_topk``: brute-force exact top-k — the correctness baseline.
   Query side is broadcast (queries are few); the dot product runs JVM-side
   via ``zip_with``/``aggregate`` in doubles, no Python.
-- ``lsh_topk``: random-hyperplane LSH bucketing — the scale path. Each
-  vector hashes to a signed-projection bit signature; candidates share a
-  bucket; exact cosine re-ranks within buckets. At 100 TB the bucket join
-  replaces the O(N*Q) crossJoin with O(N) bucketing + skew-safe equi-join.
+- ``lsh_topk``: multi-table random-hyperplane LSH — the scale path. Each
+  vector hashes to ``n_tables`` independent signed-projection signatures;
+  candidates share any (table, bucket); exact cosine re-ranks deduped
+  candidates. At 100 TB the bucket join replaces the O(N*Q) crossJoin with
+  O(N * n_tables) bucketing + skew-safe equi-join.
 
 Hyperplanes are generated deterministically from xxhash64(seed, plane, dim)
 so results are partitioning-independent (no Math.random on executors).
@@ -90,34 +91,49 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 5,
     dim: int = 64,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: random-hyperplane bucket join + exact re-rank.
+    """Approximate top-k: multi-table random-hyperplane LSH + exact re-rank.
 
-    Recall is tunable via n_planes (fewer planes = bigger buckets = higher
-    recall, more compute). -> (query_id, neighbor_id, rank, score).
+    OR-amplification across ``n_tables`` independent signatures: a pair at
+    angular similarity s collides in one table with s^n_planes, and in ANY
+    table with 1-(1-s^n_planes)^n_tables — the standard recall/cost dial
+    (more tables = higher recall; more planes = smaller buckets). Candidates
+    are deduped before the exact cosine re-rank, so extra tables cost bucket
+    I/O, not extra scoring. -> (query_id, neighbor_id, rank, score).
     """
     from pyspark.sql import Window
 
-    base = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("nvec"),
-        _rhp_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        _rhp_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
-    )
-    scored = (
-        base.join(F.broadcast(q), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "score",
-            _dot(F.col("qvec"), F.col("nvec")) / (_norm(F.col("qvec")) * _norm(F.col("nvec"))),
+    def sigs(df, ident):
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    _rhp_signature(F.col(vec_col), dim, n_planes, seed=42 + t).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
         )
+        return df.select(
+            F.col(id_col).alias(ident), F.col(vec_col).alias(f"{ident}_vec"),
+            F.explode(buckets).alias("tb"),
+        ).select(ident, f"{ident}_vec", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+    base = sigs(embeddings, "neighbor_id")
+    q = sigs(queries, "query_id")
+    cand = (
+        base.join(F.broadcast(q), ["table", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "query_id_vec", "neighbor_id", "neighbor_id_vec")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "score",
+        _dot(F.col("query_id_vec"), F.col("neighbor_id_vec"))
+        / (_norm(F.col("query_id_vec")) * _norm(F.col("neighbor_id_vec"))),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (

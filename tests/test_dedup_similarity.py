@@ -1,0 +1,111 @@
+"""Unit tests for dedup and similarity operators against brute-force python."""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from jcpg_spark.operators import dedup, similarity
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+    (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+    (3, "completely different words appear in this one"),
+    (4, "short doc"),                                     # < 3 words of letters
+    (5, "the quick brown fox leaps over the lazy dog"),   # near-dup of 0
+]
+
+
+def _shingles(text, n=3):
+    import re
+
+    ws = re.findall(r"[a-z]+", text.lower())
+    return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
+def _jaccard(a, b):
+    sa, sb = _shingles(a), _shingles(b)
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_duplicates(spark, docs_df):
+    out = {r.canonical_doc_id: r.n_dups for r in dedup.exact_duplicates(docs_df).collect()}
+    assert out[0] == 2  # docs 0 and 2
+    assert sum(out.values()) == len(DOCS)
+
+
+def test_jaccard_pairs_match_bruteforce(spark, docs_df):
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in dedup.jaccard_pairs(docs_df, threshold=0.4).collect()}
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(DOCS, 2):
+        j = _jaccard(ta, tb)
+        if j >= 0.4 and _shingles(ta) and _shingles(tb):
+            want[(min(ia, ib), max(ia, ib))] = round(j, 6)
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], abs_tol=1e-6)
+
+
+def test_minhash_lsh_finds_exact_dup_and_near_dups(spark, docs_df):
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(docs_df, threshold=0.4).collect()}
+    assert (0, 2) in pairs  # exact dup always collides in every band
+    # estimated-jaccard filter keeps plausible near-dups only; no pair with
+    # true jaccard far below threshold should survive
+    for a, b in pairs:
+        assert _jaccard(DOCS[a][1], DOCS[b][1]) >= 0.2
+
+
+def test_simhash_exact_dup_distance_zero(spark, docs_df):
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(docs_df).collect()}
+    assert sh[0] == sh[2]
+    assert bin(sh[0] ^ sh[3]).count("1") > 8  # unrelated docs are far apart
+
+
+def test_simhash_pairs(spark, docs_df):
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in dedup.simhash_pairs(docs_df, max_hamming=10).collect()}
+    assert pairs[(0, 2)] == 0
+
+
+def test_cosine_topk_exact(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.7, 0.7, 0.0]),
+    ]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [(r.neighbor_id, r.rank) for r in out] == [(1, 1), (3, 2)]
+    # verify score against numpy-free math
+    import math as m
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (m.sqrt(sum(x * x for x in a)) * m.sqrt(sum(y * y for y in b)))
+
+    assert math.isclose(out[0].score, round(cos(vecs[0][1], vecs[1][1]), 6), abs_tol=1e-6)
+
+
+def test_lsh_topk_recall_on_real_embeddings(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_topk(emb, q, k=5, dim=64, n_planes=4, n_tables=12).collect()
+    }
+    # random embeddings are the hard case (neighbors barely above ambient
+    # similarity); multi-table OR-amplification must still recover most
+    assert len(exact & approx) / len(exact) >= 0.5

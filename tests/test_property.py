@@ -1,0 +1,82 @@
+"""Property-based tests: random transcripts vs the pure-pandas oracle.
+
+Hypothesis generates adversarial conversation shapes (orphan tool runs,
+consecutive defs, empty texts, single-turn conversations) that the seeded
+synthesizer never produces; full-pipeline agreement with the independent
+oracle on every one of them is a much stronger guarantee than the fixed
+golden corpus alone."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from jcpg_spark import schema as S
+from jcpg_spark.pipeline import build_graph
+from tests.oracle.pandas_oracle import oracle_graph
+
+SURFACES = ["alpha cache", "set alpha cache", "beta queue", "alpha cache alias"]
+DICT_ROWS = [
+    ("alpha cache", "alpha_cache", "core", "artifact", 0.9, False),
+    ("set alpha cache", "alpha_cache", "core", "artifact", 0.9, True),
+    ("beta queue", "beta_queue", "core", "artifact", 0.9, False),
+    ("alpha cache alias", "alpha_cache_alias", "core", "artifact", 0.8, False),
+]
+TEXTS = [
+    "check the alpha cache now",
+    "set alpha cache to zero",
+    "introducing alpha cache as alpha cache alias",
+    "compare beta queue with alpha cache",
+    "alpha cache touches alpha cache",
+    "nothing to see here",
+    "",
+]
+ROLES = ["user", "assistant", "tool"]
+TOOLS = [None, "search", "db"]
+
+
+@st.composite
+def transcripts(draw):
+    n_conv = draw(st.integers(1, 4))
+    rows = []
+    for c in range(n_conv):
+        n_turns = draw(st.integers(1, 12))
+        for i in range(n_turns):
+            role = draw(st.sampled_from(ROLES))
+            tool = draw(st.sampled_from(TOOLS)) if role == "assistant" else None
+            text = draw(st.sampled_from(TEXTS))
+            rows.append((f"c{c}", i, role, text, tool, dt.datetime(2026, 1, 1)))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def prop_dict(spark):
+    return spark.createDataFrame(DICT_ROWS, schema=S.DICTIONARY_SCHEMA)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(rows=transcripts())
+def test_pipeline_matches_oracle_on_random_transcripts(spark, prop_dict, rows):
+    t = spark.createDataFrame(rows, schema=S.TRANSCRIPT_SCHEMA)
+    res = build_graph(spark, t, prop_dict)
+    got = {(r.src, r.pred, r.dst, r.var, r.conv_id) for r in res.edges.collect()}
+
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    want, want_canonical = oracle_graph(
+        pdf, pd.DataFrame(DICT_ROWS, columns=["surface", "canonical", "namespace", "kind", "prior", "defs_state"])
+    )
+    assert got == want, (
+        f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
+    )
+    got_canonical = {r.mention_id: r.canonical_id for r in res.canonical.collect()}
+    assert got_canonical == want_canonical
