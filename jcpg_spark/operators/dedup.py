@@ -99,6 +99,31 @@ def jaccard_pairs(
     return jac.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: -> (id_a, id_b, cos) with
+    cosine >= threshold, exact (all-pairs). The correctness baseline; the
+    scale path reuses similarity.lsh_topk's multi-table bucketing for
+    candidate generation and this as the verify step within buckets.
+    """
+    from jcpg_spark.operators.similarity import _dot, _norm
+
+    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
 def minhash_signatures(docs: DataFrame, num_perm: int = 32, n: int = 3) -> DataFrame:
     """-> (doc_id, sig: array<bigint>) MinHash signatures over word shingles.
 

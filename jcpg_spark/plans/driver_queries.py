@@ -455,6 +455,37 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(_docs(spark, sf_dir))
 
 
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return dedup.embedding_cosine_pairs(emb, threshold=0.4)
+
+
+SQL_DEDUP_EMB_COSINE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+"""
+
+
+def q_kg_text_roundtrip(spark, sf_dir):
+    """The input_hint per-row invariant: per-turn text equality under stable
+    ordering — the derived transcript rows (conv, turn, text) must be
+    reproducible exactly by an independent engine."""
+    t = transcripts_from_events(spark, sf_dir)
+    return t.select("conv_id", "turn_idx", "text")
+
+
+SQL_KG_TEXT_ROUNDTRIP = f"""
+WITH o AS ({_SQL_ORDERED})
+SELECT conv_id, idx AS turn_idx,
+       'event ' || event_type || ' observed value ' || CAST(CAST(round(value) AS BIGINT) AS VARCHAR) AS text
+FROM o
+"""
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
@@ -733,6 +764,8 @@ REGISTRY: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
     "dedup_minhash": (q_dedup_minhash, None),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMB_COSINE),
+    "kg_text_roundtrip": (q_kg_text_roundtrip, SQL_KG_TEXT_ROUNDTRIP),
     "dedup_simhash": (q_dedup_simhash, None),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE),
     "ann_lsh_topk": (q_ann_lsh_topk, None),

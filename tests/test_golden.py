@@ -55,6 +55,31 @@ def test_pipeline_matches_oracle(spark, dictionary, t_unit):
     assert got_canonical == want_canonical
 
 
+def test_pipeline_matches_frozen_golden(spark, dictionary, t_unit):
+    """Against the FROZEN golden (tests/goldens/, generated once from the
+    oracle and committed) — catches oracle+pipeline co-drift that the live
+    comparison above cannot. P/R >= 0.95 gate; exact expected."""
+    import gzip
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "goldens", "t_unit_golden.json.gz")
+    with gzip.open(path, "rt") as f:
+        golden = json.load(f)
+    want = {tuple(e) for e in golden["edges"]}
+
+    res = build_graph(spark, t_unit, dictionary)
+    got = _edge_set(res.edges)
+    missing, extra = want - got, got - want
+    precision = (len(got) - len(extra)) / max(len(got), 1)
+    recall = (len(want) - len(missing)) / max(len(want), 1)
+    assert precision >= 0.95 and recall >= 0.95, f"P={precision} R={recall}"
+    assert not missing and not extra
+
+    got_canonical = {r.mention_id: r.canonical_id for r in res.canonical.collect()}
+    assert got_canonical == golden["canonical"]
+
+
 def test_cc_converges(spark, dictionary, t_unit):
     res = build_graph(spark, t_unit, dictionary)
     assert res.cc_converged
