@@ -39,12 +39,35 @@ def classify_literal(col: Column) -> Column:
 
 STOPWORDS_EN = ("the", "a", "of", "and", "is", "to", "in")
 
+# function-word lexicons for the language-ID heuristic (argmax overlap)
+LANG_LEXICONS = {
+    "en": ("the", "and", "of", "is", "to", "in", "that"),
+    "es": ("el", "la", "los", "las", "de", "que", "y", "es"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "les", "et", "est", "une", "dans", "pour"),
+}
+
 
 def stopword_count(col: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
     """Count of stopword tokens — the core of the n-gram/lexicon language-ID
     heuristic (vocabulary overlap with an English function-word list)."""
     pat = r"\b(?:" + "|".join(stopwords) + r")\b"
     return F.regexp_count(F.lower(col), F.lit(pat))
+
+
+def predict_language(col: Column, min_hits: int = 2) -> Column:
+    """Lexicon-overlap language ID: argmax of per-language function-word
+    hit counts (ties broken by lexicon order en>es>de>fr); 'und'
+    (undetermined) when the best score is below ``min_hits``. Pure column
+    algebra — JVM-side, vectorizable, no UDF."""
+    scores = [(lang, stopword_count(col, words)) for lang, words in LANG_LEXICONS.items()]
+    best_lang, best_score = scores[0]
+    best_lang = F.lit(best_lang)
+    for lang, score in scores[1:]:
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return F.when(best_score >= min_hits, best_lang).otherwise(F.lit("und"))
 
 
 def whitespace_token_count(col: Column) -> Column:

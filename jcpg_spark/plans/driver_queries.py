@@ -508,6 +508,40 @@ def q_ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (coarse centroid quantization + nprobe search) — rows-only
+    (centroid assignment is engine-defined); recall vs brute force asserted
+    in pytest."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.default_centroids(emb, k=16)
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), cents, k=5, nprobe=4)
+
+
+def q_text_lang_predict(spark, sf_dir):
+    """Multi-language lexicon-overlap language ID (argmax over 4 lexicons)."""
+    from jcpg_spark.functions.text import predict_language
+
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", predict_language(F.col("text")).alias("pred_lang"))
+
+
+SQL_TEXT_LANG_PREDICT = r"""
+WITH s AS (SELECT doc_id,
+  len(regexp_extract_all(lower(text), '\b(?:the|and|of|is|to|in|that)\b')) AS en,
+  len(regexp_extract_all(lower(text), '\b(?:el|la|los|las|de|que|y|es)\b')) AS es,
+  len(regexp_extract_all(lower(text), '\b(?:der|die|das|und|ist|nicht|ein)\b')) AS de,
+  len(regexp_extract_all(lower(text), '\b(?:le|les|et|est|une|dans|pour)\b')) AS fr
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN greatest(en, es, de, fr) < 2 THEN 'und'
+       WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+       WHEN es >= de AND es >= fr THEN 'es'
+       WHEN de >= fr THEN 'de'
+       ELSE 'fr' END AS pred_lang
+FROM s
+"""
+
+
 def q_text_quality(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     ws = words(F.col("text"))
@@ -769,6 +803,8 @@ REGISTRY: dict[str, tuple] = {
     "dedup_simhash": (q_dedup_simhash, None),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "text_lang_predict": (q_text_lang_predict, SQL_TEXT_LANG_PREDICT),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_lang_score": (q_text_lang_score, SQL_TEXT_LANG),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),

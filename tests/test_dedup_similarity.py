@@ -109,3 +109,43 @@ def test_lsh_topk_recall_on_real_embeddings(spark):
     # random embeddings are the hard case (neighbors barely above ambient
     # similarity); multi-table OR-amplification must still recover most
     assert len(exact & approx) / len(exact) >= 0.5
+
+
+def test_ivf_topk_recall_and_full_probe_exactness(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    cents = similarity.default_centroids(emb, k=8)
+    exact = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.cosine_topk(emb, q, k=5).collect()
+    }
+    # probing ALL lists must be exactly the brute-force result
+    full = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.ivf_topk(emb, q, cents, k=5, nprobe=8).collect()
+    }
+    assert full == exact
+    # partial probe keeps decent recall
+    part = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(emb, q, cents, k=5, nprobe=3).collect()
+    }
+    assert len({(a, b) for (a, b, _) in exact} & part) / 15 >= 0.5
+
+
+def test_predict_language_lexicons(spark):
+    from jcpg_spark.functions.text import predict_language
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat and the dog is in that house"),
+            (1, "el perro y la casa de los gatos es que"),
+            (2, "der hund und die katze ist nicht ein haus"),
+            (3, "le chat et les chiens est dans une maison pour"),
+            (4, "xyzzy plugh"),
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.l for r in docs.select("doc_id", predict_language(F.col("text")).alias("l")).collect()}
+    assert got == {0: "en", 1: "es", 2: "de", 3: "fr", 4: "und", 5: "und"}
