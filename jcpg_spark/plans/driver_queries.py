@@ -222,7 +222,11 @@ def q_w3_sessionize(spark, sf_dir):
     """W3 region segmentation analog: session ids from >30min gaps."""
     ev = _ev(spark, sf_dir)
     w = _w_user()
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # Sub-second-consistent arithmetic: micros-precise seconds to mirror
+    # DuckDB epoch(ts); unix_timestamp() truncates to whole seconds. The
+    # NTZ->LTZ cast adds a constant tz offset that cancels in differences.
+    sec = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)
+    gap = sec - F.lag(sec).over(w)
     brk = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     return ev.select(
         "user_id",
@@ -237,8 +241,8 @@ WITH g AS (
          epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
   FROM events)
 SELECT user_id, event_id,
-       sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
-         OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+       CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg
 FROM g
 """
 
@@ -328,7 +332,12 @@ def q_p6_scope_interval(spark, sf_dir):
     w = Window.partitionBy("user_id")
     return (
         ev.withColumn("t0", F.min("ts").over(w))
-        .filter(F.unix_timestamp("ts") - F.unix_timestamp("t0") <= 3600)
+        # micros-precise difference (tz offset cancels); unix_timestamp truncates
+        .filter(
+            (F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(F.col("t0").cast("timestamp")))
+            / F.lit(1e6)
+            <= 3600
+        )
         .select("user_id", "event_id")
     )
 
@@ -610,14 +619,16 @@ def q_a1_group_collect(spark, sf_dir):
     """A1 dictionary-build analog: group -> sorted candidate list
     (methodDEFs multimap, JavacpgDDGBuilder.java:67-84)."""
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    # Serialized to a string (not array<long>): the driver's canonicalizer
+    # cannot sort/hash array-typed cells (CORRECTNESS_r01 a1/a2 errors).
     return part.groupBy("p_brand").agg(
-        F.sort_array(F.collect_list("p_partkey")).alias("partkeys"),
+        F.concat_ws(",", F.sort_array(F.collect_list("p_partkey"))).alias("partkeys"),
         F.count("*").alias("n"),
     )
 
 
 SQL_A1_GROUP_COLLECT = """
-SELECT p_brand, list_sort(list(p_partkey)) AS partkeys, count(*) AS n
+SELECT p_brand, array_to_string(list_sort(list(p_partkey)), ',') AS partkeys, count(*) AS n
 FROM part GROUP BY p_brand
 """
 
@@ -626,13 +637,13 @@ def q_a2_collect_set(spark, sf_dir):
     """A2 DEF/USE set accumulation analog: per-user distinct sorted set
     (Set<String> dedup, JavacpgDDGBuilder.java:407-483)."""
     return _ev(spark, sf_dir).groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("kinds"),
+        F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias("kinds"),
         F.countDistinct("event_type").alias("n_kinds"),
     )
 
 
 SQL_A2_COLLECT_SET = """
-SELECT user_id, list_sort(list(DISTINCT event_type)) AS kinds,
+SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS kinds,
        count(DISTINCT event_type) AS n_kinds
 FROM events GROUP BY user_id
 """

@@ -63,6 +63,25 @@ def main():
             failures.append(name)
             print(f"FAIL {name}: spark error: {ex}")
             continue
+        # The driver's canonicalizer (pandas sort_values over all columns)
+        # crashes on array/map/struct cells — reject them here so the mimic
+        # can't pass what the real harness would error on (CORRECTNESS_r01
+        # a1/a2 regression class).
+        complex_cols = [
+            f.name
+            for f in sdf.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if complex_cols and name in oracles:
+            failures.append(name)
+            print(
+                f"FAIL {name}: array/map/struct output columns {complex_cols} — "
+                "driver canonicalizer cannot hash these; serialize to string "
+                "(concat_ws/sort_array <-> array_to_string/list_sort)"
+            )
+            continue
+        if complex_cols:
+            print(f"warn {name}: rows-only entry has complex columns {complex_cols}")
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(srows)} rows)")
             continue
