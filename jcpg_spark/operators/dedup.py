@@ -14,6 +14,10 @@ Four strategies, increasing in fuzziness; all shuffle-aware:
   constant per-doc sketch size — the 100 TB default.
 - SimHash:     64-bit sign-sketch of word hashes; near-dup = small Hamming
   distance; candidate generation by 4x16-bit band equality.
+- embedding near-dup: ``embedding_lsh_pairs`` (multi-table random-
+  hyperplane bucketing + exact cosine verify within buckets) is the 100 TB
+  default; ``embedding_cosine_pairs`` (all-pairs crossJoin) is kept ONLY
+  as the exactness baseline for oracle/pytest verification at tiny sf.
 """
 
 from __future__ import annotations
@@ -119,6 +123,60 @@ def embedding_cosine_pairs(
     cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     return (
         pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+def embedding_lsh_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    dim: int = 64,
+    n_planes: int = 3,
+    n_tables: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-path embedding near-dup: -> (id_a, id_b, cos), cos >= threshold.
+
+    Candidate generation is multi-table random-hyperplane bucketing (the
+    same signature family as ``similarity.lsh_topk``): each vector lands in
+    ``n_tables`` (table, bucket) cells; only pairs sharing a cell are
+    scored, and scoring is the exact cosine, so every emitted pair is a
+    TRUE positive — LSH only costs recall, never precision. Expected
+    recall for a pair at cosine s: 1-(1-p^n_planes)^n_tables with
+    p = 1 - arccos(s)/pi (defaults: >= 0.95 at s = 0.4, higher above).
+
+    O(N * n_tables) bucketing + equi-join — replaces the O(N^2) crossJoin
+    of ``embedding_cosine_pairs``; pairs are deduped across tables BEFORE
+    the (cheap, JVM-side) cosine verify.
+    """
+    from jcpg_spark.operators.similarity import _dot, _norm, _rhp_signature
+
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                _rhp_signature(F.col(vec_col), dim, n_planes, seed=1042 + t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    cells = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.explode(buckets).alias("tb")
+    ).select("id", "v", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+    a = cells.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "table", "bucket")
+    b = cells.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "table", "bucket")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .distinct()
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        cand.withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )

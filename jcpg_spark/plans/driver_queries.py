@@ -465,9 +465,20 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact all-pairs baseline)."""
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline — oracle
+    verification at tiny sf ONLY; the registered scale path is
+    dedup_embedding_lsh below)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return dedup.embedding_cosine_pairs(emb, threshold=0.4)
+
+
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Scale-path embedding near-dup: RHP-LSH bucketed candidates + exact
+    cosine verify within buckets (no crossJoin; plan-gated in pytest).
+    Rows-only driver check (bucketing is hash-defined); recall >= 0.9 vs the
+    exact baseline asserted in pytest."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return dedup.embedding_lsh_pairs(emb, threshold=0.4)
 
 
 SQL_DEDUP_EMB_COSINE = """
@@ -810,6 +821,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
     "dedup_minhash": (q_dedup_minhash, None),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMB_COSINE),
+    "dedup_embedding_lsh": (q_dedup_embedding_lsh, None),
     "kg_text_roundtrip": (q_kg_text_roundtrip, SQL_KG_TEXT_ROUNDTRIP),
     "dedup_simhash": (q_dedup_simhash, None),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE),

@@ -111,6 +111,27 @@ def test_lsh_topk_recall_on_real_embeddings(spark):
     assert len(exact & approx) / len(exact) >= 0.5
 
 
+def test_embedding_lsh_pairs_recall_and_precision(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in dedup.embedding_cosine_pairs(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.cos
+        for r in dedup.embedding_lsh_pairs(emb, threshold=0.4).collect()
+    }
+    # LSH only prunes candidates; the verify step is exact cosine, so every
+    # emitted pair must be a true pair with the identical score
+    assert set(approx) <= set(exact)
+    for pair, c in approx.items():
+        assert c == exact[pair]
+    assert len(approx) / len(exact) >= 0.9  # recall gate (measured 0.954)
+    # scale gate: candidate generation must be a bucketed equi-join
+    plan = dedup.embedding_lsh_pairs(emb, threshold=0.4)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_ivf_topk_recall_and_full_probe_exactness(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 3)
