@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from jcpg_spark import schema as S
-from jcpg_spark.operators.flow import w_conv
+from jcpg_spark.operators.flow import segment_break, w_conv
 
 _SENTINEL = "\x00"  # marks a tool run whose preceding turn is not a call site
 
@@ -91,8 +91,9 @@ def return_triples(transcripts: DataFrame) -> DataFrame:
 
 
 def cfg_triples(transcripts: DataFrame) -> DataFrame:
-    """Fused CFG/ICFG emitter: ast.has_turn + act.role + flow.next +
-    flow.branch_* + call + return in ONE window pass.
+    """Fused CFG/ICFG/CDG emitter: ast.has_turn + act.role + flow.next +
+    flow.branch_* + call + return + cdg.in_segment + cdg.follows in ONE
+    window pass.
 
     The separate per-layer operators (flow.flow_next, flow.flow_branch,
     call_triples, return_triples, structural.ast_has_turn/act_role) are
@@ -101,7 +102,7 @@ def cfg_triples(transcripts: DataFrame) -> DataFrame:
     per-layer projections differ). This emitter computes every lead/lag
     column over the single mandated (conv_id, turn_idx) window, builds the
     per-turn edge candidates as an array of structs, and explodes — one
-    shuffle + one sort for six edge kinds. Used by the pipeline; the
+    shuffle + one sort for eight edge kinds. Used by the pipeline; the
     per-layer functions remain for targeted queries/tests.
     """
     w = w_conv()
@@ -132,12 +133,14 @@ def cfg_triples(transcripts: DataFrame) -> DataFrame:
             ),
         ).alias("run_callsite"),
         F.when(run_start, F.when(callsite_ok, prev_tool)).alias("run_tool"),
+        segment_break(prev_role).alias("is_break"),
     )
     e = e.select(
         "*",
         F.last("run_callsite", ignorenulls=True).over(w_fill).alias("callsite"),
         F.last("run_tool", ignorenulls=True).over(w_fill).alias("callee_tool"),
         ((F.lead("is_tool").over(w).isNull()) | ~F.lead("is_tool").over(w)).alias("run_end"),
+        (F.sum(F.col("is_break").cast("long")).over(w_fill) - 1).alias("seg"),
     )
 
     turn = S.turn_node(F.col("conv_id"), F.col("turn_idx"))
@@ -164,6 +167,16 @@ def cfg_triples(transcripts: DataFrame) -> DataFrame:
             F.when(
                 F.col("is_tool") & F.col("run_end") & (F.col("callsite") != _SENTINEL),
                 edge(turn, "return", F.col("callsite"), F.col("callee_tool")),
+            ),
+            edge(turn, "cdg.in_segment", S.segment_node(F.col("conv_id"), F.col("seg")), nul),
+            F.when(
+                F.col("is_break") & (F.col("seg") > 0),
+                edge(
+                    S.segment_node(F.col("conv_id"), F.col("seg") - 1),
+                    "cdg.follows",
+                    S.segment_node(F.col("conv_id"), F.col("seg")),
+                    nul,
+                ),
             ),
         )
     )

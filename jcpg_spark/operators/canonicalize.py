@@ -10,13 +10,17 @@ same ``changed`` flag, computed as ``sum(changed) == 0`` instead of a
 mutable boolean.
 
 Scale properties:
-- each round is one shuffle (groupBy node) after an edge/label join;
+- the distributed path is the two-phase large-star/small-star alternation
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  PAPERS.md) — O(log diameter) rounds instead of the O(diameter) rounds of
+  plain min-label propagation, so a pathological alias CHAIN converges in
+  ~2·log2(n) passes (pytest-gated on a 1024-node path graph);
+- each star pass is one groupBy + one join on the node key;
 - ``localCheckpoint()`` per round truncates lineage (else the plan doubles
   every iteration and the driver OOMs on plan size long before data size);
-- alias graphs are star-like (aliases point at a hub), so convergence is
-  typically 2-3 rounds; a ``max_iter`` cap guards pathological chains —
-  the BTS large-star/small-star alternation (PAPERS.md) is the upgrade
-  path if real data shows high-diameter components.
+- the driver union-find fast path is gated on ESTIMATED BYTES of the
+  collected pair set, not only row count, so wide entity keys cannot blow
+  the driver heap at a row count that would fit narrow keys.
 """
 
 from __future__ import annotations
@@ -99,10 +103,43 @@ def alias_pairs(transcripts: DataFrame, linked_mentions: DataFrame) -> DataFrame
     ).distinct()
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star pass: every node u connects its STRICTLY LARGER neighbors
+    to m(u) = min(neighbors(u) + {u}). Halves long chains each round."""
+    sym = edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+    mins = mins.select("a", F.least("a", F.col("mn")).alias("m"))
+    return (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star pass: orient each edge larger->smaller; every node links
+    its smaller neighbors (and itself) to the smallest of them."""
+    d = edges.select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+    mins = d.groupBy("a").agg(F.min("b").alias("m"))
+    return (
+        d.join(mins, "a")
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .unionByName(mins.select("a", F.col("m").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
 def connected_components(
-    pairs: DataFrame, max_iter: int = 25, driver_threshold: int = 1_000_000
+    pairs: DataFrame,
+    max_iter: int = 25,
+    driver_threshold: int = 1_000_000,
+    driver_threshold_bytes: int = 256 << 20,
 ) -> tuple[DataFrame, int, bool]:
-    """Min-label propagation over undirected (a, b) pairs.
+    """Connected components over undirected (a, b) pairs; canonical label =
+    component minimum (both paths below agree exactly).
 
     Returns (mapping DF (entity, canonical), rounds run, converged flag).
     The mapping contains every entity that appears in ``pairs``; entities
@@ -110,58 +147,70 @@ def connected_components(
     absence as identity).
 
     Scale-adaptive: the alias-pair graph is ENTITY-vocabulary-sized, not
-    data-sized, so below ``driver_threshold`` distinct pairs the component
-    labels are computed with an in-memory union-find on the driver (one
-    collect, zero iterative shuffles — same move as Spark's own broadcast
-    threshold). Above it, the distributed min-label propagation loop runs;
-    both paths produce identical min-of-component labels.
+    data-sized, so when the pair set fits the driver (row cap AND a byte
+    budget estimated from the collected rows — wide keys can exceed the
+    heap long before the row cap) the labels come from an in-memory
+    union-find (one collect, zero iterative shuffles — same move as
+    Spark's own broadcast threshold). Otherwise the distributed
+    large-star/small-star alternation runs: O(log diameter) rounds, each
+    round two groupBy+join passes, lineage truncated per round.
     """
     # single probing job: fetch threshold+1 rows; if the graph is small we
     # already hold it (no separate count + re-collect round trips)
     probe = pairs.limit(driver_threshold + 1).collect()
     if len(probe) <= driver_threshold:
-        mapping = _driver_union_find_rows(probe, pairs)
-        return mapping, 1, True
-    pairs = pairs.persist()
-    edges = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
-        pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
-    )
-    edges = edges.repartition("u").localCheckpoint()
+        sample = probe[:10_000]
+        est_row = (
+            sum(len(str(r[0])) + len(str(r[1])) for r in sample) / len(sample) + 48
+            if sample
+            else 0
+        )
+        if est_row * len(probe) <= driver_threshold_bytes:
+            mapping = _driver_union_find_rows(probe, pairs)
+            return mapping, 1, True
+        log.info(
+            "connected_components: %d rows ~%.0f MiB exceeds driver byte budget; "
+            "running distributed star alternation",
+            len(probe),
+            est_row * len(probe) / 2**20,
+        )
 
-    labels = (
-        edges.select(F.col("u").alias("node"))
+    edges = (
+        pairs.select("a", "b").filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
+    )
+    # entities present in the input (roots must also appear in the output
+    # mapping even after star contraction drops their edges)
+    all_nodes = (
+        edges.select(F.col("a").alias("entity"))
+        .unionByName(edges.select(F.col("b").alias("entity")))
         .distinct()
-        .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
 
     rounds = 0
     converged = False
+    prev_cnt = -1
+    prev = None
     for rounds in range(1, max_iter + 1):
-        neighbor_min = (
-            edges.join(labels, edges["v"] == labels["node"])
-            .select(F.col("u").alias("node"), "label")
-            .groupBy("node")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, on="node", how="left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
-                    "new_label"
-                ),
-                F.col("label").alias("old_label"),
-            )
-        )
-        changed = new_labels.filter(F.col("new_label") != F.col("old_label")).count()
-        labels = new_labels.select("node", F.col("new_label").alias("label")).localCheckpoint()
-        if changed == 0:
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        cnt = edges.count()
+        # equal-size + empty one-sided anti-join == set equality; stability
+        # of the small-star output is the fixpoint criterion (the edge set
+        # is then a union of min-rooted stars)
+        if cnt == prev_cnt and edges.join(prev, ["a", "b"], "left_anti").count() == 0:
             converged = True
             break
+        prev, prev_cnt = edges, cnt
     if not converged:
         log.warning("connected_components: max_iter=%d reached without convergence", max_iter)
-    return labels.select(F.col("node").alias("entity"), F.col("label").alias("canonical_id")), rounds, converged
+
+    # star edges are (member -> root); roots (and isolated entities, which
+    # cannot occur here since every input row has two distinct endpoints)
+    # map to themselves via the left join
+    mapping = all_nodes.join(
+        edges.select(F.col("a").alias("entity"), F.col("b").alias("root")), "entity", "left"
+    ).select("entity", F.coalesce(F.col("root"), F.col("entity")).alias("canonical_id"))
+    return mapping, rounds, converged
 
 
 def same_as_triples(mapping: DataFrame) -> DataFrame:

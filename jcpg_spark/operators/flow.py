@@ -88,6 +88,55 @@ def flow_next_salted(transcripts: DataFrame, chunk_size: int = 100_000) -> DataF
     )
 
 
+def segment_break(prev_role) -> F.Column:
+    """The W3 region-boundary predicate: a turn OPENS a new topic segment
+    iff it is the conversation's first turn, or a user turn whose
+    predecessor was not a user turn (a user re-taking the floor after an
+    assistant/tool exchange = a new discourse region). Shared by the
+    standalone operators, the fused emitter, and the driver oracle."""
+    return prev_role.isNull() | ((F.col("role") == "user") & (prev_role != "user"))
+
+
+def segment_index(transcripts: DataFrame) -> DataFrame:
+    """-> transcripts + (seg: 0-based segment index, is_break: bool).
+
+    The CDG-region assignment (reference: synthetic FOLLOW region nodes,
+    ``JavacpgCFGBuilder.java:1909-1989``): running sum of boundary flags
+    over the mandated (conv_id, turn_idx) window — same exchange as every
+    other CFG-layer operator, so folding it into a fused pass is free.
+    """
+    w = w_conv()
+    w_fill = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    brk = segment_break(F.lag("role").over(w))
+    t = transcripts.withColumn("is_break", brk)
+    return t.withColumn("seg", F.sum(F.col("is_break").cast("long")).over(w_fill) - 1)
+
+
+def segment_triples(transcripts: DataFrame) -> DataFrame:
+    """CDG/segment layer: (turn, 'cdg.in_segment', seg node) for every turn
+    plus (seg k-1, 'cdg.follows', seg k) chaining consecutive regions.
+
+    Reference analog: CDG edges into synthetic FOLLOW region nodes
+    (``cpgCFGEdge.java:17-32``, ``JavacpgCFGBuilder.checkBuildFollowRegion``
+    :1915-1956). One window pass; the follows edge is emitted at each
+    region-opening turn (one per segment, no extra aggregation).
+    """
+    t = segment_index(transcripts)
+    turn = S.turn_node(F.col("conv_id"), F.col("turn_idx"))
+    seg = S.segment_node(F.col("conv_id"), F.col("seg"))
+    prev_seg = S.segment_node(F.col("conv_id"), F.col("seg") - 1)
+    nul = F.lit(None).cast("string")
+    in_seg = t.select(
+        turn.alias("src"), F.lit("cdg.in_segment").alias("pred"), seg.alias("dst"),
+        nul.alias("var"), "conv_id",
+    )
+    follows = t.filter(F.col("is_break") & (F.col("seg") > 0)).select(
+        prev_seg.alias("src"), F.lit("cdg.follows").alias("pred"), seg.alias("dst"),
+        nul.alias("var"), "conv_id",
+    )
+    return in_seg.unionByName(follows)
+
+
 def flow_branch(transcripts: DataFrame) -> DataFrame:
     """Branch triples from tool-invoking assistant turns (FLOWS_TO_TRUE/FALSE
     analog, JavacpgCFGBuilder.java:827-875).

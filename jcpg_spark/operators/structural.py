@@ -39,6 +39,23 @@ def conversation_nodes(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def segment_nodes(transcripts: DataFrame) -> DataFrame:
+    """One synthetic region node per topic segment, kind='segment'
+    (FOLLOW-region analog, JavacpgCFGBuilder.java:1915-1956). Each
+    region-opening turn IS the segment — one row per segment falls out of
+    the boundary filter with no extra aggregation."""
+    from jcpg_spark.operators.flow import segment_index
+
+    t = segment_index(transcripts)
+    return t.filter(F.col("is_break")).select(
+        S.segment_node(F.col("conv_id"), F.col("seg")).alias("node_id"),
+        "conv_id",
+        F.lit("segment").alias("kind"),
+        F.col("seg").cast("string").alias("label"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),  # opening turn
+    )
+
+
 def ast_has_turn(transcripts: DataFrame) -> DataFrame:
     """(conversation, 'ast.has_turn', turn) — pure projection, no shuffle."""
     return transcripts.select(

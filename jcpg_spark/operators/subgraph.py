@@ -1,0 +1,93 @@
+"""Per-scope induced subgraph extraction (method-level CPG analog).
+
+Reference analog: entry point 2 (``-cpm``) extracts one subgraph per
+method by DFS from the method root + containment filter, transitively
+merging called methods into the caller's graph
+(``JavacpgMethodLevel.java:204-233`` ``buildMethodCPG``, ``:235-290``
+``connectmethods``).
+
+Transcript semantics: the scope unit is the conversation. A scope's
+subgraph contains
+
+1. every node OWNED by the scope (conv/turn/mention/segment rows carry
+   ``conv_id``) — the containment filter;
+2. the GLOBAL nodes its edges reach (tool/role/entity targets of call,
+   act.role, ast.has_mention, ref.* edges) — the callee merge, 1 hop
+   because global nodes are leaves here;
+3. the canonical roots of those entities via ``same_as`` — the
+   TRANSITIVE part of the merge (same_as edges point directly at the
+   component root computed by ``canonicalize.connected_components``, so
+   one extra hop completes the closure that the reference does with
+   recursive ``connectmethods``);
+
+and exactly the edges with BOTH endpoints in that node set (induced).
+
+Scale: scopes are passed as a DataFrame and every step is a semi-join or
+a hash join on ``conv_id``/``node_id`` — extracting one conversation and
+extracting a million conversations is the same plan shape. Nothing is
+collected to the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ScopeArg = Union[DataFrame, Iterable[str]]
+
+
+def _scope_df(edges: DataFrame, scope: ScopeArg) -> DataFrame:
+    if isinstance(scope, DataFrame):
+        return scope.select(F.col(scope.columns[0]).alias("conv_id")).distinct()
+    spark = edges.sparkSession
+    return spark.createDataFrame([(c,) for c in scope], ["conv_id"])
+
+
+def scope_node_ids(nodes: DataFrame, edges: DataFrame, scope: ScopeArg) -> DataFrame:
+    """-> DataFrame (node_id) of the closed node set for ``scope``.
+
+    Containment + 1-hop global closure + same_as root closure, per the
+    module docstring. ``scope`` is a conv_id DataFrame (any single-column
+    shape) or an iterable of conv_id strings.
+    """
+    sc = _scope_df(edges, scope)
+
+    owned = nodes.join(F.broadcast(sc), "conv_id", "left_semi").select("node_id")
+    scoped_edges = edges.join(F.broadcast(sc), "conv_id", "left_semi")
+    # both endpoints: intra-scope endpoints are already in `owned`; this
+    # adds the global (conv_id-null node) targets — tool:, role:, e:, m: —
+    # on either side of a scoped edge
+    reached = (
+        scoped_edges.select(F.col("src").alias("node_id"))
+        .unionByName(scoped_edges.select(F.col("dst").alias("node_id")))
+    )
+    base = owned.unionByName(reached).distinct()
+    # transitive merge: canonical roots of reached entities (same_as edges
+    # always point at the component root, so a single hop is the closure)
+    roots = (
+        edges.filter(F.col("pred") == "same_as")
+        .join(base, edges["src"] == base["node_id"], "left_semi")
+        .select(F.col("dst").alias("node_id"))
+    )
+    return base.unionByName(roots).distinct()
+
+
+def induced_subgraph(
+    nodes: DataFrame, edges: DataFrame, scope: ScopeArg
+) -> tuple[DataFrame, DataFrame]:
+    """-> (sub_nodes, sub_edges): the induced subgraph for ``scope``.
+
+    ``sub_edges`` keeps exactly the edges whose src AND dst are in the
+    closed node set (so another conversation's edges into a shared tool or
+    entity node are NOT dragged in — their turn endpoints are out of
+    scope), which is what the reference's containment filter does with
+    object identity (``JavacpgMethodLevel.java:204-233``).
+    """
+    ids = scope_node_ids(nodes, edges, scope)
+    sub_nodes = nodes.join(ids, "node_id", "left_semi")
+    sub_edges = edges.join(
+        ids.select(F.col("node_id").alias("src")), "src", "left_semi"
+    ).join(ids.select(F.col("node_id").alias("dst")), "dst", "left_semi")
+    return sub_nodes, sub_edges.select("src", "pred", "dst", "var", "conv_id")

@@ -64,9 +64,9 @@ def build_graph(
     pairs = canonicalize.alias_pairs(transcripts, linked)
     mapping, rounds, converged = canonicalize.connected_components(pairs, max_iter=cc_max_iter)
 
-    # fused CFG/ICFG emitter: ast.has_turn + act.role + flow.* + call/return
-    # in a single window pass (see calls.cfg_triples) instead of six
-    # separately-shuffled layers.
+    # fused CFG/ICFG/CDG emitter: ast.has_turn + act.role + flow.* +
+    # call/return + cdg.in_segment/cdg.follows in a single window pass
+    # (see calls.cfg_triples) instead of eight separately-shuffled layers.
     edges = (
         calls.cfg_triples(transcripts)
         .unionByName(mentions.ast_has_mention(m))
@@ -80,6 +80,7 @@ def build_graph(
         .unionByName(references.entity_nodes(linked))
         .unionByName(calls.tool_nodes(transcripts))
         .unionByName(calls.role_nodes(transcripts))
+        .unionByName(structural.segment_nodes(transcripts))
     )
     canonical = canonicalize.canonical_map(linked, mapping)
     return PipelineResult(

@@ -202,6 +202,42 @@ FROM d WHERE is_def AND prev_def IS NOT NULL
 """
 
 
+def q_kg_segment(spark, sf_dir):
+    """CDG/segment layer (W3 folded into the graph): cdg.in_segment turn ->
+    region-node membership + cdg.follows region chaining, over the
+    events-derived transcripts. Reference analog: synthetic FOLLOW region
+    nodes + CDG edges (JavacpgCFGBuilder.java:1909-1989)."""
+    t = transcripts_from_events(spark, sf_dir)
+    return flow.segment_triples(t).select("src", "pred", "dst", "conv_id")
+
+
+SQL_KG_SEGMENT = f"""
+WITH o AS ({_SQL_ORDERED}),
+r AS (SELECT conv_id, idx, {_SQL_ROLE} AS role FROM o),
+x AS (SELECT conv_id, idx, role,
+             lag(role) OVER (PARTITION BY conv_id ORDER BY idx) AS prole
+      FROM r),
+b AS (SELECT conv_id, idx,
+             CASE WHEN prole IS NULL OR (role = 'user' AND prole <> 'user') THEN 1 ELSE 0 END AS brk
+      FROM x),
+s AS (SELECT conv_id, idx, brk,
+             CAST(sum(brk) OVER (PARTITION BY conv_id ORDER BY idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS seg
+      FROM b)
+SELECT 't:' || conv_id || ':' || CAST(idx AS VARCHAR) AS src,
+       'cdg.in_segment' AS pred,
+       'seg:' || conv_id || ':' || CAST(seg AS VARCHAR) AS dst,
+       conv_id
+FROM s
+UNION ALL
+SELECT 'seg:' || conv_id || ':' || CAST(seg - 1 AS VARCHAR) AS src,
+       'cdg.follows' AS pred,
+       'seg:' || conv_id || ':' || CAST(seg AS VARCHAR) AS dst,
+       conv_id
+FROM s WHERE brk = 1 AND seg > 0
+"""
+
+
 def q_kg_metrics_rollup(spark, sf_dir):
     """A7 metrics with rollup (free in Spark per SURVEY §2.4)."""
     return (
@@ -807,6 +843,7 @@ REGISTRY: dict[str, tuple] = {
     "kg_call_return": (q_kg_call_return, SQL_KG_CALL_RETURN),
     "kg_reaching_ref": (q_kg_reaching_ref, SQL_KG_REACHING_REF),
     "kg_metrics_rollup": (q_kg_metrics_rollup, SQL_KG_METRICS_ROLLUP),
+    "kg_segment": (q_kg_segment, SQL_KG_SEGMENT),
     "kg_full_pipeline": (q_kg_full_pipeline, None),
     "w3_sessionize": (q_w3_sessionize, SQL_W3_SESSIONIZE),
     "w5_top1_per_user_type": (q_w5_top1_per_user_type, SQL_W5_TOP1),

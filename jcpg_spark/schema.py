@@ -15,6 +15,9 @@ cheaper than sha2 at 10^12-turn scale and still deterministic):
 - entity        ``e:<canonical>``
 - role          ``role:<role>``
 - tool          ``tool:<tool>``
+- segment       ``seg:<conv_id>:<seg_idx>`` (synthetic region node, the
+  FOLLOW-region analog of ``JavacpgCFGBuilder.checkBuildFollowRegion``,
+  :1915-1956)
 """
 
 from __future__ import annotations
@@ -101,6 +104,11 @@ PREDICATES = (
     "ref.redef",         # DDG_D          (JavacpgDDGBuilder.java:329-335)
     "ref.self",          # SELF_FLOW      (JavacpgDDGBuilder.java:311-314)
     "same_as",           # canonicalization (fixpoint analog :102-117)
+    "cdg.in_segment",    # CDG region membership (cpgCFGEdge.java:17-32
+                         # CDG_TRUE/FALSE/EPSILON; region nodes built at
+                         # JavacpgCFGBuilder.java:1909-1989)
+    "cdg.follows",       # FOLLOW region chaining (checkBuildFollowRegion,
+                         # JavacpgCFGBuilder.java:1915-1956)
 )
 
 
@@ -128,3 +136,7 @@ def role_node(role: Column) -> Column:
 
 def tool_node(tool: Column) -> Column:
     return F.concat(F.lit("tool:"), tool)
+
+
+def segment_node(conv_id: Column, seg_idx: Column) -> Column:
+    return F.concat(F.lit("seg:"), conv_id, F.lit(":"), seg_idx.cast("string"))

@@ -37,9 +37,18 @@ def oracle_graph(transcripts: pd.DataFrame, dictionary: pd.DataFrame):
         edges.add((f"c:{r.conv_id}", "ast.has_turn", _turn(r.conv_id, r.turn_idx), None, r.conv_id))
         edges.add((_turn(r.conv_id, r.turn_idx), "act.role", f"role:{r.role}", None, r.conv_id))
 
-    # --- flow / branch / call / return, per conversation in turn order
+    # --- flow / branch / call / return / segments, per conversation in turn order
     for conv, g in t.groupby("conv_id"):
         rows = list(g.itertuples())
+        # CDG/segment layer: a new region opens at the first turn, or at a
+        # user turn whose predecessor was not a user turn
+        seg = -1
+        for i, r in enumerate(rows):
+            if i == 0 or (r.role == "user" and rows[i - 1].role != "user"):
+                seg += 1
+                if seg > 0:
+                    edges.add((f"seg:{conv}:{seg-1}", "cdg.follows", f"seg:{conv}:{seg}", None, conv))
+            edges.add((_turn(conv, r.turn_idx), "cdg.in_segment", f"seg:{conv}:{seg}", None, conv))
         for i, r in enumerate(rows):
             if i + 1 < len(rows):
                 n = rows[i + 1]

@@ -198,6 +198,36 @@ def test_cc_two_components(spark, threshold):
     assert got == {"a": "a", "b": "a", "x": "x", "y": "x", "z": "x"}
 
 
+def test_cc_bts_log_rounds_on_long_chain(spark):
+    """1024-node path graph: plain min-label propagation needs ~1023 rounds;
+    the large-star/small-star alternation must converge in O(log n)."""
+    import math
+
+    n = 1024
+    pairs = spark.createDataFrame(
+        [(f"n{i:05d}", f"n{i + 1:05d}") for i in range(n - 1)], ["a", "b"]
+    )
+    mapping, rounds, converged = canonicalize.connected_components(
+        pairs, max_iter=30, driver_threshold=0
+    )
+    assert converged
+    assert rounds <= 2 * int(math.log2(n)) + 2  # 22 for n=1024
+    got = {r.entity: r.canonical_id for r in mapping.collect()}
+    assert got == {f"n{i:05d}": "n00000" for i in range(n)}
+
+
+def test_cc_driver_byte_budget_falls_back_to_distributed(spark):
+    """Row count under the cap but byte estimate over budget must take the
+    distributed path and still produce the identical mapping."""
+    pairs = spark.createDataFrame([("a", "b"), ("x", "y"), ("y", "z")], ["a", "b"])
+    mapping, rounds, converged = canonicalize.connected_components(
+        pairs, driver_threshold=1_000_000, driver_threshold_bytes=1
+    )
+    assert converged and rounds > 1  # distributed path ran
+    got = {r.entity: r.canonical_id for r in mapping.collect()}
+    assert got == {"a": "a", "b": "a", "x": "x", "y": "x", "z": "x"}
+
+
 # --- skew: salted flow threading ----------------------------------------------
 def test_flow_next_salted_equals_plain_on_skew(spark, dictionary):
     from jcpg_spark.synth import synth_transcripts
