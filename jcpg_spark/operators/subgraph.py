@@ -45,12 +45,21 @@ def _scope_df(edges: DataFrame, scope: ScopeArg) -> DataFrame:
     return spark.createDataFrame([(c,) for c in scope], ["conv_id"])
 
 
-def scope_node_ids(nodes: DataFrame, edges: DataFrame, scope: ScopeArg) -> DataFrame:
+def scope_node_ids(
+    nodes: DataFrame,
+    edges: DataFrame,
+    scope: ScopeArg,
+    canonical: DataFrame | None = None,
+) -> DataFrame:
     """-> DataFrame (node_id) of the closed node set for ``scope``.
 
     Containment + 1-hop global closure + same_as root closure, per the
     module docstring. ``scope`` is a conv_id DataFrame (any single-column
-    shape) or an iterable of conv_id strings.
+    shape) or an iterable of conv_id strings. ``canonical`` is the
+    pipeline's (mention_id, canonical_id) map; when given, the entity
+    nodes of the scope's mentions are merged in (entities hang off the
+    canonical MAP, not off edges, so the edge walk alone cannot reach an
+    unmerged entity).
     """
     sc = _scope_df(edges, scope)
 
@@ -64,6 +73,12 @@ def scope_node_ids(nodes: DataFrame, edges: DataFrame, scope: ScopeArg) -> DataF
         .unionByName(scoped_edges.select(F.col("dst").alias("node_id")))
     )
     base = owned.unionByName(reached).distinct()
+    if canonical is not None:
+        ents = (
+            canonical.join(base, canonical["mention_id"] == base["node_id"], "left_semi")
+            .select(F.concat(F.lit("e:"), F.col("canonical_id")).alias("node_id"))
+        )
+        base = base.unionByName(ents).distinct()
     # transitive merge: canonical roots of reached entities (same_as edges
     # always point at the component root, so a single hop is the closure)
     roots = (
@@ -75,7 +90,10 @@ def scope_node_ids(nodes: DataFrame, edges: DataFrame, scope: ScopeArg) -> DataF
 
 
 def induced_subgraph(
-    nodes: DataFrame, edges: DataFrame, scope: ScopeArg
+    nodes: DataFrame,
+    edges: DataFrame,
+    scope: ScopeArg,
+    canonical: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """-> (sub_nodes, sub_edges): the induced subgraph for ``scope``.
 
@@ -85,7 +103,7 @@ def induced_subgraph(
     scope), which is what the reference's containment filter does with
     object identity (``JavacpgMethodLevel.java:204-233``).
     """
-    ids = scope_node_ids(nodes, edges, scope)
+    ids = scope_node_ids(nodes, edges, scope, canonical)
     sub_nodes = nodes.join(ids, "node_id", "left_semi")
     sub_edges = edges.join(
         ids.select(F.col("node_id").alias("src")), "src", "left_semi"

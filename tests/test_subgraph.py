@@ -1,0 +1,92 @@
+"""Per-scope induced subgraph vs a pure-python oracle over the pandas
+golden edges (method-level CPG analog, JavacpgMethodLevel.java:204-290)."""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pytest
+
+from jcpg_spark.operators.subgraph import induced_subgraph
+from jcpg_spark.pipeline import build_graph
+from jcpg_spark.synth import gazetteer_pdf, synth_transcripts
+from tests.oracle.pandas_oracle import oracle_graph
+
+SCOPE = ["conv000003", "conv000007"]
+_OWNED = re.compile(r"^(?:c|t|m|seg):(conv\d+)(?::|$)")
+
+
+def _python_subgraph(edges: set, canonical: dict, scope: list[str]):
+    """Independent induced-subgraph computation over the oracle edge set."""
+    scope_set = set(scope)
+
+    def owner(nid):
+        m = _OWNED.match(nid)
+        return m.group(1) if m else None
+
+    owned = {e[0] for e in edges if owner(e[0]) in scope_set} | {
+        e[2] for e in edges if owner(e[2]) in scope_set
+    }
+    scoped_edges = {e for e in edges if e[4] in scope_set}
+    base = owned | {e[0] for e in scoped_edges} | {e[2] for e in scoped_edges}
+    # entity nodes of the scope's mentions (reached via the canonical map)
+    base |= {f"e:{c}" for mid, c in canonical.items() if mid in base}
+    # same_as root closure
+    base |= {e[2] for e in edges if e[1] == "same_as" and e[0] in base}
+    sub_edges = {e for e in edges if e[0] in base and e[2] in base}
+    return base, sub_edges
+
+
+@pytest.fixture(scope="module")
+def built(spark, dictionary):
+    t = synth_transcripts(spark, 30, skew=True).persist()
+    t.count()
+    res = build_graph(spark, t, dictionary)
+    # the subgraph operator references edges/nodes/canonical several times
+    # per extraction — materialize once or every semi-join re-runs the
+    # whole pipeline (incl. the mention-detection UDF)
+    for df in (res.edges, res.nodes, res.canonical):
+        df.persist().count()
+    tp = t.toPandas()
+    tp["tool"] = tp["tool"].where(pd.notna(tp["tool"]), None)
+    want_edges, want_canonical = oracle_graph(tp, gazetteer_pdf())
+    return res, want_edges, want_canonical
+
+
+def test_induced_subgraph_matches_python_oracle(spark, built):
+    res, want_edges, want_canonical = built
+    want_ids, want_sub = _python_subgraph(want_edges, want_canonical, SCOPE)
+
+    sub_nodes, sub_edges = induced_subgraph(res.nodes, res.edges, SCOPE, res.canonical)
+    got_sub = {tuple(r) for r in sub_edges.collect()}
+    assert got_sub == want_sub
+
+    got_ids = {r.node_id for r in sub_nodes.select("node_id").collect()}
+    # every node the python oracle reaches that EXISTS in the nodes table
+    # must be extracted (the oracle set may contain ids synthesized from
+    # edges only; the nodes table is the authority on existence)
+    all_ids = {r.node_id for r in res.nodes.select("node_id").collect()}
+    assert got_ids == (want_ids & all_ids)
+    # and no out-of-scope conversation's turn leaks in
+    assert not any(
+        _OWNED.match(i) and _OWNED.match(i).group(1) not in SCOPE for i in got_ids
+    )
+
+
+def test_induced_subgraph_excludes_foreign_edges_into_shared_globals(spark, built):
+    res, want_edges, _ = built
+    _, sub_edges = induced_subgraph(res.nodes, res.edges, SCOPE, res.canonical)
+    got = {tuple(r) for r in sub_edges.collect()}
+    # shared tool/role nodes are in scope, but OTHER conversations' edges
+    # into them must not be dragged along (containment filter)
+    assert all(e[4] in SCOPE or e[4] is None for e in got)
+
+
+def test_induced_subgraph_scope_as_dataframe(spark, built):
+    res, *_ = built
+    scope_df = spark.createDataFrame([(c,) for c in SCOPE], ["conv_id"])
+    a_nodes, a_edges = induced_subgraph(res.nodes, res.edges, SCOPE, res.canonical)
+    b_nodes, b_edges = induced_subgraph(res.nodes, res.edges, scope_df, res.canonical)
+    assert {tuple(r) for r in a_edges.collect()} == {tuple(r) for r in b_edges.collect()}
+    assert {r.node_id for r in a_nodes.collect()} == {r.node_id for r in b_nodes.collect()}
