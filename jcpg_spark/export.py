@@ -1,0 +1,185 @@
+"""Graph export sinks — DOT / GML / JSON (S4-S6).
+
+Reference analog: ``CodePropertyGraph.java:84-381`` — the reference's only
+user-facing output is writeDot/writeGml/writeJson over the in-memory
+graph, numbering nodes by insertion order at export time (:95-113). Here
+node ids are already stable content keys (schema.py), so exports are
+deterministic under any partitioning, and the formats split by scale:
+
+- ``write_json_graph``: the 100 TB path — nodes/edges as JSON Lines via
+  the distributed writer (one file per partition, no driver collect),
+  committed with the same manifest contract as ``io.write_table``.
+- ``dot_per_conversation`` / ``gml_per_conversation``: a DataFrame
+  (conv_id, dot|gml) with one self-contained document per conversation —
+  a groupBy(conv_id) string aggregation, distributed, sinkable anywhere.
+- ``to_dot`` / ``to_gml``: driver-side convenience for ONE conversation
+  (debugging aid; bounded by the conversation's own size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _esc(col):
+    """Escape backslashes and double quotes for DOT/GML string literals."""
+    return F.regexp_replace(F.regexp_replace(col, r"\\", r"\\\\"), r'"', r'\\"')
+
+
+def _dot_node_line():
+    label = F.concat(
+        F.col("kind"), F.lit(":"), F.coalesce(F.col("label"), F.lit(""))
+    )
+    return F.concat(
+        F.lit('  "'), _esc(F.col("node_id")), F.lit('" [label="'), _esc(label), F.lit('"];')
+    )
+
+
+def _dot_edge_line():
+    label = F.concat(
+        F.col("pred"),
+        F.when(F.col("var").isNotNull(), F.concat(F.lit(" ("), F.col("var"), F.lit(")"))).otherwise(
+            F.lit("")
+        ),
+    )
+    return F.concat(
+        F.lit('  "'), _esc(F.col("src")), F.lit('" -> "'), _esc(F.col("dst")),
+        F.lit('" [label="'), _esc(label), F.lit('"];'),
+    )
+
+
+def dot_per_conversation(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """-> (conv_id, dot): one self-contained digraph per conversation.
+
+    Node statements cover the conversation-owned nodes; edges may reference
+    global nodes (tool:/role:/e:), which DOT declares implicitly. Lines are
+    sorted for determinism (the reference's insertion-order numbering is
+    not reproducible in parallel; sorted content keys are).
+    """
+    n = nodes.filter(F.col("conv_id").isNotNull()).select(
+        "conv_id", _dot_node_line().alias("line")
+    )
+    e = edges.filter(F.col("conv_id").isNotNull()).select(
+        "conv_id", _dot_edge_line().alias("line")
+    )
+    lines = n.unionByName(e).groupBy("conv_id").agg(
+        F.concat_ws("\n", F.sort_array(F.collect_list("line"))).alias("body")
+    )
+    return lines.select(
+        "conv_id",
+        F.concat(
+            F.lit("digraph \""), _esc(F.col("conv_id")), F.lit("\" {\n"),
+            F.col("body"), F.lit("\n}\n"),
+        ).alias("dot"),
+    )
+
+
+def to_dot(nodes: DataFrame, edges: DataFrame, conv_id: str) -> str:
+    """Driver-side DOT for a single conversation (debug aid)."""
+    row = (
+        dot_per_conversation(
+            nodes.filter(F.col("conv_id") == conv_id), edges.filter(F.col("conv_id") == conv_id)
+        )
+        .collect()
+    )
+    return row[0]["dot"] if row else f'digraph "{conv_id}" {{\n\n}}\n'
+
+
+def gml_per_conversation(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """-> (conv_id, gml). GML wants integer node ids: each node's id is its
+    rank among the conversation's sorted node_ids (deterministic, computed
+    with a window INSIDE the conversation — no global ordering pass);
+    edges reference endpoints by quoted name via the GML 'name' attribute
+    convention and carry source/target ranks for strict parsers."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("node_id")
+    n = nodes.filter(F.col("conv_id").isNotNull()).select(
+        "conv_id", "node_id", "kind", (F.row_number().over(w) - 1).alias("gid")
+    )
+    node_lines = n.select(
+        "conv_id",
+        F.lit(0).alias("section"),
+        F.concat(
+            F.lit("  node [ id "), F.col("gid"), F.lit(' name "'), _esc(F.col("node_id")),
+            F.lit('" kind "'), _esc(F.col("kind")), F.lit('" ]'),
+        ).alias("line"),
+        F.col("gid").alias("ord"),
+    )
+    ids = n.select("conv_id", "node_id", "gid")
+    e = (
+        edges.filter(F.col("conv_id").isNotNull())
+        .join(ids.withColumnRenamed("node_id", "src").withColumnRenamed("gid", "sgid"),
+              ["conv_id", "src"], "left")
+        .join(ids.withColumnRenamed("node_id", "dst").withColumnRenamed("gid", "tgid"),
+              ["conv_id", "dst"], "left")
+    )
+    edge_lines = e.select(
+        "conv_id",
+        F.lit(1).alias("section"),
+        F.concat(
+            F.lit("  edge [ source "), F.coalesce(F.col("sgid"), F.lit(-1)),
+            F.lit(" target "), F.coalesce(F.col("tgid"), F.lit(-1)),
+            F.lit(' sname "'), _esc(F.col("src")), F.lit('" tname "'), _esc(F.col("dst")),
+            F.lit('" label "'), _esc(F.col("pred")), F.lit('" ]'),
+        ).alias("line"),
+        F.lit(0).alias("ord"),
+    )
+    lines = node_lines.unionByName(edge_lines)
+    body = lines.groupBy("conv_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("section", "ord", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("body")
+    )
+    return body.select(
+        "conv_id",
+        F.concat(F.lit("graph [\n  directed 1\n"), F.col("body"), F.lit("\n]\n")).alias("gml"),
+    )
+
+
+def to_gml(nodes: DataFrame, edges: DataFrame, conv_id: str) -> str:
+    row = (
+        gml_per_conversation(
+            nodes.filter(F.col("conv_id") == conv_id), edges.filter(F.col("conv_id") == conv_id)
+        )
+        .collect()
+    )
+    return row[0]["gml"] if row else "graph [\n  directed 1\n\n]\n"
+
+
+def write_json_graph(nodes: DataFrame, edges: DataFrame, out_dir: str) -> dict:
+    """Distributed JSON Lines export (S6, the scale path): ``nodes/`` and
+    ``edges/`` JSONL directories + an atomic top-level manifest. No driver
+    collect; one output file per partition."""
+    nodes_path = os.path.join(out_dir, "nodes")
+    edges_path = os.path.join(out_dir, "edges")
+    nodes.write.mode("overwrite").json(nodes_path)
+    edges.write.mode("overwrite").json(edges_path)
+    spark = nodes.sparkSession
+    manifest = {
+        "format": "jsonl-graph/v1",
+        "nodes": spark.read.json(nodes_path).count(),
+        "edges": spark.read.json(edges_path).count(),
+        "node_schema": [f.name for f in nodes.schema.fields],
+        "edge_schema": [f.name for f in edges.schema.fields],
+    }
+    tmp = os.path.join(out_dir, "_GRAPH_MANIFEST.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.rename(tmp, os.path.join(out_dir, "_GRAPH_MANIFEST.json"))
+    return manifest
+
+
+def read_json_graph(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame]:
+    return (
+        spark.read.json(os.path.join(out_dir, "nodes")),
+        spark.read.json(os.path.join(out_dir, "edges")),
+    )

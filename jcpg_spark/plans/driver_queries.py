@@ -238,6 +238,38 @@ FROM s WHERE brk = 1 AND seg > 0
 """
 
 
+def q_kg_export_dot(spark, sf_dir):
+    """S4 DOT export sink over the flow layer: one digraph document per
+    conversation (export.dot_per_conversation). Exact string oracle — the
+    DOT grammar is deterministic (sorted lines, content-key ids), unlike
+    the reference's insertion-order numbering (CodePropertyGraph.java:95-113)."""
+    from jcpg_spark import export
+    from jcpg_spark.operators import structural
+
+    t = transcripts_from_events(spark, sf_dir)
+    return export.dot_per_conversation(structural.turn_nodes(t), flow.flow_next(t))
+
+
+SQL_KG_EXPORT_DOT = f"""
+WITH o AS ({_SQL_ORDERED}),
+r AS (SELECT conv_id, idx, {_SQL_ROLE} AS role FROM o),
+nl AS (SELECT conv_id,
+              '  "t:' || conv_id || ':' || CAST(idx AS VARCHAR) || '" [label="turn:' || role || '"];' AS line
+       FROM r),
+el AS (SELECT conv_id,
+              '  "t:' || conv_id || ':' || CAST(idx AS VARCHAR) || '" -> "t:' || conv_id || ':'
+              || CAST(lead(idx) OVER (PARTITION BY conv_id ORDER BY idx) AS VARCHAR)
+              || '" [label="flow.next"];' AS line
+       FROM r QUALIFY lead(idx) OVER (PARTITION BY conv_id ORDER BY idx) IS NOT NULL),
+al AS (SELECT * FROM nl UNION ALL SELECT * FROM el)
+SELECT conv_id,
+       'digraph "' || conv_id || '" {{' || chr(10)
+       || string_agg(line, chr(10) ORDER BY line)
+       || chr(10) || '}}' || chr(10) AS dot
+FROM al GROUP BY conv_id
+"""
+
+
 def q_kg_metrics_rollup(spark, sf_dir):
     """A7 metrics with rollup (free in Spark per SURVEY §2.4)."""
     return (
@@ -844,6 +876,7 @@ REGISTRY: dict[str, tuple] = {
     "kg_reaching_ref": (q_kg_reaching_ref, SQL_KG_REACHING_REF),
     "kg_metrics_rollup": (q_kg_metrics_rollup, SQL_KG_METRICS_ROLLUP),
     "kg_segment": (q_kg_segment, SQL_KG_SEGMENT),
+    "kg_export_dot": (q_kg_export_dot, SQL_KG_EXPORT_DOT),
     "kg_full_pipeline": (q_kg_full_pipeline, None),
     "w3_sessionize": (q_w3_sessionize, SQL_W3_SESSIONIZE),
     "w5_top1_per_user_type": (q_w5_top1_per_user_type, SQL_W5_TOP1),

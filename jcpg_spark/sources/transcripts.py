@@ -45,6 +45,47 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(S.TRANSCRIPT_SCHEMA).parquet(path)
 
 
+def read_dictionary(spark: SparkSession, path: str) -> DataFrame:
+    """Production dictionary source (S3): a parquet/CSV entity table in the
+    DICTIONARY_SCHEMA shape. Reference analog: dictionary enrichment from
+    an external source archive (``JavacpgDDGBuilder.java:163-256``,
+    scanning jdk7-src.zip into methodDEFs). Missing optional columns are
+    filled with defaults; defs_state nulls become False; duplicate
+    (surface, canonical) rows are collapsed keeping the max prior —
+    dictionary-sized data, so the dedup agg is trivial."""
+    reader = spark.read
+    if path.endswith(".csv"):
+        df = reader.option("header", True).csv(path)
+    else:
+        df = reader.parquet(path)
+    defaults = {
+        "namespace": F.lit(None).cast("string"),
+        "kind": F.lit(None).cast("string"),
+        "prior": F.lit(0.5),
+        "defs_state": F.lit(False),
+    }
+    for c, d in defaults.items():
+        if c not in df.columns:
+            df = df.withColumn(c, d)
+    df = df.select(
+        F.col("surface").cast("string"),
+        F.col("canonical").cast("string"),
+        F.col("namespace").cast("string"),
+        F.col("kind").cast("string"),
+        F.col("prior").cast("double"),
+        F.coalesce(F.col("defs_state").cast("boolean"), F.lit(False)).alias("defs_state"),
+    )
+    return (
+        df.groupBy("surface", "canonical")
+        .agg(
+            F.max("namespace").alias("namespace"),
+            F.max("kind").alias("kind"),
+            F.max("prior").alias("prior"),
+            F.max("defs_state").alias("defs_state"),
+        )
+    )
+
+
 def events_gazetteer(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(EVENTS_GAZETTEER, schema=S.DICTIONARY_SCHEMA)
 

@@ -1,0 +1,136 @@
+"""Round-trip tests for the DOT/GML/JSON export sinks (S4-S6,
+CodePropertyGraph.java:84-381 analog) and the production dictionary
+reader (S3, JavacpgDDGBuilder.java:163-256 analog)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from jcpg_spark import export
+from jcpg_spark.pipeline import build_graph
+from jcpg_spark.synth import synth_transcripts
+
+DOT_EDGE = re.compile(r'^  "((?:[^"\\]|\\.)*)" -> "((?:[^"\\]|\\.)*)" \[label="((?:[^"\\]|\\.)*)"\];$')
+DOT_NODE = re.compile(r'^  "((?:[^"\\]|\\.)*)" \[label="((?:[^"\\]|\\.)*)"\];$')
+
+
+def _unesc(s: str) -> str:
+    return s.replace('\\"', '"').replace("\\\\", "\\")
+
+
+@pytest.fixture(scope="module")
+def graph3(spark, dictionary):
+    t = synth_transcripts(spark, 3, skew=False).persist()
+    t.count()
+    res = build_graph(spark, t, dictionary)
+    for df in (res.nodes, res.edges):
+        df.persist().count()
+    return res
+
+
+def test_dot_roundtrip_three_conversations(spark, graph3):
+    res = graph3
+    per_conv = {r.conv_id: r.dot for r in export.dot_per_conversation(res.nodes, res.edges).collect()}
+    assert len(per_conv) == 3
+
+    want_edges = {
+        (r.src, r.dst, r.pred, r.var, r.conv_id)
+        for r in res.edges.filter(F.col("conv_id").isNotNull()).collect()
+    }
+    got_edges = set()
+    for conv, dot in per_conv.items():
+        assert dot.startswith(f'digraph "{conv}" {{') and dot.rstrip().endswith("}")
+        for line in dot.splitlines():
+            m = DOT_EDGE.match(line)
+            if m:
+                label = _unesc(m.group(3))
+                pm = re.match(r"^(.*?)(?: \((.*)\))?$", label)
+                got_edges.add((_unesc(m.group(1)), _unesc(m.group(2)), pm.group(1), pm.group(2), conv))
+    assert got_edges == want_edges
+
+    # node statements cover exactly the conversation-owned nodes
+    want_nodes = {
+        r.node_id for r in res.nodes.filter(F.col("conv_id").isNotNull()).collect()
+    }
+    got_nodes = {
+        _unesc(m.group(1))
+        for dot in per_conv.values()
+        for line in dot.splitlines()
+        if (m := DOT_NODE.match(line))
+    }
+    assert got_nodes == want_nodes
+
+
+def test_to_dot_single_conversation_matches_batch(spark, graph3):
+    res = graph3
+    conv = res.edges.filter(F.col("conv_id").isNotNull()).select("conv_id").first()[0]
+    single = export.to_dot(res.nodes, res.edges, conv)
+    batch = {r.conv_id: r.dot for r in export.dot_per_conversation(res.nodes, res.edges).collect()}
+    assert single == batch[conv]
+
+
+def test_gml_roundtrip_ids_consistent(spark, graph3):
+    res = graph3
+    out = {r.conv_id: r.gml for r in export.gml_per_conversation(res.nodes, res.edges).collect()}
+    node_rx = re.compile(r'^  node \[ id (\d+) name "((?:[^"\\]|\\.)*)" kind "')
+    edge_rx = re.compile(r'^  edge \[ source (-?\d+) target (-?\d+) sname "((?:[^"\\]|\\.)*)" tname "((?:[^"\\]|\\.)*)"')
+    for conv, gml in out.items():
+        assert gml.startswith("graph [\n  directed 1")
+        ids = {}
+        for line in gml.splitlines():
+            if (m := node_rx.match(line)):
+                ids[int(m.group(1))] = _unesc(m.group(2))
+        assert sorted(ids) == list(range(len(ids)))  # dense 0..n-1
+        for line in gml.splitlines():
+            if (m := edge_rx.match(line)):
+                s, t = int(m.group(1)), int(m.group(2))
+                if s >= 0:
+                    assert ids[s] == _unesc(m.group(3))
+                if t >= 0:
+                    assert ids[t] == _unesc(m.group(4))
+
+
+def test_json_graph_roundtrip(spark, graph3, tmp_path):
+    res = graph3
+    out = str(tmp_path / "graph")
+    manifest = export.write_json_graph(res.nodes, res.edges, out)
+    n2, e2 = export.read_json_graph(spark, out)
+    assert manifest["nodes"] == res.nodes.count() == n2.count()
+    assert manifest["edges"] == res.edges.count() == e2.count()
+    want = {(r.src, r.pred, r.dst, r.var, r.conv_id) for r in res.edges.collect()}
+    got = {
+        (r.src, r.pred, r.dst, getattr(r, "var", None), getattr(r, "conv_id", None))
+        for r in e2.collect()
+    }
+    assert got == want
+
+
+def test_read_dictionary_roundtrip_and_defaults(spark, tmp_path):
+    from jcpg_spark.sources.transcripts import read_dictionary
+
+    path = str(tmp_path / "dict")
+    spark.createDataFrame(
+        [
+            ("db", "tool_db", "db", "tool", 0.9, True),
+            ("db", "tool_db", "db", "tool", 0.4, None),  # dup, lower prior, null bit
+            ("alpha", "ent_a", None, None, None, None),
+        ],
+        "surface string, canonical string, namespace string, kind string, prior double, defs_state boolean",
+    ).write.parquet(path)
+    d = read_dictionary(spark, path)
+    rows = {r.surface: r for r in d.collect()}
+    assert rows["db"].prior == 0.9 and rows["db"].defs_state is True
+    assert rows["alpha"].defs_state is False
+    # usable by the linking stage end-to-end
+    from jcpg_spark.operators import linking, mentions
+
+    t = spark.createDataFrame(
+        [("c1", 0, "user", "alpha and db", None, None)],
+        schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    m = mentions.detect_mentions(spark, t, ["alpha", "db"])
+    linked = linking.link_mentions(m, d)
+    assert {r.canonical for r in linked.collect()} == {"ent_a", "tool_db"}

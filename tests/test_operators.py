@@ -198,6 +198,61 @@ def test_cc_two_components(spark, threshold):
     assert got == {"a": "a", "b": "a", "x": "x", "y": "x", "z": "x"}
 
 
+# --- dynamic DEF-effect propagation (signature fixpoint analog) ----------------
+def test_def_effect_propagation_converges_to_curated_dictionary(spark):
+    """A dictionary WITHOUT the defs_state bit must converge to the same
+    ref.* triples as one WITH it, by learning the bit from tool-return
+    re-mention evidence (JavacpgDDGBuilder.java:102-117, 1429-1441)."""
+    from jcpg_spark.operators import def_effects
+
+    rows = [
+        ("c1", 0, "user", "we discuss alpha", None),
+        ("c1", 1, "assistant", "querying", "db"),
+        ("c1", 2, "tool", "db returned alpha state", None),   # tool mentions it
+        ("c1", 3, "user", "alpha looks different now", None), # re-mention later
+    ]
+    t = _t(spark, rows)
+
+    def dict_with(bit):
+        return spark.createDataFrame(
+            [("alpha", "ent_a", "core", "artifact", 0.9, bit)], schema=S.DICTIONARY_SCHEMA
+        )
+
+    def triples(d):
+        m = mentions.detect_mentions(spark, t, ["alpha"])
+        return _edges(references.reference_triples(linking.link_mentions(m, d)))
+
+    curated = triples(dict_with(True))
+    naive = triples(dict_with(False))
+    assert curated != naive  # the bit matters on this fixture
+
+    learned_dict, rounds, converged = def_effects.propagate_def_effects(
+        spark, t, dict_with(False), min_evidence=1
+    )
+    assert converged and rounds >= 2  # >=1 flip round + the zero-change round
+    assert [r.defs_state for r in learned_dict.collect()] == [True]
+    assert triples(learned_dict) == curated
+
+
+def test_def_effect_not_learned_without_later_remention(spark):
+    """Tool mentions with no later re-mention are not def-effect evidence."""
+    from jcpg_spark.operators import def_effects
+
+    rows = [
+        ("c1", 0, "user", "we discuss alpha", None),
+        ("c1", 1, "assistant", "querying", "db"),
+        ("c1", 2, "tool", "db returned alpha state", None),  # last mention
+        ("c1", 3, "user", "thanks", None),
+    ]
+    t = _t(spark, rows)
+    d = spark.createDataFrame(
+        [("alpha", "ent_a", "core", "artifact", 0.9, False)], schema=S.DICTIONARY_SCHEMA
+    )
+    learned, rounds, converged = def_effects.propagate_def_effects(spark, t, d)
+    assert converged and rounds == 1
+    assert [r.defs_state for r in learned.collect()] == [False]
+
+
 def test_cc_bts_log_rounds_on_long_chain(spark):
     """1024-node path graph: plain min-label propagation needs ~1023 rounds;
     the large-star/small-star alternation must converge in O(log n)."""
