@@ -145,6 +145,7 @@ def main() -> None:
         "kg_call_return",
         "dedup_ngram_jaccard",
         "dedup_minhash",
+        "dedup_embedding_lsh",
         "ann_cosine_topk",
         "tpch_q1",
         "tpch_q3_topk",

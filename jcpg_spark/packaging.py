@@ -37,9 +37,26 @@ def build_pyfiles_zip(dest: str | None = None) -> str:
 
 
 def ship_package(spark) -> None:
-    """Make jcpg_spark importable on executors via addPyFile of the zip."""
+    """Make jcpg_spark importable on executors via addPyFile of the zip.
+
+    The zip path is CONTENT-ADDRESSED (sha256 of the package sources): a
+    fixed path breaks a running session whenever another process rebuilds
+    the zip with different content (Spark refuses a re-added file whose
+    bytes changed), e.g. two bench subprocesses racing a live session
+    across a source edit. Same content -> same path -> addPyFile is an
+    idempotent no-op; new content -> new path -> clean re-ship.
+    """
+    import hashlib
     import tempfile
 
-    dest = os.path.join(tempfile.gettempdir(), "jcpg_spark_pyfiles.zip")
-    build_pyfiles_zip(dest)
+    h = hashlib.sha256()
+    for root, _dirs, files in os.walk(_PKG_DIR):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                with open(os.path.join(root, fn), "rb") as f:
+                    h.update(fn.encode())
+                    h.update(f.read())
+    dest = os.path.join(tempfile.gettempdir(), f"jcpg_spark_pyfiles_{h.hexdigest()[:16]}.zip")
+    if not os.path.exists(dest):
+        build_pyfiles_zip(dest)
     spark.sparkContext.addPyFile(dest)

@@ -44,7 +44,18 @@ def build_graph(
     transcripts: DataFrame,
     dictionary: DataFrame,
     cc_max_iter: int = 25,
+    learn_def_effects: bool = False,
 ) -> PipelineResult:
+    if learn_def_effects:
+        # signature fixpoint (JavacpgDDGBuilder.java:102-117 analog): learn
+        # missing defs_state bits from tool-return re-mention evidence
+        # before the linking pass (see operators/def_effects.py)
+        from jcpg_spark.operators.def_effects import propagate_def_effects
+
+        dictionary, _rounds, _converged = propagate_def_effects(
+            spark, transcripts, dictionary
+        )
+
     surfaces = [r["surface"] for r in dictionary.select("surface").distinct().collect()]
 
     # transcripts may itself be a derived plan (e.g. the events adapter's

@@ -417,6 +417,98 @@ WHERE epoch(ts) - epoch(t0) <= 3600
 """
 
 
+def q_j4_positional_zip(spark, sf_dir):
+    """J4 positional zipper: pair the k-th 'view' with the k-th 'click'
+    per user — align two ordered streams by ordinal, then equi-join on
+    (user, ordinal). Reference analog: zipping parameter lists with
+    argument lists by position before the id join (MethodKey arity match,
+    JavacpgICFGBuilder.java:1138-1172)."""
+    ev = _ev(spark, sf_dir)
+
+    def ranked(kind, idc):
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            ev.filter(F.col("event_type") == kind)
+            .select("user_id", "event_id", F.row_number().over(w).alias("k"))
+            .withColumnRenamed("event_id", idc)
+        )
+
+    return ranked("view", "view_event_id").join(
+        ranked("click", "click_event_id"), ["user_id", "k"]
+    ).select("user_id", "k", "view_event_id", "click_event_id")
+
+
+SQL_J4_POSITIONAL_ZIP = """
+WITH v AS (SELECT user_id, event_id AS view_event_id,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS k
+           FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, event_id AS click_event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS k
+      FROM events WHERE event_type = 'click')
+SELECT v.user_id, v.k, view_event_id, click_event_id
+FROM v JOIN c ON v.user_id = c.user_id AND v.k = c.k
+"""
+
+
+def q_j7_generic_instantiation(spark, sf_dir):
+    """J7 generic instantiation: part types 'A B C' are treated as template
+    'A B'<T> instantiated with T=C; the distinct template dimension (built
+    side, pre-aggregated) joins back to observed instantiations to emit
+    concrete signatures — the reference's generic-method concretization
+    against observed type args (dictionary-side preprocess in linking.py;
+    type-parameter rewrite analog JavacpgDDGBuilder.java:1329-1346)."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    words = F.split(F.col("p_name"), " ")
+    typed = part.select(
+        F.element_at(words, 2).alias("template"),  # the generic noun ('widget')
+        F.element_at(words, 1).alias("targ"),      # the observed type arg ('small')
+    ).distinct()
+    templates = typed.select("template").distinct()
+    return (
+        F.broadcast(templates)
+        .join(typed, "template")
+        .select(
+            "template",
+            F.concat(F.col("template"), F.lit("<"), F.col("targ"), F.lit(">")).alias("instance"),
+        )
+    )
+
+
+SQL_J7_GENERIC_INST = """
+WITH typed AS (SELECT DISTINCT split_part(p_name, ' ', 2) AS template,
+                               split_part(p_name, ' ', 1) AS targ
+               FROM part),
+tmpl AS (SELECT DISTINCT template FROM typed)
+SELECT t.template, t.template || '<' || y.targ || '>' AS instance
+FROM tmpl t JOIN typed y ON t.template = y.template
+"""
+
+
+def q_f7_type_alias(spark, sf_dir):
+    """F7 type-aliasing map: event types normalized through a broadcast
+    alias dimension (unknown kinds pass through) — the reference's type
+    alias rewriting ($THIS.<field>, import-alias resolution,
+    JavacpgDDGBuilder.java:436-457)."""
+    ev = _ev(spark, sf_dir)
+    alias = ev.sparkSession.createDataFrame(
+        [("view", "impression"), ("click", "interaction"), ("purchase", "conversion")],
+        ["event_type", "alias"],
+    )
+    return ev.join(F.broadcast(alias), "event_type", "left").select(
+        "event_id", F.coalesce(F.col("alias"), F.col("event_type")).alias("norm_type")
+    )
+
+
+SQL_F7_TYPE_ALIAS = """
+SELECT event_id,
+       CASE event_type WHEN 'view' THEN 'impression'
+                       WHEN 'click' THEN 'interaction'
+                       WHEN 'purchase' THEN 'conversion'
+                       ELSE event_type END AS norm_type
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # Joins on TPC-H dims
 # ---------------------------------------------------------------------------
@@ -885,7 +977,10 @@ REGISTRY: dict[str, tuple] = {
     "j6_reaching_event": (q_j6_reaching_event, SQL_J6_REACHING),
     "p6_scope_interval": (q_p6_scope_interval, SQL_P6_SCOPE),
     "j1_ranked_link": (q_j1_ranked_link, SQL_J1_RANKED),
+    "j4_positional_zip": (q_j4_positional_zip, SQL_J4_POSITIONAL_ZIP),
     "j5_semi_join": (q_j5_semi_join, SQL_J5_SEMI),
+    "j7_generic_instantiation": (q_j7_generic_instantiation, SQL_J7_GENERIC_INST),
+    "f7_type_alias": (q_f7_type_alias, SQL_F7_TYPE_ALIAS),
     "a6_cc_islands": (q_a6_cc_islands, SQL_A6_CC),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
