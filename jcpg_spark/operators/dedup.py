@@ -136,6 +136,7 @@ def embedding_lsh_pairs(
     n_tables: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Scale-path embedding near-dup: -> (id_a, id_b, cos), cos >= threshold.
 
@@ -148,8 +149,16 @@ def embedding_lsh_pairs(
     p = 1 - arccos(s)/pi (defaults: >= 0.95 at s = 0.4, higher above).
 
     O(N * n_tables) bucketing + equi-join — replaces the O(N^2) crossJoin
-    of ``embedding_cosine_pairs``; pairs are deduped across tables BEFORE
-    the (cheap, JVM-side) cosine verify.
+    of ``embedding_cosine_pairs``. Candidate pairs are deduped across
+    tables as (id_a, id_b) ONLY — the vectors are joined back for the
+    verify AFTER the distinct, so the wide payload never rides through the
+    pair shuffle (carrying 2x64 doubles per candidate row measured ~60x
+    the shuffle bytes and dominated the wall). ``max_bucket`` optionally
+    skips cells larger than the cap (hot-bucket guard, same move as the
+    shingle df-cap above): at 100 TB a degenerate bucket — e.g. the
+    all-zero region of a bad embedding model — would otherwise go
+    quadratic; capped cells only cost recall for pairs whose EVERY shared
+    bucket is hot, and the multi-table OR keeps that rare.
     """
     from jcpg_spark.operators.similarity import _dot, _norm, _rhp_signature
 
@@ -162,21 +171,32 @@ def embedding_lsh_pairs(
             for t in range(n_tables)
         ]
     )
+    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     cells = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.explode(buckets).alias("tb")
-    ).select("id", "v", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+        F.col(id_col).alias("id"), F.explode(buckets).alias("tb")
+    ).select("id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    if max_bucket is not None:
+        sizes = cells.groupBy("table", "bucket").agg(F.count("*").alias("_n"))
+        cells = cells.join(
+            sizes.filter(F.col("_n") <= max_bucket).select("table", "bucket"),
+            ["table", "bucket"],
+            "left_semi",
+        )
 
-    a = cells.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "table", "bucket")
-    b = cells.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "table", "bucket")
+    a = cells.select(F.col("id").alias("id_a"), "table", "bucket")
+    b = cells.select(F.col("id").alias("id_b"), "table", "bucket")
     cand = (
         a.join(b, ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
+        .select("id_a", "id_b")
         .distinct()
     )
+    pairs = cand.join(
+        e.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a"
+    ).join(e.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
     cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     return (
-        cand.withColumn("cos", cos)
+        pairs.withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
