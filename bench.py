@@ -39,8 +39,10 @@ N_CONV_BY_SF = {"0.001": 300, "0.01": 3000, "0.1": 30000}
 SCALING_N_CONV = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "200000"))
 # soft wall budget for the MEASUREMENT phase (seconds), i.e. the clock
 # starts after input synthesis so a cold .bench cache can't starve the
-# retry loop; retries are skipped past it
-BENCH_BUDGET = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
+# retry loop; retries are skipped past it. Sized so min-of-3 per level
+# fits even with lo-walls at the noisy end (~3x160 + 3x70 ~ 690 worst
+# case; 560 covers the typical 120/45 walls with headroom).
+BENCH_BUDGET = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "560"))
 # minimum scaling runs per parallelism level (min wall wins; host noise
 # only ever inflates walls, so min-of-k is the denoised signal)
 MIN_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_MIN_RUNS", "3"))

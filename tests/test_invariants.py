@@ -53,6 +53,27 @@ def test_node_ids_unique(spark, dictionary, t_small):
     assert res.nodes.select("node_id").distinct().count() == n
 
 
+def test_edge_predicates_within_closed_vocabulary(spark, dictionary, t_small):
+    """Every emitted pred is in schema.PREDICATES (FIXTURES §3b closed
+    vocabulary) — catches an edge layer shipping a predicate the schema
+    contract never declared (e.g. when new layers like cdg.* are added)."""
+    from jcpg_spark import schema as S
+
+    res = build_graph(spark, t_small, dictionary)
+    got = {r.pred for r in res.edges.select("pred").distinct().collect()}
+    assert got <= set(S.PREDICATES), got - set(S.PREDICATES)
+    # and the graph actually exercises the CDG layer
+    assert {"cdg.in_segment", "cdg.follows"} <= got
+
+
+def test_segment_triples_invariant_to_repartitioning(spark, t_small):
+    from jcpg_spark.operators import flow
+
+    a = sorted(tuple(r) for r in flow.segment_triples(t_small.repartition(1)).collect())
+    b = sorted(tuple(r) for r in flow.segment_triples(t_small.repartition(7)).collect())
+    assert a == b
+
+
 def test_edges_reference_existing_nodes(spark, dictionary, t_small):
     """Referential integrity: every src/dst appears in the nodes table."""
     res = build_graph(spark, t_small, dictionary)
