@@ -786,6 +786,112 @@ SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp FRO
 """
 
 
+# ---------------------------------------------------------------------------
+# Training-data curation: deterministic sampling / splits / redaction /
+# sequence chunking (the corpus-prep operators a 100 TB pipeline runs
+# between dedup and training; all hash-deterministic => exact oracles)
+# ---------------------------------------------------------------------------
+
+def q_doc_sample_hash(spark, sf_dir):
+    """Deterministic ~12.5% corpus sample: keep docs whose md5(doc_id) hex
+    starts with '0' or '1'. Hash-based sampling is reproducible across
+    engines/runs/partitionings — rand()-based sampling is none of those."""
+    docs = _docs(spark, sf_dir)
+    h = F.md5(F.col("doc_id").cast("string"))
+    return docs.filter(F.substring(h, 1, 1).isin("0", "1")).select("doc_id", "n_chars")
+
+
+SQL_DOC_SAMPLE = """
+SELECT doc_id, n_chars FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+"""
+
+
+def q_doc_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment from the same hash family
+    (12/16 train, 2/16 val, 2/16 test); disjoint and exhaustive."""
+    docs = _docs(spark, sf_dir)
+    c = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(c.isin("c", "d"), "val").when(c.isin("e", "f"), "test").otherwise("train")
+    )
+    return docs.select("doc_id", split.alias("split"))
+
+
+SQL_DOC_SPLIT = """
+SELECT doc_id,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+            ELSE 'train' END AS split
+FROM documents
+"""
+
+
+def q_text_redact(spark, sf_dir):
+    """PII-style scrub over the events props payload: digit runs -> '#'
+    (the shape of number/id/phone redaction in corpus prep)."""
+    ev = _ev(spark, sf_dir)
+    return ev.select(
+        "event_id", F.regexp_replace(F.col("props"), r"\d+", "#").alias("redacted")
+    )
+
+
+SQL_TEXT_REDACT = r"""
+SELECT event_id, regexp_replace(props, '\d+', '#', 'g') AS redacted FROM events
+"""
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Sequence chunking (context-window packing): split each document into
+    consecutive 32-token chunks -> (doc_id, chunk_idx, n_tokens, chunk).
+    JVM-side transform+slice+posexplode; no UDF."""
+    docs = _docs(spark, sf_dir)
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.ceil(F.size(ws) / F.lit(32)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(ws, i * 32 + 1, 32)),
+    )
+    return (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select("doc_id", F.size(ws).alias("n_ws"), F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.least(F.lit(32), F.col("n_ws") - F.col("chunk_idx") * 32).alias("n_tokens"),
+            "chunk",
+        )
+    )
+
+
+SQL_DOC_CHUNKS = r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+           FROM documents WHERE trim(text) <> ''),
+x AS (SELECT doc_id, ws,
+             unnest(generate_series(1, CAST(ceil(len(ws) / 32.0) AS BIGINT))) AS i
+      FROM w)
+SELECT doc_id,
+       CAST(i - 1 AS INT) AS chunk_idx,
+       CAST(LEAST(32, len(ws) - (i - 1) * 32) AS INT) AS n_tokens,
+       array_to_string(ws[(i - 1) * 32 + 1 : LEAST(len(ws), i * 32)], ' ') AS chunk
+FROM x
+"""
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing through the driver: deterministic synthetic media
+    table (binary payloads) -> mapInPandas feature extraction with the fake
+    codec (decode seam documented in operators/multimodal.py). Rows-only:
+    payload synthesis is python-side, so no SQL oracle — determinism and
+    payload-never-shuffles are pytest-gated."""
+    from jcpg_spark.operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, 500)
+    return extract_features(media, fake=True).select(
+        "media_id", "kind", "n_bytes", "payload_sha256"
+    )
+
+
 def q_a1_group_collect(spark, sf_dir):
     """A1 dictionary-build analog: group -> sorted candidate list
     (methodDEFs multimap, JavacpgDDGBuilder.java:67-84)."""
@@ -997,6 +1103,11 @@ REGISTRY: dict[str, tuple] = {
     "text_lang_score": (q_text_lang_score, SQL_TEXT_LANG),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "doc_sample_hash": (q_doc_sample_hash, SQL_DOC_SAMPLE),
+    "doc_split_assign": (q_doc_split_assign, SQL_DOC_SPLIT),
+    "text_redact": (q_text_redact, SQL_TEXT_REDACT),
+    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "media_features": (q_media_features, None),
     "a1_group_collect": (q_a1_group_collect, SQL_A1_GROUP_COLLECT),
     "a2_collect_set": (q_a2_collect_set, SQL_A2_COLLECT_SET),
     "f_escape": (q_f_escape, SQL_F_ESCAPE),

@@ -1,0 +1,62 @@
+"""Training-data curation operators: invariants beyond the DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jcpg_spark.plans.driver_queries import (
+    q_doc_chunks,
+    q_doc_sample_hash,
+    q_doc_split_assign,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_chunks_reassemble_to_normalized_text(spark):
+    chunks = q_doc_chunks(spark, SF)
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("rebuilt"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(F.trim("text") != "")
+    norm = docs.select(
+        "doc_id", F.regexp_replace(F.trim("text"), r"\s+", " ").alias("norm")
+    )
+    joined = rebuilt.join(norm, "doc_id")
+    assert joined.filter(F.col("rebuilt") != F.col("norm")).count() == 0
+    # token accounting: sum of chunk n_tokens == whitespace token count
+    ws = docs.select("doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n"))
+    assert joined.join(ws, "doc_id").filter(F.col("total_tokens") != F.col("n")).count() == 0
+
+
+def test_split_disjoint_exhaustive_and_stable(spark):
+    split = q_doc_split_assign(spark, SF)
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert split.count() == n_docs  # exhaustive, one row per doc
+    got = {r.split for r in split.select("split").distinct().collect()}
+    assert got <= {"train", "val", "test"}
+    # stable across invocations (hash-deterministic, no rand())
+    a = {(r.doc_id, r.split) for r in split.collect()}
+    b = {(r.doc_id, r.split) for r in q_doc_split_assign(spark, SF).collect()}
+    assert a == b
+
+
+def test_sample_is_subset_and_stable(spark):
+    sample = {r.doc_id for r in q_doc_sample_hash(spark, SF).collect()}
+    again = {r.doc_id for r in q_doc_sample_hash(spark, SF).collect()}
+    assert sample == again
+    all_ids = {
+        r.doc_id for r in spark.read.parquet(f"{SF}/documents.parquet").select("doc_id").collect()
+    }
+    assert sample <= all_ids
+    assert 0 < len(sample) < len(all_ids)
