@@ -95,6 +95,59 @@ def streaming_flow_next(stream: DataFrame) -> DataFrame:
     )
 
 
+_SEG_STATE = "last_role string, seg int"
+
+
+def _seg_fn(key, pdf_iter, state: GroupState):
+    (conv_id,) = key
+    last_role, seg = (state.get if state.exists else (None, -1))
+    out = {"src": [], "pred": [], "dst": []}
+    for pdf in pdf_iter:
+        for idx, role in sorted(zip(pdf["turn_idx"].tolist(), pdf["role"].tolist())):
+            brk = last_role is None or (role == "user" and last_role != "user")
+            if brk:
+                seg += 1
+                if seg > 0:
+                    out["src"].append(f"seg:{conv_id}:{seg - 1}")
+                    out["pred"].append("cdg.follows")
+                    out["dst"].append(f"seg:{conv_id}:{seg}")
+            out["src"].append(f"t:{conv_id}:{idx}")
+            out["pred"].append("cdg.in_segment")
+            out["dst"].append(f"seg:{conv_id}:{seg}")
+            last_role = role
+    state.update((last_role, int(seg)))
+    if out["src"]:
+        yield pd.DataFrame(
+            {
+                "src": out["src"],
+                "pred": out["pred"],
+                "dst": out["dst"],
+                "var": None,
+                "conv_id": conv_id,
+            }
+        )
+
+
+def streaming_segment_triples(stream: DataFrame) -> DataFrame:
+    """Stateful CDG/segment layer: one (last_role, seg) state row per
+    conversation; emits cdg.in_segment per arriving turn and cdg.follows
+    when a user turn re-takes the floor — the streaming analog of the
+    batch running-boundary-sum window (flow.segment_triples), identical
+    output under the ordered-arrival contract (pytest-gated across
+    micro-batches)."""
+    return (
+        stream.select("conv_id", "turn_idx", "role")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _seg_fn,
+            outputStructType=_FLOW_OUT,
+            stateStructType=_SEG_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str):
     """Drive a streaming query over all available input synchronously
     (local smoke-test harness; memory sink)."""

@@ -49,6 +49,22 @@ def test_streaming_flow_next_matches_batch_across_batches(spark, stream_dir):
     assert got == want
 
 
+def test_streaming_segment_triples_match_batch_across_batches(spark, stream_dir):
+    """The stateful CDG/segment layer must emit exactly the batch
+    segment_triples even when a conversation's turns span micro-batches
+    (segment counter + last_role carried in state)."""
+    path, t = stream_dir
+    stream = (
+        spark.readStream.schema(t.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    inc.run_to_memory(inc.streaming_segment_triples(stream), "seg_out")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM seg_out").collect()}
+    want = {tuple(r) for r in flow.segment_triples(t).collect()}
+    assert got == want
+
+
 def test_streaming_act_counts_runs(spark, stream_dir):
     path, t = stream_dir
     stream = inc.stream_transcripts(spark, path)
