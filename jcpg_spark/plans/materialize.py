@@ -40,6 +40,7 @@ class RunSummary:
     stages_computed: list[str] = field(default_factory=list)
     stages_skipped: list[str] = field(default_factory=list)
     manifests: dict = field(default_factory=dict)
+    stage_walls: dict = field(default_factory=dict)  # name -> seconds (computed stages)
 
 
 def run_pipeline(
@@ -62,10 +63,14 @@ def run_pipeline(
             summary.stages_skipped.append(name)
             summary.manifests[name] = tio.read_manifest(out_dir, name)
         else:
+            import time
+
+            t0 = time.time()
             df = compute()
             summary.manifests[name] = tio.write_table(
                 df, out_dir, name, bucket_col=bucket_col
             )
+            summary.stage_walls[name] = round(time.time() - t0, 2)
             summary.stages_computed.append(name)
             if fail_after == name:
                 raise RuntimeError(f"injected failure after stage {name}")
@@ -111,6 +116,7 @@ def run_pipeline(
             .unionByName(references.entity_nodes(linked))
             .unionByName(calls.tool_nodes(transcripts))
             .unionByName(calls.role_nodes(transcripts))
+            .unionByName(structural.segment_nodes(transcripts))
         )
 
     stage("nodes", _nodes, bucket_col="node_id")

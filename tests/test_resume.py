@@ -81,3 +81,19 @@ def test_materialized_edges_match_build_graph(spark, dictionary, t_small, tmp_pa
     }
     direct = {tuple(r) for r in build_graph(spark, t_small, dictionary).edges.collect()}
     assert mat == direct
+
+
+def test_materialized_nodes_match_build_graph_and_stage_walls(
+    spark, dictionary, t_small, tmp_path
+):
+    """Nodes parity catches pipeline/materialize drift (e.g. a node layer
+    added to one but not the other); computed stages record wall times."""
+    from jcpg_spark.pipeline import build_graph
+
+    base = str(tmp_path / "t")
+    s = run_pipeline(spark, t_small, dictionary, base)
+    mat = {tuple(r) for r in tio.read_table(spark, base, "nodes").collect()}
+    direct = {tuple(r) for r in build_graph(spark, t_small, dictionary).nodes.collect()}
+    assert mat == direct
+    assert set(s.stage_walls) == set(s.stages_computed)
+    assert all(w >= 0 for w in s.stage_walls.values())
