@@ -190,6 +190,36 @@ def cfg_triples(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def resolve_tool_registry(transcripts: DataFrame, registry: DataFrame) -> DataFrame:
+    """Cross-conversation tool resolution: the REAL J2 equi-join.
+
+    Within one conversation the callee is adjacent (window algebra above),
+    but when a tool REGISTRY exists — canonical tool identities with
+    aliases, the MethodKey table analog (``JavacpgICFGBuilder.java:111-141``
+    resolving call sites against method entries via MethodKey equality) —
+    call edges must resolve through it: broadcast equi-join of call sites
+    against ``registry(alias, canonical)``; unresolved aliases pass through
+    as their literal name (the reference skips unresolved call sites; here
+    the edge is kept but unresolved, so the graph stays complete).
+
+    -> call triples with dst = tool:<canonical>, var = the surface alias.
+    """
+    sites = transcripts.filter(
+        (F.col("role") == "assistant") & F.col("tool").isNotNull()
+    )
+    reg = registry.select(
+        F.col("alias").alias("tool"), F.col("canonical").alias("_canon")
+    )
+    joined = sites.join(F.broadcast(reg), "tool", "left")
+    return joined.select(
+        S.turn_node(F.col("conv_id"), F.col("turn_idx")).alias("src"),
+        F.lit("call").alias("pred"),
+        S.tool_node(F.coalesce(F.col("_canon"), F.col("tool"))).alias("dst"),
+        F.col("tool").alias("var"),
+        "conv_id",
+    )
+
+
 def tool_nodes(transcripts: DataFrame) -> DataFrame:
     """One node per distinct tool (tiny dimension; global distinct-agg)."""
     return (

@@ -114,11 +114,50 @@ def ivf_assign(
 
 
 def default_centroids(embeddings: DataFrame, k: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"):
-    """Deterministic centroid seed: the first k vectors by id (a real
-    deployment would run a few k-means|| rounds; the index structure and
-    probing are identical)."""
+    """Deterministic centroid seed: the first k vectors by id (the cheap
+    seed; ``kmeans_centroids`` below refines it with Lloyd rounds)."""
     rows = embeddings.orderBy(id_col).limit(k).collect()
     return [(i, list(map(float, r[vec_col]))) for i, r in enumerate(rows)]
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Distributed Lloyd refinement of the deterministic seed — the
+    k-means training step for the IVF coarse quantizer.
+
+    Each round: assign every vector to its nearest centroid with the same
+    JVM-side literal-array argmin as ``ivf_assign`` (no UDF, no extra
+    shuffle beyond the one groupBy), then recompute centroids as per-dimension
+    means via ``posexplode`` + hash aggregation — one shuffle on
+    (centroid, dim), map-side combinable, so a round costs two exchanges
+    regardless of N. Only the K centroid vectors ever reach the driver.
+    Empty clusters keep their previous centroid. Deterministic: seed is
+    first-k by id and every step is exact arithmetic over a fixed
+    partition-invariant assignment.
+    """
+    cents = default_centroids(embeddings, k=k, id_col=id_col, vec_col=vec_col)
+    for _ in range(iters):
+        assigned = ivf_assign(embeddings, cents, id_col=id_col, vec_col=vec_col)
+        per_dim = assigned.select(
+            "centroid", F.posexplode(F.col("vec")).alias("dim", "x")
+        ).groupBy("centroid", "dim").agg(F.avg(F.col("x").cast("double")).alias("m"))
+        rows = (
+            per_dim.groupBy("centroid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+                ).alias("mean_vec")
+            )
+            .collect()
+        )
+        new = {r["centroid"]: list(map(float, r["mean_vec"])) for r in rows}
+        cents = [(cid, new.get(cid, vec)) for cid, vec in cents]
+    return cents
 
 
 def ivf_topk(

@@ -169,6 +169,32 @@ FROM f WHERE role = 'tool' AND (nrole IS NULL OR nrole <> 'tool') AND callsite <
 """
 
 
+def q_kg_call_resolved(spark, sf_dir):
+    """J2 as a REAL registry equi-join: call sites resolved against a
+    broadcast tool-registry dimension (alias -> canonical), unresolved
+    aliases passing through (calls.resolve_tool_registry)."""
+    t = transcripts_from_events(spark, sf_dir)
+    registry = spark.createDataFrame(
+        [("search", "web.search_v2"), ("db", "storage.kv")], ["alias", "canonical"]
+    )
+    return calls.resolve_tool_registry(t, registry).select(
+        "src", "pred", "dst", "var", "conv_id"
+    )
+
+
+SQL_KG_CALL_RESOLVED = f"""
+WITH o AS ({_SQL_ORDERED}),
+r AS (SELECT conv_id, idx, {_SQL_ROLE} AS role, {_SQL_TOOL} AS tool FROM o)
+SELECT 't:' || conv_id || ':' || CAST(idx AS VARCHAR) AS src,
+       'call' AS pred,
+       'tool:' || CASE tool WHEN 'search' THEN 'web.search_v2'
+                            WHEN 'db' THEN 'storage.kv' ELSE tool END AS dst,
+       tool AS var,
+       conv_id
+FROM r WHERE role = 'assistant' AND tool IS NOT NULL
+"""
+
+
 def q_kg_reaching_ref(spark, sf_dir):
     """Full ref.* triples over events-derived transcripts (one mention per
     turn: the event_type surface; defs = signup/error or first occurrence)."""
@@ -689,11 +715,12 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF ANN (coarse centroid quantization + nprobe search) — rows-only
-    (centroid assignment is engine-defined); recall vs brute force asserted
-    in pytest."""
+    """IVF ANN: k-means-trained coarse quantizer (2 distributed Lloyd
+    rounds over the deterministic first-k seed) + nprobe search — rows-only
+    (centroid assignment is engine-defined); recall vs brute force and
+    training-objective improvement asserted in pytest."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cents = similarity.default_centroids(emb, k=16)
+    cents = similarity.kmeans_centroids(emb, k=16, iters=2)
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), cents, k=5, nprobe=4)
 
 
@@ -1071,6 +1098,7 @@ REGISTRY: dict[str, tuple] = {
     "kg_act_role": (q_kg_act_role, SQL_KG_ACT_ROLE),
     "kg_branch": (q_kg_branch, SQL_KG_BRANCH),
     "kg_call_return": (q_kg_call_return, SQL_KG_CALL_RETURN),
+    "kg_call_resolved": (q_kg_call_resolved, SQL_KG_CALL_RESOLVED),
     "kg_reaching_ref": (q_kg_reaching_ref, SQL_KG_REACHING_REF),
     "kg_metrics_rollup": (q_kg_metrics_rollup, SQL_KG_METRICS_ROLLUP),
     "kg_segment": (q_kg_segment, SQL_KG_SEGMENT),

@@ -154,6 +154,41 @@ def test_ivf_topk_recall_and_full_probe_exactness(spark):
     assert len({(a, b) for (a, b, _) in exact} & part) / 15 >= 0.5
 
 
+def test_kmeans_centroids_improve_objective_and_stay_exact_at_full_probe(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def objective(cents):
+        a = similarity.ivf_assign(emb, cents)
+        carr = similarity._centroid_arr(cents)
+        sim = F.element_at(
+            F.transform(
+                carr,
+                lambda c: similarity._dot(F.col("vec"), c)
+                / (similarity._norm(F.col("vec")) * similarity._norm(c)),
+            ),
+            F.col("centroid") + 1,
+        )
+        return a.select(F.avg(sim)).first()[0]
+
+    seed = similarity.default_centroids(emb, k=8)
+    trained = similarity.kmeans_centroids(emb, k=8, iters=3)
+    # Lloyd rounds must improve the quantizer (avg cosine to own centroid)
+    assert objective(trained) > objective(seed)
+    # deterministic across invocations (no rand anywhere)
+    assert trained == similarity.kmeans_centroids(emb, k=8, iters=3)
+    # probing ALL lists is still exactly brute force regardless of training
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.cosine_topk(emb, q, k=5).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.ivf_topk(emb, q, trained, k=5, nprobe=8).collect()
+    }
+    assert full == exact
+
+
 def test_predict_language_lexicons(spark):
     from jcpg_spark.functions.text import predict_language
 

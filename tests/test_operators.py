@@ -198,6 +198,20 @@ def test_cc_two_components(spark, threshold):
     assert got == {"a": "a", "b": "a", "x": "x", "y": "x", "z": "x"}
 
 
+def test_resolve_tool_registry_aliases_and_passthrough(spark):
+    rows = [
+        ("c1", 0, "assistant", "x", "db"),
+        ("c1", 1, "assistant", "x", "mystery_tool"),  # not in registry
+        ("c1", 2, "user", "x", None),                 # not a call site
+    ]
+    registry = spark.createDataFrame([("db", "storage.kv")], ["alias", "canonical"])
+    got = _edges(calls.resolve_tool_registry(_t(spark, rows), registry))
+    assert got == {
+        ("t:c1:0", "call", "tool:storage.kv", "db"),
+        ("t:c1:1", "call", "tool:mystery_tool", "mystery_tool"),
+    }
+
+
 # --- dynamic DEF-effect propagation (signature fixpoint analog) ----------------
 def test_def_effect_propagation_converges_to_curated_dictionary(spark):
     """A dictionary WITHOUT the defs_state bit must converge to the same

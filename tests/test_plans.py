@@ -64,6 +64,14 @@ def test_linking_is_broadcast_join(spark, tr_parquet, dictionary):
     assert "BroadcastExchange" in plan
 
 
+def test_tool_registry_resolution_is_broadcast_join(spark, tr_parquet):
+    registry = spark.createDataFrame(
+        [("search", "web.search_v2"), ("db", "storage.kv")], ["alias", "canonical"]
+    )
+    plan = _plan(calls.resolve_tool_registry(tr_parquet, registry))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
 def test_references_shuffle_budget(spark, tr_parquet, dictionary):
     surfaces = gazetteer_pdf()["surface"].tolist()
     m = mentions.detect_mentions(spark, tr_parquet, surfaces)
