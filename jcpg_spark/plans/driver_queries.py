@@ -296,6 +296,67 @@ FROM al GROUP BY conv_id
 """
 
 
+def q_kg_motif_call_error(spark, sf_dir):
+    """KG consumer query (range-join motif): call sites followed within 3
+    turns by a tool-role turn in the same conversation — the 'which calls
+    led to errors' question a user asks OF the graph. Expressed as a
+    per-conversation equi-join + range predicate (partition-local at
+    scale; the conv_id hash join co-locates both sides)."""
+    t = transcripts_from_events(spark, sf_dir)
+    calls_t = t.filter(
+        (F.col("role") == "assistant") & F.col("tool").isNotNull()
+    ).select("conv_id", F.col("turn_idx").alias("call_idx"))
+    errs = t.filter(F.col("role") == "tool").select(
+        "conv_id", F.col("turn_idx").alias("err_idx")
+    )
+    return (
+        calls_t.join(errs, "conv_id")
+        .filter((F.col("err_idx") > F.col("call_idx")) & (F.col("err_idx") <= F.col("call_idx") + 3))
+        .select("conv_id", "call_idx", "err_idx")
+    )
+
+
+SQL_KG_MOTIF_CALL_ERROR = f"""
+WITH o AS ({_SQL_ORDERED}),
+r AS (SELECT conv_id, idx, {_SQL_ROLE} AS role, {_SQL_TOOL} AS tool FROM o)
+SELECT c.conv_id, c.idx AS call_idx, e.idx AS err_idx
+FROM (SELECT conv_id, idx FROM r WHERE role = 'assistant' AND tool IS NOT NULL) c
+JOIN (SELECT conv_id, idx FROM r WHERE role = 'tool') e
+  ON c.conv_id = e.conv_id AND e.idx > c.idx AND e.idx <= c.idx + 3
+"""
+
+
+def q_kg_degree_topk(spark, sf_dir):
+    """KG consumer query: top-10 turns by out-degree over the CFG/ICFG
+    layers (hub detection). Deterministic tie-break (degree desc, src asc)."""
+    t = transcripts_from_events(spark, sf_dir)
+    edges = (
+        flow.flow_next(t)
+        .unionByName(flow.flow_branch(t))
+        .unionByName(calls.call_triples(t))
+        .unionByName(calls.return_triples(t))
+    )
+    return (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("out_degree"))
+        .orderBy(F.desc("out_degree"), F.asc("src"))
+        .limit(10)
+    )
+
+
+SQL_KG_DEGREE_TOPK = f"""
+WITH all_src AS (
+  SELECT src FROM ({SQL_KG_FLOW_NEXT}) t1
+  UNION ALL SELECT src FROM ({SQL_KG_BRANCH}) t2
+  UNION ALL SELECT src FROM ({SQL_KG_CALL_RETURN}) t3
+)
+SELECT src, count(*) AS out_degree
+FROM all_src GROUP BY src
+ORDER BY out_degree DESC, src ASC
+LIMIT 10
+"""
+
+
 def q_kg_metrics_rollup(spark, sf_dir):
     """A7 metrics with rollup (free in Spark per SURVEY §2.4)."""
     return (
@@ -1103,6 +1164,8 @@ REGISTRY: dict[str, tuple] = {
     "kg_metrics_rollup": (q_kg_metrics_rollup, SQL_KG_METRICS_ROLLUP),
     "kg_segment": (q_kg_segment, SQL_KG_SEGMENT),
     "kg_export_dot": (q_kg_export_dot, SQL_KG_EXPORT_DOT),
+    "kg_motif_call_error": (q_kg_motif_call_error, SQL_KG_MOTIF_CALL_ERROR),
+    "kg_degree_topk": (q_kg_degree_topk, SQL_KG_DEGREE_TOPK),
     "kg_full_pipeline": (q_kg_full_pipeline, None),
     "w3_sessionize": (q_w3_sessionize, SQL_W3_SESSIONIZE),
     "w5_top1_per_user_type": (q_w5_top1_per_user_type, SQL_W5_TOP1),
