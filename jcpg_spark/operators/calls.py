@@ -232,6 +232,7 @@ def tool_nodes(transcripts: DataFrame) -> DataFrame:
             F.lit("tool").alias("kind"),
             F.col("tool").alias("label"),
             F.lit(None).cast("int").alias("turn_idx"),
+            S.props_map(name=F.col("tool")).alias("props"),
         )
     )
 
@@ -247,5 +248,6 @@ def role_nodes(transcripts: DataFrame) -> DataFrame:
             F.lit("role").alias("kind"),
             F.col("role").alias("label"),
             F.lit(None).cast("int").alias("turn_idx"),
+            S.props_map(name=F.col("role")).alias("props"),
         )
     )

@@ -159,6 +159,9 @@ def mention_nodes(mentions: DataFrame) -> DataFrame:
         F.lit("mention").alias("kind"),
         F.col("surface").alias("label"),
         F.col("turn_idx").cast("int").alias("turn_idx"),
+        S.props_map(
+            surface=F.col("surface"), start=F.col("start"), end=F.col("end")
+        ).alias("props"),
     )
 
 

@@ -115,13 +115,14 @@ def reference_triples(linked_mentions: DataFrame) -> DataFrame:
 def entity_nodes(linked_mentions: DataFrame) -> DataFrame:
     """One node per distinct linked entity."""
     return (
-        linked_mentions.select("canonical")
-        .distinct()
+        linked_mentions.groupBy("canonical")
+        .agg(F.max("kind").alias("_kind"), F.max("namespace").alias("_ns"))
         .select(
             S.entity_node(F.col("canonical")).alias("node_id"),
             F.lit(None).cast("string").alias("conv_id"),
             F.lit("entity").alias("kind"),
             F.col("canonical").alias("label"),
             F.lit(None).cast("int").alias("turn_idx"),
+            S.props_map(entity_kind=F.col("_kind"), namespace=F.col("_ns")).alias("props"),
         )
     )

@@ -18,13 +18,20 @@ from jcpg_spark import schema as S
 
 
 def turn_nodes(transcripts: DataFrame) -> DataFrame:
-    """One node per turn, kind='turn', label=role."""
+    """One node per turn, kind='turn', label=role; props = the CPGNode
+    bag analog (role/tool/n_chars ~ the reference's type/code/line
+    accessors, CPGNode.java:89-126)."""
     return transcripts.select(
         S.turn_node(F.col("conv_id"), F.col("turn_idx")).alias("node_id"),
         "conv_id",
         F.lit("turn").alias("kind"),
         F.col("role").alias("label"),
         F.col("turn_idx").cast("int").alias("turn_idx"),
+        S.props_map(
+            role=F.col("role"),
+            tool=F.col("tool"),
+            n_chars=F.length(F.col("text")),
+        ).alias("props"),
     )
 
 
@@ -36,6 +43,7 @@ def conversation_nodes(transcripts: DataFrame) -> DataFrame:
         F.lit("conversation").alias("kind"),
         F.col("conv_id").alias("label"),
         F.lit(None).cast("int").alias("turn_idx"),
+        S.props_map(n_turns=F.col("_n")).alias("props"),
     )
 
 
@@ -53,6 +61,7 @@ def segment_nodes(transcripts: DataFrame) -> DataFrame:
         F.lit("segment").alias("kind"),
         F.col("seg").cast("string").alias("label"),
         F.col("turn_idx").cast("int").alias("turn_idx"),  # opening turn
+        S.props_map(opens_at=F.col("turn_idx")).alias("props"),
     )
 
 

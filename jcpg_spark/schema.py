@@ -65,6 +65,10 @@ NODES_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType(), False),
         T.StructField("label", T.StringType(), True),
         T.StructField("turn_idx", T.IntegerType(), True),
+        # the property-bag analog (CPGNode.java:68-70 `properties` map,
+        # :89-126 line/code/type/normalized accessors): per-kind keys,
+        # null-valued entries dropped (map_filter) so the bag is sparse
+        T.StructField("props", T.MapType(T.StringType(), T.StringType()), True),
     ]
 )
 
@@ -140,3 +144,12 @@ def tool_node(tool: Column) -> Column:
 
 def segment_node(conv_id: Column, seg_idx: Column) -> Column:
     return F.concat(F.lit("seg:"), conv_id, F.lit(":"), seg_idx.cast("string"))
+
+
+def props_map(**kv: Column) -> Column:
+    """Sparse property bag: build map(k -> v) dropping null-valued keys
+    (CPGNode property map analog; keys with no value simply absent)."""
+    pairs: list[Column] = []
+    for k, v in kv.items():
+        pairs.extend([F.lit(k), v.cast("string")])
+    return F.map_filter(F.create_map(*pairs), lambda _k, v: v.isNotNull())

@@ -92,8 +92,15 @@ def test_materialized_nodes_match_build_graph_and_stage_walls(
 
     base = str(tmp_path / "t")
     s = run_pipeline(spark, t_small, dictionary, base)
-    mat = {tuple(r) for r in tio.read_table(spark, base, "nodes").collect()}
-    direct = {tuple(r) for r in build_graph(spark, t_small, dictionary).nodes.collect()}
+
+    def canon(rows):  # props is a map -> make rows hashable
+        return {
+            tuple(v if not isinstance(v, dict) else tuple(sorted(v.items())) for v in r)
+            for r in rows
+        }
+
+    mat = canon(tio.read_table(spark, base, "nodes").collect())
+    direct = canon(build_graph(spark, t_small, dictionary).nodes.collect())
     assert mat == direct
     assert set(s.stage_walls) == set(s.stages_computed)
     assert all(w >= 0 for w in s.stage_walls.values())
