@@ -113,6 +113,80 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(run, schema=out_schema)
 
 
+def resize_images(media: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
+    """Image resize seam: -> (media_id, mime, width, height, payload).
+
+    The Spark-side contract is real — image-kind filter, Arrow-batched
+    binaries through mapInPandas, payload-in/payload-out schema, metadata
+    updated to the target dims. The pixel work is the stubbed codec step:
+    ``fake=True`` produces a deterministic payload (sha256 of the original
+    payload + target dims, length scaled to the new pixel count) so
+    downstream plumbing (size accounting, dedup of resized assets) is
+    testable; ``fake=False`` raises, like ``decode_stub``.
+    """
+
+    def run(it):
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires codec libraries not present in this "
+                    "container; pass fake=True for the deterministic stub"
+                )
+            outs = []
+            for p in pdf["payload"]:
+                h = hashlib.sha256(p + f":{width}x{height}".encode()).digest()
+                n = max(16, (width * height) // 64)
+                outs.append((h * (n // len(h) + 1))[:n])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "width": width,
+                    "height": height,
+                    "payload": outs,
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, schema="media_id long, mime string, width int, height int, payload binary"
+    )
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:
+    """Video frame sampling seam: -> (media_id, frame_idx, t_ms, frame).
+
+    One output row per sampled timestamp (duration_ms / every_ms frames,
+    computed from real metadata); the frame bytes are the stubbed decode
+    (deterministic sha256 of payload+timestamp under ``fake=True``). The
+    explode happens INSIDE mapInPandas so the source payload is read once
+    per batch and never shuffled.
+    """
+
+    def run(it):
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "video decoding requires codec libraries not present in this "
+                    "container; pass fake=True for the deterministic stub"
+                )
+            mids, idxs, ts, frames = [], [], [], []
+            for mid, p, dur in zip(pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
+                n = max(1, int(dur) // every_ms)
+                for i in range(n):
+                    t = i * every_ms
+                    mids.append(mid)
+                    idxs.append(i)
+                    ts.append(t)
+                    frames.append(hashlib.sha256(p + f":{t}".encode()).digest())
+            yield pd.DataFrame(
+                {"media_id": mids, "frame_idx": idxs, "t_ms": ts, "frame": frames}
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        run, schema="media_id long, frame_idx int, t_ms int, frame binary"
+    )
+
+
 def exact_dup_media(media: DataFrame) -> DataFrame:
     """Exact payload dedup by content hash (JVM-side sha2 over binary;
     no Python, no payload shuffle — only the 32-byte hash is grouped)."""

@@ -34,6 +34,38 @@ def test_extract_features_shape(spark):
     assert "Exchange" not in plan
 
 
+def test_resize_images_contract(spark):
+    media = mm.synth_media(spark, 30)
+    out = mm.resize_images(media, 64, 48, fake=True)
+    rows = out.collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(rows) == n_images > 0
+    expected_len = max(16, (64 * 48) // 64)
+    for r in rows:
+        assert (r.width, r.height) == (64, 48)
+        assert len(r.payload) == expected_len
+    # deterministic + map-side only
+    again = mm.resize_images(media, 64, 48, fake=True).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(Exception):  # fail-loud codec seam
+        mm.resize_images(media, 64, 48, fake=False).collect()
+
+
+def test_sample_frames_counts_follow_duration(spark):
+    media = mm.synth_media(spark, 30)
+    frames = mm.sample_frames(media, every_ms=1000, fake=True)
+    got = frames.groupBy("media_id").count().collect()
+    durs = {r.media_id: r.duration_ms for r in media.filter("kind = 'video'").collect()}
+    assert {r.media_id for r in got} == set(durs)
+    for r in got:
+        assert r["count"] == max(1, durs[r.media_id] // 1000)
+    # frame timestamps are the sampling grid
+    one = frames.filter(f"media_id = {min(durs)}").orderBy("frame_idx").collect()
+    assert [r.t_ms for r in one] == [i * 1000 for i in range(len(one))]
+
+
 def test_exact_dup_media(spark):
     media = mm.synth_media(spark, 10)
     dupes = media.union(media.limit(4))  # duplicate 4 payloads
