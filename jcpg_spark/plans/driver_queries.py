@@ -402,6 +402,43 @@ FROM g
 """
 
 
+def q_w3_session_window(spark, sf_dir):
+    """W3 via Spark's NATIVE gap-based session operator: per-user session
+    stats from F.session_window(ts, '30 minutes') — the idiomatic
+    Catalyst path beside the hand-rolled running-boundary-sum
+    (q_w3_sessionize); both must agree with the same gaps-and-islands SQL.
+    Session-window merge is half-open (gap < 1800s merges), so the oracle
+    breaks at gap >= 1800."""
+    ev = _ev(spark, sf_dir)
+    sessions = ev.groupBy(
+        "user_id", F.session_window(F.col("ts"), "30 minutes")
+    ).agg(F.count("*").alias("n"))
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n").alias("max_session_len"),
+        F.sum("n").alias("n_events"),
+    )
+
+
+SQL_W3_SESSION_WINDOW = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+  FROM events),
+s AS (SELECT user_id, event_id,
+             sum(CASE WHEN gap IS NULL OR gap >= 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+      FROM g),
+per AS (SELECT user_id, seg, count(*) AS n FROM s GROUP BY user_id, seg)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(max(n) AS BIGINT) AS max_session_len,
+       CAST(sum(n) AS BIGINT) AS n_events
+FROM per GROUP BY user_id
+"""
+
+
 def q_w5_top1_per_user_type(spark, sf_dir):
     ev = _ev(spark, sf_dir)
     w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("value"), F.asc("event_id"))
@@ -1168,6 +1205,7 @@ REGISTRY: dict[str, tuple] = {
     "kg_degree_topk": (q_kg_degree_topk, SQL_KG_DEGREE_TOPK),
     "kg_full_pipeline": (q_kg_full_pipeline, None),
     "w3_sessionize": (q_w3_sessionize, SQL_W3_SESSIONIZE),
+    "w3_session_window": (q_w3_session_window, SQL_W3_SESSION_WINDOW),
     "w5_top1_per_user_type": (q_w5_top1_per_user_type, SQL_W5_TOP1),
     "a4_exit_points": (q_a4_exit_points, SQL_A4_EXIT),
     "a5_counter_norm": (q_a5_counter_norm, SQL_A5_COUNTER),
