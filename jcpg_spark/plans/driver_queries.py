@@ -328,13 +328,12 @@ JOIN (SELECT conv_id, idx FROM r WHERE role = 'tool') e
 
 def q_kg_degree_topk(spark, sf_dir):
     """KG consumer query: top-10 turns by out-degree over the CFG/ICFG
-    layers (hub detection). Deterministic tie-break (degree desc, src asc)."""
+    layers (hub detection). Deterministic tie-break (degree desc, src asc).
+    Sourced from the fused single-shuffle emitter (cfg_triples) with a
+    predicate filter — one exchange instead of the 4-way per-layer union."""
     t = transcripts_from_events(spark, sf_dir)
-    edges = (
-        flow.flow_next(t)
-        .unionByName(flow.flow_branch(t))
-        .unionByName(calls.call_triples(t))
-        .unionByName(calls.return_triples(t))
+    edges = calls.cfg_triples(t).filter(
+        F.col("pred").isin("flow.next", "flow.branch_true", "flow.branch_false", "call", "return")
     )
     return (
         edges.groupBy("src")
