@@ -406,8 +406,9 @@ def q_w3_session_window(spark, sf_dir):
     stats from F.session_window(ts, '30 minutes') — the idiomatic
     Catalyst path beside the hand-rolled running-boundary-sum
     (q_w3_sessionize); both must agree with the same gaps-and-islands SQL.
-    Session-window merge is half-open (gap < 1800s merges), so the oracle
-    breaks at gap >= 1800."""
+    Session-window merge is end-INCLUSIVE (probed: a gap of exactly 1800s
+    merges, 1800.000001s breaks), so the oracle breaks at gap > 1800 —
+    same rule as w3_sessionize; pinned by tests/test_oracle_boundaries.py."""
     ev = _ev(spark, sf_dir)
     sessions = ev.groupBy(
         "user_id", F.session_window(F.col("ts"), "30 minutes")
@@ -425,7 +426,7 @@ WITH g AS (
          epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
   FROM events),
 s AS (SELECT user_id, event_id,
-             sum(CASE WHEN gap IS NULL OR gap >= 1800 THEN 1 ELSE 0 END)
+             sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
       FROM g),

@@ -59,6 +59,34 @@ def prop_dict(spark):
 
 
 @settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)), min_size=0, max_size=40
+    )
+)
+def test_cc_bts_matches_union_find_on_random_graphs(spark, edges):
+    """The large-star/small-star distributed path must produce the exact
+    union-find mapping on arbitrary graphs (self-loops and duplicates
+    included) — star contraction is subtle enough to fuzz."""
+    from jcpg_spark.operators import canonicalize
+
+    rows = [(f"n{a:02d}", f"n{b:02d}") for a, b in edges if a != b]
+    if not rows:
+        return
+    pairs = spark.createDataFrame(rows, ["a", "b"])
+    dist, _, conv_d = canonicalize.connected_components(pairs, max_iter=30, driver_threshold=0)
+    uf, _, conv_u = canonicalize.connected_components(pairs, driver_threshold=1_000_000)
+    assert conv_d and conv_u
+    got = {r.entity: r.canonical_id for r in dist.collect()}
+    want = {r.entity: r.canonical_id for r in uf.collect()}
+    assert got == want
+
+
+@settings(
     max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
