@@ -190,6 +190,59 @@ def cfg_triples(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def throw_triples(
+    transcripts: DataFrame, failure_rx: str = r"^tool output: no results"
+) -> DataFrame:
+    """THROWS-analog edges: a FAILING tool turn -> its call site.
+
+    Reference analog: ``THROWS`` edges from throwing statements to their
+    handler/caller (``CPGEdge.java:17-34``, ``cpgCFGEdge.java:17-32``
+    THROWS/CDG_THROWS). Transcript semantics: a tool-role turn whose text
+    matches ``failure_rx`` (the tool reported failure) emits
+    ``(turn, 'flow.throws', call_site, var=tool)`` — the failure-path
+    counterpart of the RETURN edge (which still fires at run end; a run
+    can both throw mid-way and return).
+
+    Standalone (not folded into cfg_triples) ON PURPOSE: failure detection
+    must read ``text``, and the fused emitter's scan is plan-gated to
+    prune it; callers that do not want throws never pay the text read.
+    """
+    prev_role = F.lag("role").over(w_conv())
+    prev_tool = F.lag("tool").over(w_conv())
+    prev_idx = F.lag("turn_idx").over(w_conv())
+
+    is_tool = F.col("role") == "tool"
+    run_start = is_tool & ((prev_role != "tool") | prev_role.isNull())
+    callsite_ok = (prev_role == "assistant") & prev_tool.isNotNull()
+
+    t = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        is_tool.alias("is_tool"),
+        F.col("text").rlike(failure_rx).alias("failing"),
+        F.when(
+            run_start,
+            F.when(callsite_ok, S.turn_node(F.col("conv_id"), prev_idx)).otherwise(
+                F.lit(_SENTINEL)
+            ),
+        ).alias("run_callsite"),
+        F.when(run_start, F.when(callsite_ok, prev_tool)).alias("run_tool"),
+    )
+    w_fill = w_conv().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t = t.withColumn("callsite", F.last("run_callsite", ignorenulls=True).over(w_fill))
+    t = t.withColumn("callee_tool", F.last("run_tool", ignorenulls=True).over(w_fill))
+    return (
+        t.filter(F.col("is_tool") & F.col("failing") & (F.col("callsite") != _SENTINEL))
+        .select(
+            S.turn_node(F.col("conv_id"), F.col("turn_idx")).alias("src"),
+            F.lit("flow.throws").alias("pred"),
+            F.col("callsite").alias("dst"),
+            F.col("callee_tool").alias("var"),
+            "conv_id",
+        )
+    )
+
+
 def resolve_tool_registry(transcripts: DataFrame, registry: DataFrame) -> DataFrame:
     """Cross-conversation tool resolution: the REAL J2 equi-join.
 

@@ -169,6 +169,45 @@ FROM f WHERE role = 'tool' AND (nrole IS NULL OR nrole <> 'tool') AND callsite <
 """
 
 
+def q_kg_throws(spark, sf_dir):
+    """THROWS failure edges: failing tool turns -> their call site
+    (calls.throw_triples). In the events adapter every tool-role turn IS
+    an error event ('event error ...' text), so the failure predicate is
+    the '^event error' marker."""
+    t = transcripts_from_events(spark, sf_dir)
+    return calls.throw_triples(t, failure_rx=r"^event error").select(
+        "src", "pred", "dst", "var", "conv_id"
+    )
+
+
+SQL_KG_THROWS = f"""
+WITH o AS ({_SQL_ORDERED}),
+r AS (SELECT conv_id, idx, {_SQL_ROLE} AS role, {_SQL_TOOL} AS tool FROM o),
+x AS (SELECT conv_id, idx, role, tool,
+             lag(role)  OVER (PARTITION BY conv_id ORDER BY idx) AS prole,
+             lag(tool)  OVER (PARTITION BY conv_id ORDER BY idx) AS ptool
+      FROM r),
+m AS (SELECT conv_id, idx, role,
+             CASE WHEN role = 'tool' AND (prole IS NULL OR prole <> 'tool')
+                  THEN CASE WHEN prole = 'assistant' AND ptool IS NOT NULL
+                            THEN 't:' || conv_id || ':' || CAST(idx - 1 AS VARCHAR)
+                            ELSE '~' END END AS run_callsite,
+             CASE WHEN role = 'tool' AND (prole IS NULL OR prole <> 'tool')
+                       AND prole = 'assistant' AND ptool IS NOT NULL
+                  THEN ptool END AS run_tool
+      FROM x),
+f AS (SELECT conv_id, idx, role,
+             last_value(run_callsite IGNORE NULLS) OVER
+               (PARTITION BY conv_id ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS callsite,
+             last_value(run_tool IGNORE NULLS) OVER
+               (PARTITION BY conv_id ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS callee_tool
+      FROM m)
+SELECT 't:' || conv_id || ':' || CAST(idx AS VARCHAR) AS src,
+       'flow.throws' AS pred, callsite AS dst, callee_tool AS var, conv_id
+FROM f WHERE role = 'tool' AND callsite IS NOT NULL AND callsite <> '~'
+"""
+
+
 def q_kg_call_resolved(spark, sf_dir):
     """J2 as a REAL registry equi-join: call sites resolved against a
     broadcast tool-registry dimension (alias -> canonical), unresolved
@@ -1197,6 +1236,7 @@ REGISTRY: dict[str, tuple] = {
     "kg_branch": (q_kg_branch, SQL_KG_BRANCH),
     "kg_call_return": (q_kg_call_return, SQL_KG_CALL_RETURN),
     "kg_call_resolved": (q_kg_call_resolved, SQL_KG_CALL_RESOLVED),
+    "kg_throws": (q_kg_throws, SQL_KG_THROWS),
     "kg_reaching_ref": (q_kg_reaching_ref, SQL_KG_REACHING_REF),
     "kg_metrics_rollup": (q_kg_metrics_rollup, SQL_KG_METRICS_ROLLUP),
     "kg_segment": (q_kg_segment, SQL_KG_SEGMENT),

@@ -113,6 +113,9 @@ PREDICATES = (
                          # JavacpgCFGBuilder.java:1909-1989)
     "cdg.follows",       # FOLLOW region chaining (checkBuildFollowRegion,
                          # JavacpgCFGBuilder.java:1915-1956)
+    "flow.throws",       # THROWS failure edge (CPGEdge.java:17-34,
+                         # cpgCFGEdge.java THROWS/CDG_THROWS) — opt-in layer,
+                         # see calls.throw_triples
 )
 
 

@@ -198,6 +198,19 @@ def test_cc_two_components(spark, threshold):
     assert got == {"a": "a", "b": "a", "x": "x", "y": "x", "z": "x"}
 
 
+def test_throw_triples_failing_turns_only(spark):
+    rows = [
+        ("c1", 0, "assistant", "x", "db"),
+        ("c1", 1, "tool", "tool output: no results", None),   # throws
+        ("c1", 2, "tool", "tool output: part 2 ok", None),    # same run, ok
+        ("c1", 3, "assistant", "x", "search"),
+        ("c1", 4, "tool", "tool output: fine", None),         # ok run
+        ("c2", 0, "tool", "tool output: no results", None),   # orphan run
+    ]
+    got = _edges(calls.throw_triples(_t(spark, rows)))
+    assert got == {("t:c1:1", "flow.throws", "t:c1:0", "db")}
+
+
 def test_resolve_tool_registry_aliases_and_passthrough(spark):
     rows = [
         ("c1", 0, "assistant", "x", "db"),
