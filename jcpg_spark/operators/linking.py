@@ -47,14 +47,24 @@ def score_links(
     return prior.astype("float64") + bonus
 
 
-def link_mentions(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
+def link_mentions(
+    mentions: DataFrame, dictionary: DataFrame, ctx: DataFrame | None = None
+) -> DataFrame:
     """-> linked mentions: mention columns + (canonical, kind, namespace,
     score, defs_state). Unresolvable mentions (no dictionary candidate) are
     dropped, mirroring the reference skipping unresolved call sites
     (JavacpgDDGBuilder.java:563-566 returns null -> no edge).
+
+    ``ctx``: optional (role, tool) context DataFrame. Defaults to the
+    distinct contexts observed in ``mentions``; STREAMING callers must pass
+    a static one (a distinct() on the stream side would be a streaming
+    aggregation) — the context space is a tiny known vocabulary, so
+    enumerating it statically is free and produces the identical `best`
+    table for every context that actually occurs.
     """
     # contexts actually present in the data: tiny (|roles| x |tools|)
-    ctx = mentions.select("role", "tool").distinct()
+    if ctx is None:
+        ctx = mentions.select("role", "tool").distinct()
     cand = ctx.crossJoin(dictionary).withColumn(
         "score",
         score_links(

@@ -148,6 +148,90 @@ def streaming_segment_triples(stream: DataFrame) -> DataFrame:
     )
 
 
+_REF_STATE = "seen int, last_def string"
+
+
+def _ref_fn(key, pdf_iter, state: GroupState):
+    """Stateful reaching-definition per (conv_id, canonical): state carries
+    (seen-any-turn, last def turn node). Mirrors references.reference_triples
+    turn-rollup semantics exactly (intro rule, kill-at-redef, self-flow)."""
+    conv_id, canonical = key
+    seen, last_def = (state.get if state.exists else (0, None))
+    out = {"src": [], "pred": [], "dst": []}
+    rows = []
+    for pdf in pdf_iter:
+        rows.extend(
+            zip(pdf["turn_idx"].tolist(), pdf["ordinal"].tolist(), pdf["defs_state"].tolist())
+        )
+    rows.sort()
+    from itertools import groupby
+
+    for turn_idx, grp in groupby(rows, key=lambda r: r[0]):
+        ms = list(grp)
+        n_mentions = len(ms)
+        n_def = sum(1 for _t, _o, d in ms if d)
+        first_def_state = bool(ms[0][2])
+        if not seen and not first_def_state:
+            n_def += 1  # intro rule: entity's first turn's first mention
+        seen = 1
+        has_def, has_use = n_def > 0, n_mentions > n_def
+        turn = f"t:{conv_id}:{turn_idx}"
+        if has_use and not has_def and last_def is not None:
+            out["src"].append(last_def); out["pred"].append("ref.use"); out["dst"].append(turn)
+        if has_def and last_def is not None:
+            out["src"].append(last_def); out["pred"].append("ref.redef"); out["dst"].append(turn)
+        if has_def and has_use:
+            out["src"].append(turn); out["pred"].append("ref.self"); out["dst"].append(turn)
+        if has_def:
+            last_def = turn
+    state.update((seen, last_def))
+    if out["src"]:
+        yield pd.DataFrame(
+            {
+                "src": out["src"],
+                "pred": out["pred"],
+                "dst": out["dst"],
+                "var": canonical,
+                "conv_id": conv_id,
+            }
+        )
+
+
+def streaming_reference_triples(
+    stream: DataFrame,
+    dictionary: DataFrame,
+    roles: tuple[str, ...] = ("user", "assistant", "tool"),
+    tools: tuple[str | None, ...] = (None, "search", "calc", "db"),
+) -> DataFrame:
+    """Incremental DDG layer: detect mentions (stateless mapInPandas), link
+    against the broadcast dictionary with a STATIC context table (the
+    stream side cannot run distinct()), then a stateful reaching-def pass
+    keyed (conv_id, canonical) with one tiny state row per live entity —
+    the streaming analog of the batch as-of window in
+    references.reference_triples, pytest-gated batch-equivalent across
+    micro-batches under the ordered-arrival contract."""
+    from jcpg_spark.operators import linking, mentions
+
+    spark = stream.sparkSession
+    surfaces = [r["surface"] for r in dictionary.select("surface").distinct().collect()]
+    m = mentions.detect_mentions(spark, stream, surfaces)
+    ctx = spark.createDataFrame(
+        [(r, t) for r in roles for t in tools], "role string, tool string"
+    )
+    linked = linking.link_mentions(m, dictionary, ctx=ctx)
+    return (
+        linked.select("conv_id", "canonical", "turn_idx", "ordinal", "defs_state")
+        .groupBy("conv_id", "canonical")
+        .applyInPandasWithState(
+            _ref_fn,
+            outputStructType=_FLOW_OUT,
+            stateStructType=_REF_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str):
     """Drive a streaming query over all available input synchronously
     (local smoke-test harness; memory sink)."""

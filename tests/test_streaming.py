@@ -65,6 +65,29 @@ def test_streaming_segment_triples_match_batch_across_batches(spark, stream_dir)
     assert got == want
 
 
+def test_streaming_reference_triples_match_batch_across_batches(spark, stream_dir, dictionary):
+    """The stateful reaching-def layer (per-(conv, entity) state) must
+    emit exactly the batch ref.* triples even when an entity's def and its
+    uses arrive in different micro-batches."""
+    from jcpg_spark.operators import linking, mentions, references
+
+    path, t = stream_dir
+    stream = (
+        spark.readStream.schema(t.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    inc.run_to_memory(inc.streaming_reference_triples(stream, dictionary), "ref_out")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM ref_out").collect()}
+
+    surfaces = [r["surface"] for r in dictionary.select("surface").distinct().collect()]
+    m = mentions.detect_mentions(spark, t, surfaces)
+    linked = linking.link_mentions(m, dictionary)
+    want = {tuple(r) for r in references.reference_triples(linked).collect()}
+    assert got == want
+    assert any(p == "ref.use" for (_s, p, _d, _v, _c) in want)  # non-trivial fixture
+
+
 def test_streaming_act_counts_runs(spark, stream_dir):
     path, t = stream_dir
     stream = inc.stream_transcripts(spark, path)
