@@ -59,13 +59,13 @@ def prop_dict(spark):
 
 
 @settings(
-    max_examples=8,
+    max_examples=5,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 @given(
     edges=st.lists(
-        st.tuples(st.integers(0, 24), st.integers(0, 24)), min_size=0, max_size=40
+        st.tuples(st.integers(0, 24), st.integers(0, 24)), min_size=1, max_size=40
     )
 )
 def test_cc_bts_matches_union_find_on_random_graphs(spark, edges):
