@@ -47,7 +47,8 @@ def run(transcripts_path: str, cpus: int, aqe: bool = False) -> dict:
     t0 = time.time()
     res = build_graph(spark, tr, dictionary)
     triples = res.edges.count()
-    wall = time.time() - t0
+    t1 = time.time()
+    wall = t1 - t0
     n_turns = tr.count()
     spark.stop()
     return {
@@ -56,6 +57,11 @@ def run(transcripts_path: str, cpus: int, aqe: bool = False) -> dict:
         "triples": triples,
         "wall_sec": round(wall, 2),
         "triples_per_sec": int(triples / wall),
+        # epoch bounds of the measured pass (excludes warmup/synthesis) so
+        # the parent's NoiseSampler can scope its contamination verdict to
+        # exactly this window — a steal burst during warmup is harmless.
+        "measure_t0": round(t0, 2),
+        "measure_t1": round(t1, 2),
     }
 
 
