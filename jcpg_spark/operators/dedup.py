@@ -77,8 +77,11 @@ def jaccard_pairs(
     )
     # the capped shingle set feeds four consumers (sizes + both self-join
     # sides, each otherwise re-running the regexp+explode+distinct chain) —
-    # persist so shingling happens once.
-    sh = sh.persist()
+    # persist so shingling happens once; swap_persist releases the previous
+    # call's cache so repeated calls never accumulate cached RDDs
+    from jcpg_spark.caching import swap_persist
+
+    sh = swap_persist("jaccard_pairs.shingles", sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sh = sh.join(sizes, "doc_id")  # carry size for the ratio prune
 
@@ -224,9 +227,20 @@ def minhash_lsh_pairs(
     -> (doc_a, doc_b, est_jaccard). Band hash -> bucket join generates
     candidates in ~linear time; the signature-agreement fraction estimates
     Jaccard and filters at ``threshold``.
+
+    Shuffle discipline (same rule as ``embedding_lsh_pairs``): the bucketed
+    frame carries (doc_id, band, bh) only; candidate ids are deduped as
+    (doc_a, doc_b) and the 32x8 B signatures join back AFTER the distinct —
+    the sketch payload never rides the bands-way-exploded candidate shuffle.
     """
+    from jcpg_spark.caching import swap_persist
+
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(docs, num_perm=num_perm, n=n)
+    # the signature frame feeds the bucketing AND both sides of the verify
+    # join; exchange reuse does not dedupe it (measured: 4 recomputes of
+    # the shingle aggregate), so persist — swap_persist releases the
+    # previous call's cache, so repeated calls never accumulate
+    sig = swap_persist("minhash_lsh_pairs.sig", minhash_signatures(docs, num_perm=num_perm, n=n))
     band_cols = [
         F.xxhash64(F.lit(b), *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]).alias(
             f"band{b}"
@@ -236,20 +250,23 @@ def minhash_lsh_pairs(
     banded = sig.select("doc_id", "sig", *band_cols)
     bucketed = banded.select(
         "doc_id",
-        "sig",
         F.explode(
             F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh")) for b in range(bands)])
         ).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
-    a = bucketed.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bh")
-    b = bucketed.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bh")
+    a = bucketed.select(F.col("doc_id").alias("doc_a"), "band", "bh")
+    b = bucketed.select(F.col("doc_id").alias("doc_b"), "band", "bh")
     cand = (
         a.join(b, ["band", "bh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .select("doc_a", "doc_b")
         .distinct()
     )
+    sigs_only = sig.select("doc_id", "sig")
+    cand = cand.join(
+        sigs_only.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a"
+    ).join(sigs_only.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
     cand = cand.withColumn(
         "est_jaccard",
         F.aggregate(

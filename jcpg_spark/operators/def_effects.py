@@ -73,12 +73,18 @@ def propagate_def_effects(
     never unlearned within a build), so the loop terminates in at most
     |dictionary| rounds; convergence is the zero-changed-count round.
     """
+    from jcpg_spark.caching import swap_persist
+
     surfaces = [r["surface"] for r in dictionary.select("surface").distinct().collect()]
+    # mention detection does not depend on the learned bits — detect once,
+    # persist, and only the (broadcast) re-link runs per fixpoint round
+    m = swap_persist(
+        "def_effects.mentions", mentions.detect_mentions(spark, transcripts, surfaces)
+    )
     cur = dictionary
     rounds = 0
     converged = False
     for rounds in range(1, max_iter + 1):
-        m = mentions.detect_mentions(spark, transcripts, surfaces)
         linked = linking.link_mentions(m, cur)
         learned = {r["canonical"] for r in def_effect_evidence(linked, min_evidence).collect()}
         # changed = entries whose bit would flip on (dictionary-sized)

@@ -222,36 +222,45 @@ def lsh_topk(
     (more tables = higher recall; more planes = smaller buckets). Candidates
     are deduped before the exact cosine re-rank, so extra tables cost bucket
     I/O, not extra scoring. -> (query_id, neighbor_id, rank, score).
+
+    Shuffle discipline (same rule as ``dedup.embedding_lsh_pairs``): the
+    bucketed base side carries (neighbor_id, table, bucket) ONLY — never
+    the embedding. Candidate ids are deduped first; the query vectors
+    (small side) broadcast back and the neighbor vectors equi-join back
+    AFTER the distinct. Carrying the two vectors through the candidate
+    dedup measured ~60x the shuffle bytes on the dedup variant — at 100 TB
+    with n_tables-way explode that payload IS the job.
     """
     from pyspark.sql import Window
 
-    def sigs(df, ident):
+    def cells(df, ident, with_seed):
         buckets = F.array(
             *[
                 F.struct(
                     F.lit(t).alias("table"),
-                    _rhp_signature(F.col(vec_col), dim, n_planes, seed=42 + t).alias("bucket"),
+                    _rhp_signature(F.col(vec_col), dim, n_planes, seed=with_seed + t).alias("bucket"),
                 )
                 for t in range(n_tables)
             ]
         )
-        return df.select(
-            F.col(id_col).alias(ident), F.col(vec_col).alias(f"{ident}_vec"),
-            F.explode(buckets).alias("tb"),
-        ).select(ident, f"{ident}_vec", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+        return df.select(F.col(id_col).alias(ident), F.explode(buckets).alias("tb")).select(
+            ident, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+        )
 
-    base = sigs(embeddings, "neighbor_id")
-    q = sigs(queries, "query_id")
+    base = cells(embeddings, "neighbor_id", 42)
+    q = cells(queries, "query_id", 42)
     cand = (
         base.join(F.broadcast(q), ["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "query_id_vec", "neighbor_id", "neighbor_id_vec")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.withColumn(
-        "score",
-        _dot(F.col("query_id_vec"), F.col("neighbor_id_vec"))
-        / (_norm(F.col("query_id_vec")) * _norm(F.col("neighbor_id_vec"))),
+    qvecs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    nvecs = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+    scored = (
+        cand.join(F.broadcast(qvecs), "query_id")
+        .join(nvecs, "neighbor_id")
+        .withColumn("score", _dot(F.col("qvec"), F.col("nvec")) / (_norm(F.col("qvec")) * _norm(F.col("nvec"))))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
