@@ -94,19 +94,54 @@ def gml_per_conversation(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     rank among the conversation's sorted node_ids (deterministic, computed
     with a window INSIDE the conversation — no global ordering pass);
     edges reference endpoints by quoted name via the GML 'name' attribute
-    convention and carry source/target ranks for strict parsers."""
+    convention and carry source/target ranks for strict parsers.
+
+    Global nodes (tool:/role:/e:/ns:, conv_id null) reached by a
+    conversation's edges are DECLARED in that conversation's node section,
+    ranked after the owned nodes — no undeclared sentinel ids, so the
+    document parses standalone under strict GML (each conversation gets its
+    own copy of the globals it references, exactly like the reference's
+    per-graph export of shared type nodes).
+
+    Per-node ``defs``/``uses`` attributes are emitted when present in the
+    props bag (CodePropertyGraph.java:202-203,308-309 analog).
+    """
     from pyspark.sql import Window
 
-    w = Window.partitionBy("conv_id").orderBy("node_id")
-    n = nodes.filter(F.col("conv_id").isNotNull()).select(
-        "conv_id", "node_id", "kind", (F.row_number().over(w) - 1).alias("gid")
+    owned = nodes.filter(F.col("conv_id").isNotNull()).select(
+        "conv_id", "node_id", "kind", "props", F.lit(0).alias("is_global")
     )
+    # globals referenced by this conversation's edges: endpoint ids joined
+    # back against the global-node catalog (conv_id null)
+    glob_catalog = nodes.filter(F.col("conv_id").isNull()).select(
+        "node_id", "kind", "props"
+    )
+    endpoints = (
+        edges.filter(F.col("conv_id").isNotNull())
+        .select("conv_id", F.explode(F.array("src", "dst")).alias("node_id"))
+        .distinct()
+    )
+    referenced_globals = endpoints.join(glob_catalog, "node_id").select(
+        "conv_id", "node_id", "kind", "props", F.lit(1).alias("is_global")
+    )
+    w = Window.partitionBy("conv_id").orderBy("is_global", "node_id")
+    n = owned.unionByName(referenced_globals).select(
+        "conv_id", "node_id", "kind", "props", (F.row_number().over(w) - 1).alias("gid")
+    )
+
+    def _attr(key):
+        v = F.col("props").getItem(key)
+        return F.when(
+            v.isNotNull(), F.concat(F.lit(f' {key} "'), _esc(v), F.lit('"'))
+        ).otherwise(F.lit(""))
+
     node_lines = n.select(
         "conv_id",
         F.lit(0).alias("section"),
         F.concat(
             F.lit("  node [ id "), F.col("gid"), F.lit(' name "'), _esc(F.col("node_id")),
-            F.lit('" kind "'), _esc(F.col("kind")), F.lit('" ]'),
+            F.lit('" kind "'), _esc(F.col("kind")), F.lit('"'),
+            _attr("defs"), _attr("uses"), F.lit(" ]"),
         ).alias("line"),
         F.col("gid").alias("ord"),
     )

@@ -206,9 +206,16 @@ def connected_components(
 
     # star edges are (member -> root); roots (and isolated entities, which
     # cannot occur here since every input row has two distinct endpoints)
-    # map to themselves via the left join
+    # map to themselves via the left join. The min-root collapse guarantees
+    # a SINGLE-VALUED mapping even when max_iter stopped the loop before
+    # the edge set was fully star-shaped (an entity may then still carry
+    # several candidate roots; min matches what further rounds converge to
+    # for already-star components, and is a no-op — one root per entity —
+    # on any converged run).
     mapping = all_nodes.join(
-        edges.select(F.col("a").alias("entity"), F.col("b").alias("root")), "entity", "left"
+        edges.groupBy(F.col("a").alias("entity")).agg(F.min("b").alias("root")),
+        "entity",
+        "left",
     ).select("entity", F.coalesce(F.col("root"), F.col("entity")).alias("canonical_id"))
     return mapping, rounds, converged
 

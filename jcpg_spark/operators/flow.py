@@ -137,6 +137,66 @@ def segment_triples(transcripts: DataFrame) -> DataFrame:
     return in_seg.unionByName(follows)
 
 
+def segment_entry_triples(
+    transcripts: DataFrame, failure_rx: str = r"^tool output: no results"
+) -> DataFrame:
+    """Typed CDG region-entry edges — the CDG_TRUE/FALSE vs
+    CDG_THROWS/NOT_THROWS distinction (``cpgCFGEdge.java:22-27``; the
+    repo's membership/chaining edges alone can't answer "which segments
+    were entered through a failed call").
+
+    For every region-opening turn with a predecessor (``seg > 0``), the
+    predecessor — the last turn of the previous region, the reference's
+    condition node — classifies the entry:
+
+    - assistant turn with a pending tool invocation whose branch was NOT
+      taken (the user re-took the floor instead of the tool running):
+      ``(prev_turn, 'cdg.enter_false', seg_k, var=tool)``
+    - tool turn whose text matches ``failure_rx`` (the call failed):
+      ``(prev_turn, 'cdg.enter_throws', seg_k)``
+    - tool turn otherwise (a taken branch ran to completion):
+      ``(prev_turn, 'cdg.enter_true', seg_k)``
+    - plain assistant turn: epsilon entry (CDG_EPSILON analog) — the
+      untyped membership/chaining edges already cover it, no edge here.
+
+    Same single (conv_id, turn_idx) window as every CFG-layer operator;
+    kept OUT of the fused emitter (like ``calls.throw_triples``) so the
+    fused pass's scan keeps pruning ``text``.
+    """
+    w = w_conv()
+    w_fill = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_role = F.lag("role").over(w)
+    t = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        prev_role.alias("prev_role"),
+        F.lag("turn_idx").over(w).alias("prev_idx"),
+        F.lag("tool").over(w).alias("prev_tool"),
+        F.lag(F.col("text").rlike(failure_rx)).over(w).alias("prev_failing"),
+        segment_break(prev_role).alias("is_break"),
+    )
+    t = t.withColumn("seg", F.sum(F.col("is_break").cast("long")).over(w_fill) - 1)
+    pred = (
+        F.when(
+            (F.col("prev_role") == "assistant") & F.col("prev_tool").isNotNull(),
+            F.lit("cdg.enter_false"),
+        )
+        .when((F.col("prev_role") == "tool") & F.col("prev_failing"), F.lit("cdg.enter_throws"))
+        .when(F.col("prev_role") == "tool", F.lit("cdg.enter_true"))
+    )
+    return (
+        t.filter(F.col("is_break") & (F.col("seg") > 0) & pred.isNotNull())
+        .select(
+            S.turn_node(F.col("conv_id"), F.col("prev_idx")).alias("src"),
+            pred.alias("pred"),
+            S.segment_node(F.col("conv_id"), F.col("seg")).alias("dst"),
+            F.when(pred == "cdg.enter_false", F.col("prev_tool")).alias("var"),
+            "conv_id",
+        )
+    )
+
+
 def flow_branch(transcripts: DataFrame) -> DataFrame:
     """Branch triples from tool-invoking assistant turns (FLOWS_TO_TRUE/FALSE
     analog, JavacpgCFGBuilder.java:827-875).

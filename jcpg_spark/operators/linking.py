@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from jcpg_spark import schema as S
+
 
 @F.pandas_udf(T.DoubleType())
 def score_links(
@@ -58,11 +60,15 @@ def link_mentions(
     ``ctx``: optional (role, tool) context DataFrame. Defaults to the
     distinct contexts observed in ``mentions``; STREAMING callers must pass
     a static one (a distinct() on the stream side would be a streaming
-    aggregation) — the context space is a tiny known vocabulary, so
-    enumerating it statically is free and produces the identical `best`
-    table for every context that actually occurs.
+    aggregation). A mention whose (role, tool) falls OUTSIDE a caller-
+    provided ctx is NOT dropped: it falls back to the context-free best
+    candidate for its surface (prior-only score, same tie-break) — a
+    declared-vocabulary gap degrades the ranking, never the recall. With
+    the default observed-context ctx the fallback is provably dead (every
+    mention's context is in ctx), so the batch plan is unchanged.
     """
     # contexts actually present in the data: tiny (|roles| x |tools|)
+    fallback = ctx is not None
     if ctx is None:
         ctx = mentions.select("role", "tool").distinct()
     cand = ctx.crossJoin(dictionary).withColumn(
@@ -88,6 +94,77 @@ def link_mentions(
     )
     # broadcast hash join on (surface, role, tool) — null-safe via sentinel
     m = mentions.withColumn("_tool_key", F.coalesce(F.col("tool"), F.lit("\x00")))
-    return m.join(F.broadcast(best), on=["surface", "role", "_tool_key"], how="inner").drop(
+    hit = m.join(F.broadcast(best), on=["surface", "role", "_tool_key"], how="inner").drop(
         "_tool_key"
+    )
+    if not fallback:
+        return hit
+    # context-free rank-1 per surface (prior only, same deterministic
+    # tie-break) for mentions whose context the static ctx did not declare
+    best0 = (
+        dictionary.groupBy("surface")
+        .agg(
+            F.min_by(
+                F.struct("canonical", "namespace", "kind", "prior", "defs_state"),
+                F.struct((-F.col("prior")).alias("s"), F.col("canonical"), F.col("namespace")),
+            ).alias("b")
+        )
+        .select(
+            "surface",
+            F.col("b.canonical").alias("canonical"),
+            F.col("b.namespace").alias("namespace"),
+            F.col("b.kind").alias("kind"),
+            F.col("b.defs_state").alias("defs_state"),
+            F.col("b.prior").cast("double").alias("score"),
+        )
+    )
+    miss = m.join(
+        F.broadcast(best.select("surface", "role", "_tool_key")),
+        on=["surface", "role", "_tool_key"],
+        how="left_anti",
+    ).drop("_tool_key")
+    return hit.unionByName(miss.join(F.broadcast(best0), "surface", "inner"))
+
+
+def import_triples(linked_mentions: DataFrame) -> DataFrame:
+    """IMPORTS edges: (conversation, 'imports', ns:<namespace>) for every
+    dictionary namespace the conversation's linked mentions touch.
+
+    Reference analog: ``IMPORTS`` edges (``cpgCFGEdge.java:28``) emitted by
+    the import semi-join over the compilation unit's import list
+    (``JavacpgICFGBuilder.java:190-213``) — here the "import list" is the
+    set of namespaces a conversation actually pulls entities from. A
+    distinct projection off ``linked``: the aggregation keys on
+    (conv_id, namespace), a strict reduction of the (conv, entity) exchange
+    the reference layer shuffles on anyway — no new wide column.
+    """
+    return (
+        linked_mentions.filter(F.col("namespace").isNotNull())
+        .select("conv_id", "namespace")
+        .distinct()
+        .select(
+            S.conv_node(F.col("conv_id")).alias("src"),
+            F.lit("imports").alias("pred"),
+            S.namespace_node(F.col("namespace")).alias("dst"),
+            F.lit(None).cast("string").alias("var"),
+            "conv_id",
+        )
+    )
+
+
+def namespace_nodes(linked_mentions: DataFrame) -> DataFrame:
+    """One global node per dictionary namespace observed in the linked
+    mentions (IMPORTS edge targets)."""
+    return (
+        linked_mentions.filter(F.col("namespace").isNotNull())
+        .select("namespace")
+        .distinct()
+        .select(
+            S.namespace_node(F.col("namespace")).alias("node_id"),
+            F.lit(None).cast("string").alias("conv_id"),
+            F.lit("namespace").alias("kind"),
+            F.col("namespace").alias("label"),
+            F.lit(None).cast("int").alias("turn_idx"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        )
     )

@@ -112,6 +112,50 @@ def reference_triples(linked_mentions: DataFrame) -> DataFrame:
     )
 
 
+def def_use_rollup(linked_mentions: DataFrame) -> DataFrame:
+    """-> (conv_id, turn_idx, defs, uses): the per-turn DEF/USE sets,
+    serialized as ';'-joined sorted canonical lists (null when empty).
+
+    Reference analog: the per-node ``defs``/``uses`` arrays the reference
+    attaches to every CPG node and carries into its GML/JSON exports
+    (``CodePropertyGraph.java:202-203,308-309``). Same def/use semantics as
+    ``reference_triples`` (explicit defs_state OR first-mention intro rule;
+    a turn USES the entity when it has more mentions than defs), computed
+    with the same single hash aggregation + (conv, entity) window, then one
+    further map-side-combinable aggregation onto (conv, turn).
+    """
+    enc = F.col("ordinal").cast("long") * 2 + F.col("defs_state").cast("long")
+    per_turn = linked_mentions.groupBy("conv_id", "canonical", "turn_idx").agg(
+        F.count("*").alias("n_mentions"),
+        F.sum(F.col("defs_state").cast("int")).alias("n_exp_def"),
+        ((F.min(enc) % 2) == 1).alias("first_def_state"),
+    )
+    w_turns = Window.partitionBy("conv_id", "canonical").orderBy("turn_idx")
+    intro_bonus = F.when(
+        (F.row_number().over(w_turns) == 1) & ~F.col("first_def_state"), F.lit(1)
+    ).otherwise(F.lit(0))
+    per_turn = per_turn.withColumn("n_def", F.col("n_exp_def") + intro_bonus)
+    return (
+        per_turn.groupBy("conv_id", "turn_idx")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("n_def") > 0, F.col("canonical")))
+            ).alias("_defs"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("n_mentions") > F.col("n_def"), F.col("canonical"))
+                )
+            ).alias("_uses"),
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.when(F.size("_defs") > 0, F.concat_ws(";", "_defs")).alias("defs"),
+            F.when(F.size("_uses") > 0, F.concat_ws(";", "_uses")).alias("uses"),
+        )
+    )
+
+
 def entity_nodes(linked_mentions: DataFrame) -> DataFrame:
     """One node per distinct linked entity."""
     return (

@@ -136,9 +136,16 @@ def kmeans_centroids(
     means via ``posexplode`` + hash aggregation — one shuffle on
     (centroid, dim), map-side combinable, so a round costs two exchanges
     regardless of N. Only the K centroid vectors ever reach the driver.
-    Empty clusters keep their previous centroid. Deterministic: seed is
-    first-k by id and every step is exact arithmetic over a fixed
-    partition-invariant assignment.
+    Empty clusters keep their previous centroid. The ASSIGNMENT each round
+    is deterministic (seed is first-k by id; argmin over a fixed centroid
+    list), but centroid VALUES use ``F.avg`` over doubles — a
+    partition-order-dependent floating-point sum — so centroids can differ
+    in final ulps across parallelism levels, and an argmin whose top-2
+    distances tie within that error may flip. Callers needing bit-stable
+    centroids should fold a sorted collect_list per (centroid, dim)
+    instead; at IVF-probe granularity the ulp jitter is immaterial (the
+    pytest gate asserts objective improvement and full-probe exactness,
+    not centroid bits).
     """
     cents = default_centroids(embeddings, k=k, id_col=id_col, vec_col=vec_col)
     for _ in range(iters):

@@ -25,6 +25,9 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
+from jcpg_spark import schema as S
 from jcpg_spark.operators import calls, canonicalize, flow, linking, mentions, references, structural
 
 
@@ -45,6 +48,7 @@ def build_graph(
     dictionary: DataFrame,
     cc_max_iter: int = 25,
     learn_def_effects: bool = False,
+    failure_rx: str = r"^tool output: no results",
 ) -> PipelineResult:
     if learn_def_effects:
         # signature fixpoint (JavacpgDDGBuilder.java:102-117 analog): learn
@@ -60,17 +64,21 @@ def build_graph(
 
     # transcripts may itself be a derived plan (e.g. the events adapter's
     # window); it feeds ~8 consumers below — persist so the source is
-    # computed once instead of once per edge layer.
-    transcripts = transcripts.persist()
+    # computed once instead of once per edge layer. swap_persist slots
+    # release the previous build's caches, so repeated build_graph calls
+    # (bench loops, long sessions) never accumulate cached RDDs.
+    from jcpg_spark.caching import swap_persist
+
+    transcripts = swap_persist("pipeline.transcripts", transcripts)
 
     m = mentions.detect_mentions(spark, transcripts, surfaces)
     # the mention-detection pandas UDF is the most expensive map stage; it
     # feeds both ast_has_mention and linking — persist to run it once.
-    m = m.persist()
+    m = swap_persist("pipeline.mentions", m)
     linked = linking.link_mentions(m, dictionary)
     # linked feeds three consumers (ref edges, alias pairs, canonical map) —
     # persist so mention detection + linking run once.
-    linked = linked.persist()
+    linked = swap_persist("pipeline.linked", linked)
 
     pairs = canonicalize.alias_pairs(transcripts, linked)
     mapping, rounds, converged = canonicalize.connected_components(pairs, max_iter=cc_max_iter)
@@ -78,20 +86,41 @@ def build_graph(
     # fused CFG/ICFG/CDG emitter: ast.has_turn + act.role + flow.* +
     # call/return + cdg.in_segment/cdg.follows in a single window pass
     # (see calls.cfg_triples) instead of eight separately-shuffled layers.
+    # The text-reading layers (typed CDG entry, THROWS) stay out of the
+    # fused pass so its scan keeps pruning text; they read the persisted
+    # transcripts. IMPORTS is a distinct projection off linked.
     edges = (
         calls.cfg_triples(transcripts)
+        .unionByName(flow.segment_entry_triples(transcripts, failure_rx=failure_rx))
+        .unionByName(calls.throw_triples(transcripts, failure_rx=failure_rx))
         .unionByName(mentions.ast_has_mention(m))
         .unionByName(references.reference_triples(linked))
+        .unionByName(linking.import_triples(linked))
         .unionByName(canonicalize.same_as_triples(mapping))
+    )
+    # per-turn DEF/USE sets onto the turn nodes' property bag — the
+    # reference's per-node defs/uses arrays (CodePropertyGraph.java:202-203,
+    # 308-309), carried into the GML/JSON exports
+    turn_nodes = (
+        structural.turn_nodes(transcripts)
+        .join(references.def_use_rollup(linked), ["conv_id", "turn_idx"], "left")
+        .withColumn(
+            "props",
+            F.map_concat(
+                F.col("props"), S.props_map(defs=F.col("defs"), uses=F.col("uses"))
+            ),
+        )
+        .drop("defs", "uses")
     )
     nodes = (
         structural.conversation_nodes(transcripts)
-        .unionByName(structural.turn_nodes(transcripts))
+        .unionByName(turn_nodes)
         .unionByName(mentions.mention_nodes(m))
         .unionByName(references.entity_nodes(linked))
         .unionByName(calls.tool_nodes(transcripts))
         .unionByName(calls.role_nodes(transcripts))
         .unionByName(structural.segment_nodes(transcripts))
+        .unionByName(linking.namespace_nodes(linked))
     )
     canonical = canonicalize.canonical_map(linked, mapping)
     return PipelineResult(

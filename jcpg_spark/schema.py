@@ -18,6 +18,8 @@ cheaper than sha2 at 10^12-turn scale and still deterministic):
 - segment       ``seg:<conv_id>:<seg_idx>`` (synthetic region node, the
   FOLLOW-region analog of ``JavacpgCFGBuilder.checkBuildFollowRegion``,
   :1915-1956)
+- namespace     ``ns:<namespace>`` (IMPORTS target, the package/import
+  analog of ``JavacpgICFGBuilder.java:190-213``)
 """
 
 from __future__ import annotations
@@ -116,6 +118,16 @@ PREDICATES = (
     "flow.throws",       # THROWS failure edge (CPGEdge.java:17-34,
                          # cpgCFGEdge.java THROWS/CDG_THROWS) — opt-in layer,
                          # see calls.throw_triples
+    "cdg.enter_true",    # typed region entry: segment entered after a TAKEN
+                         # tool branch completed (CDG_TRUE analog,
+                         # cpgCFGEdge.java:22-27); see flow.segment_entry_triples
+    "cdg.enter_false",   # entry after an untaken branch (CDG_FALSE analog)
+    "cdg.enter_throws",  # entry after a FAILING tool turn (CDG_THROWS /
+                         # NOT_THROWS split, cpgCFGEdge.java:26-27)
+    "imports",           # conversation -> namespace it pulls entities from
+                         # (IMPORTS, cpgCFGEdge.java:28; import semi-join
+                         # JavacpgICFGBuilder.java:190-213); see
+                         # linking.import_triples
 )
 
 
@@ -147,6 +159,10 @@ def tool_node(tool: Column) -> Column:
 
 def segment_node(conv_id: Column, seg_idx: Column) -> Column:
     return F.concat(F.lit("seg:"), conv_id, F.lit(":"), seg_idx.cast("string"))
+
+
+def namespace_node(namespace: Column) -> Column:
+    return F.concat(F.lit("ns:"), namespace)
 
 
 def props_map(**kv: Column) -> Column:

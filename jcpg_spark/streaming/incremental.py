@@ -201,7 +201,7 @@ def streaming_reference_triples(
     stream: DataFrame,
     dictionary: DataFrame,
     roles: tuple[str, ...] = ("user", "assistant", "tool"),
-    tools: tuple[str | None, ...] = (None, "search", "calc", "db"),
+    tools: tuple[str | None, ...] | None = None,
 ) -> DataFrame:
     """Incremental DDG layer: detect mentions (stateless mapInPandas), link
     against the broadcast dictionary with a STATIC context table (the
@@ -209,12 +209,30 @@ def streaming_reference_triples(
     keyed (conv_id, canonical) with one tiny state row per live entity —
     the streaming analog of the batch as-of window in
     references.reference_triples, pytest-gated batch-equivalent across
-    micro-batches under the ordered-arrival contract."""
+    micro-batches under the ordered-arrival contract.
+
+    The static context is derived from DECLARED vocabulary, not synth
+    constants: ``roles`` is the closed role set of the transcript data
+    model (input_hint), and ``tools`` defaults to the dictionary's
+    tool-kind namespaces (+ None for tool-less turns). A streamed mention
+    whose (role, tool) still falls outside the static table is NOT dropped
+    — ``link_mentions`` falls back to the context-free best candidate for
+    its surface, so an undeclared tool degrades ranking (no +0.3 context
+    bonus), never recall.
+    """
     from jcpg_spark.operators import linking, mentions
 
     spark = stream.sparkSession
     surfaces = [r["surface"] for r in dictionary.select("surface").distinct().collect()]
     m = mentions.detect_mentions(spark, stream, surfaces)
+    if tools is None:
+        tool_rows = (
+            dictionary.filter(F.col("kind") == "tool")
+            .select("namespace")
+            .distinct()
+            .collect()
+        )
+        tools = (None, *sorted(r["namespace"] for r in tool_rows if r["namespace"]))
     ctx = spark.createDataFrame(
         [(r, t) for r in roles for t in tools], "role string, tool string"
     )

@@ -27,10 +27,16 @@ def _rx(surfaces):
     return re.compile(r"\b(?:" + "|".join(re.escape(s) for s in ordered) + r")\b", re.IGNORECASE)
 
 
+FAILURE_RX = re.compile(r"^tool output: no results")
+
+
 def oracle_graph(transcripts: pd.DataFrame, dictionary: pd.DataFrame):
     """-> (edges set[Triple], canonical dict[mention_id, canonical_id])."""
     t = transcripts.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     edges: set[Triple] = set()
+
+    def failing(r):
+        return isinstance(r.text, str) and bool(FAILURE_RX.search(r.text))
 
     # --- structural + act
     for r in t.itertuples():
@@ -48,6 +54,19 @@ def oracle_graph(transcripts: pd.DataFrame, dictionary: pd.DataFrame):
                 seg += 1
                 if seg > 0:
                     edges.add((f"seg:{conv}:{seg-1}", "cdg.follows", f"seg:{conv}:{seg}", None, conv))
+                    # typed CDG region-entry edge from the predecessor
+                    # (cdg.enter_true/false/throws; epsilon -> no edge)
+                    p = rows[i - 1]
+                    if p.role == "assistant" and isinstance(p.tool, str):
+                        edges.add(
+                            (_turn(conv, p.turn_idx), "cdg.enter_false",
+                             f"seg:{conv}:{seg}", p.tool, conv)
+                        )
+                    elif p.role == "tool":
+                        pred = "cdg.enter_throws" if failing(p) else "cdg.enter_true"
+                        edges.add(
+                            (_turn(conv, p.turn_idx), pred, f"seg:{conv}:{seg}", None, conv)
+                        )
             edges.add((_turn(conv, r.turn_idx), "cdg.in_segment", f"seg:{conv}:{seg}", None, conv))
         for i, r in enumerate(rows):
             if i + 1 < len(rows):
@@ -75,6 +94,18 @@ def oracle_graph(transcripts: pd.DataFrame, dictionary: pd.DataFrame):
                             conv,
                         )
                     )
+                    # THROWS: every FAILING tool turn of the run -> call site
+                    for k in range(i, j + 1):
+                        if failing(rows[k]):
+                            edges.add(
+                                (
+                                    _turn(conv, rows[k].turn_idx),
+                                    "flow.throws",
+                                    _turn(conv, rows[i - 1].turn_idx),
+                                    rows[i - 1].tool,
+                                    conv,
+                                )
+                            )
                 i = j + 1
             else:
                 i += 1
@@ -123,7 +154,20 @@ def oracle_graph(transcripts: pd.DataFrame, dictionary: pd.DataFrame):
             scored.append((-s, c.canonical, c))
         scored.sort()
         best = scored[0][2]
-        linked.append({**m, "canonical": best.canonical, "defs_state": bool(best.defs_state)})
+        linked.append(
+            {
+                **m,
+                "canonical": best.canonical,
+                "defs_state": bool(best.defs_state),
+                "namespace": best.namespace if isinstance(best.namespace, str) else None,
+            }
+        )
+
+    # --- IMPORTS: conversation -> namespace of any linked mention
+    for m in linked:
+        ns = m.get("namespace")
+        if isinstance(ns, str):
+            edges.add((f"c:{m['conv_id']}", "imports", f"ns:{ns}", None, m["conv_id"]))
 
     # --- reference edges (reaching def with kill)
     by_entity = defaultdict(list)

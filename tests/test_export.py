@@ -87,10 +87,14 @@ def test_gml_roundtrip_ids_consistent(spark, graph3):
         for line in gml.splitlines():
             if (m := edge_rx.match(line)):
                 s, t = int(m.group(1)), int(m.group(2))
-                if s >= 0:
-                    assert ids[s] == _unesc(m.group(3))
-                if t >= 0:
-                    assert ids[t] == _unesc(m.group(4))
+                # every endpoint — including global tool:/role:/e:/ns: nodes —
+                # must be DECLARED in this conversation's node section (no
+                # undeclared -1 sentinels; strict-GML validity)
+                assert s >= 0 and t >= 0
+                assert ids[s] == _unesc(m.group(3))
+                assert ids[t] == _unesc(m.group(4))
+        # the graph references global nodes, so some must have been declared
+        assert any(name.split(":")[0] in ("tool", "role", "e", "ns") for name in ids.values())
 
 
 def test_json_graph_roundtrip(spark, graph3, tmp_path):

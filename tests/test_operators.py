@@ -336,3 +336,35 @@ def test_flow_next_salted_noncontiguous_turn_idx(spark):
     plain = {tuple(r) for r in flow.flow_next(t).collect()}
     salted = {tuple(r) for r in flow.flow_next_salted(t, chunk_size=10).collect()}
     assert salted == plain
+
+
+def test_link_mentions_context_fallback_for_undeclared_context(spark):
+    """A mention whose (role, tool) is outside a caller-provided static ctx
+    must link to the context-free best candidate, not silently drop
+    (streaming vocabulary-gap contract); declared contexts still get the
+    full context-scored winner."""
+    from pyspark.sql import functions as F
+
+    dic = spark.createDataFrame(
+        [
+            ("alpha cache", "alpha_cache", "core", "artifact", 0.9, False),
+            ("alpha cache", "alpha_cache_alt", "alt", "tool", 0.7, False),
+        ],
+        "surface string, canonical string, namespace string, kind string, prior double, defs_state boolean",
+    )
+    ments = spark.createDataFrame(
+        [
+            ("c0", 0, 0, "alpha cache", "assistant", "alt"),       # declared ctx
+            ("c1", 0, 0, "alpha cache", "assistant", "newtool"),   # undeclared
+            ("c2", 0, 0, "alpha cache", "operator", None),         # undeclared role
+        ],
+        "conv_id string, turn_idx int, ordinal int, surface string, role string, tool string",
+    )
+    ctx = spark.createDataFrame([("assistant", "alt"), ("assistant", None)], "role string, tool string")
+    out = {r.conv_id: r for r in linking.link_mentions(ments, dic, ctx=ctx).collect()}
+    assert len(out) == 3  # nothing dropped
+    # declared context: tool-kind candidate wins via the +0.3 namespace bonus
+    assert out["c0"].canonical == "alpha_cache_alt"
+    # undeclared contexts: context-free best = highest prior
+    assert out["c1"].canonical == "alpha_cache" and out["c1"].score == 0.9
+    assert out["c2"].canonical == "alpha_cache"
