@@ -260,7 +260,6 @@ def main() -> None:
         "dedup_embedding_lsh",
         "ann_cosine_topk",
         "tpch_q1",
-        "tpch_q3_topk",
     ]
     qtimes: dict[str, float] = {}
     for name in headliners:

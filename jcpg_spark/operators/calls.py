@@ -90,7 +90,7 @@ def return_triples(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def cfg_triples(transcripts: DataFrame) -> DataFrame:
+def cfg_triples(transcripts: DataFrame, failure_rx: str | None = None) -> DataFrame:
     """Fused CFG/ICFG/CDG emitter: ast.has_turn + act.role + flow.next +
     flow.branch_* + call + return + cdg.in_segment + cdg.follows in ONE
     window pass.
@@ -104,6 +104,14 @@ def cfg_triples(transcripts: DataFrame) -> DataFrame:
     per-turn edge candidates as an array of structs, and explodes — one
     shuffle + one sort for eight edge kinds. Used by the pipeline; the
     per-layer functions remain for targeted queries/tests.
+
+    ``failure_rx`` opts IN the two text-reading layers — ``flow.throws``
+    and the typed CDG entry edges — as a ninth/tenth kind in the SAME
+    pass (row-identical to throw_triples + flow.segment_entry_triples,
+    pytest-gated). Default None keeps text out of the scan entirely, so
+    callers that never need failure semantics keep the pruned read; the
+    pipeline passes its failure_rx because its transcripts are persisted
+    (the extra column is a cache read, not a second window).
     """
     w = w_conv()
     w_fill = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -117,6 +125,17 @@ def cfg_triples(transcripts: DataFrame) -> DataFrame:
     is_tool = F.col("role") == "tool"
     run_start = is_tool & ((prev_role != "tool") | prev_role.isNull())
     callsite_ok = (prev_role == "assistant") & prev_tool.isNotNull()
+
+    failure_cols = []
+    if failure_rx is not None:
+        failing = F.col("text").rlike(failure_rx)
+        failure_cols = [
+            failing.alias("failing"),
+            F.lag(failing).over(w).alias("prev_failing"),
+            prev_role.alias("prev_role"),
+            prev_tool.alias("prev_tool"),
+            prev_idx.alias("prev_idx"),
+        ]
 
     e = transcripts.select(
         "conv_id",
@@ -134,6 +153,7 @@ def cfg_triples(transcripts: DataFrame) -> DataFrame:
         ).alias("run_callsite"),
         F.when(run_start, F.when(callsite_ok, prev_tool)).alias("run_tool"),
         segment_break(prev_role).alias("is_break"),
+        *failure_cols,
     )
     e = e.select(
         "*",
@@ -157,29 +177,55 @@ def cfg_triples(transcripts: DataFrame) -> DataFrame:
     branch_pred = F.when(F.col("next_role") == "tool", F.lit("flow.branch_true")).otherwise(
         F.lit("flow.branch_false")
     )
-    arr = F.array_compact(
-        F.array(
-            edge(S.conv_node(F.col("conv_id")), "ast.has_turn", turn, nul),
-            edge(turn, "act.role", S.role_node(F.col("role")), nul),
-            F.when(F.col("next_idx").isNotNull(), edge(turn, "flow.next", nxt, nul)),
-            F.when(is_call & F.col("next_idx").isNotNull(), edge(turn, branch_pred, nxt, F.col("tool"))),
-            F.when(is_call, edge(turn, "call", S.tool_node(F.col("tool")), F.col("tool"))),
-            F.when(
-                F.col("is_tool") & F.col("run_end") & (F.col("callsite") != _SENTINEL),
-                edge(turn, "return", F.col("callsite"), F.col("callee_tool")),
+    kinds = [
+        edge(S.conv_node(F.col("conv_id")), "ast.has_turn", turn, nul),
+        edge(turn, "act.role", S.role_node(F.col("role")), nul),
+        F.when(F.col("next_idx").isNotNull(), edge(turn, "flow.next", nxt, nul)),
+        F.when(is_call & F.col("next_idx").isNotNull(), edge(turn, branch_pred, nxt, F.col("tool"))),
+        F.when(is_call, edge(turn, "call", S.tool_node(F.col("tool")), F.col("tool"))),
+        F.when(
+            F.col("is_tool") & F.col("run_end") & (F.col("callsite") != _SENTINEL),
+            edge(turn, "return", F.col("callsite"), F.col("callee_tool")),
+        ),
+        edge(turn, "cdg.in_segment", S.segment_node(F.col("conv_id"), F.col("seg")), nul),
+        F.when(
+            F.col("is_break") & (F.col("seg") > 0),
+            edge(
+                S.segment_node(F.col("conv_id"), F.col("seg") - 1),
+                "cdg.follows",
+                S.segment_node(F.col("conv_id"), F.col("seg")),
+                nul,
             ),
-            edge(turn, "cdg.in_segment", S.segment_node(F.col("conv_id"), F.col("seg")), nul),
+        ),
+    ]
+    if failure_rx is not None:
+        entry_pred = (
             F.when(
-                F.col("is_break") & (F.col("seg") > 0),
+                (F.col("prev_role") == "assistant") & F.col("prev_tool").isNotNull(),
+                F.lit("cdg.enter_false"),
+            )
+            .when(
+                (F.col("prev_role") == "tool") & F.col("prev_failing"),
+                F.lit("cdg.enter_throws"),
+            )
+            .when(F.col("prev_role") == "tool", F.lit("cdg.enter_true"))
+        )
+        kinds += [
+            F.when(
+                F.col("is_tool") & F.col("failing") & (F.col("callsite") != _SENTINEL),
+                edge(turn, "flow.throws", F.col("callsite"), F.col("callee_tool")),
+            ),
+            F.when(
+                F.col("is_break") & (F.col("seg") > 0) & entry_pred.isNotNull(),
                 edge(
-                    S.segment_node(F.col("conv_id"), F.col("seg") - 1),
-                    "cdg.follows",
+                    S.turn_node(F.col("conv_id"), F.col("prev_idx")),
+                    entry_pred,
                     S.segment_node(F.col("conv_id"), F.col("seg")),
-                    nul,
+                    F.when(entry_pred == "cdg.enter_false", F.col("prev_tool")),
                 ),
             ),
-        )
-    )
+        ]
+    arr = F.array_compact(F.array(*kinds))
     out = e.select("conv_id", F.explode(arr).alias("m"))
     return out.select(
         F.col("m.src").alias("src"),
@@ -240,6 +286,97 @@ def throw_triples(
             F.col("callee_tool").alias("var"),
             "conv_id",
         )
+    )
+
+
+def failure_layer_triples(
+    transcripts: DataFrame, failure_rx: str = r"^tool output: no results"
+) -> DataFrame:
+    """Fused text-reading layer: ``flow.throws`` + typed CDG entry edges
+    (``cdg.enter_true/enter_false/enter_throws``) in ONE window pass.
+
+    Row-identical to ``throw_triples(t, rx) UNION
+    flow.segment_entry_triples(t, rx)`` (pytest-gated) — both layers need
+    the same (conv_id, turn_idx) window over the same text-bearing scan,
+    so the pipeline composes them fused: one exchange + one sort instead
+    of two of each. The standalone operators remain for targeted queries.
+    """
+    w = w_conv()
+    w_fill = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    prev_role = F.lag("role").over(w)
+    prev_tool = F.lag("tool").over(w)
+    prev_idx = F.lag("turn_idx").over(w)
+    failing = F.col("text").rlike(failure_rx)
+
+    is_tool = F.col("role") == "tool"
+    run_start = is_tool & ((prev_role != "tool") | prev_role.isNull())
+    callsite_ok = (prev_role == "assistant") & prev_tool.isNotNull()
+    from jcpg_spark.operators.flow import segment_break
+
+    t = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        is_tool.alias("is_tool"),
+        failing.alias("failing"),
+        prev_role.alias("prev_role"),
+        prev_tool.alias("prev_tool"),
+        prev_idx.alias("prev_idx"),
+        F.lag(failing).over(w).alias("prev_failing"),
+        F.when(
+            run_start,
+            F.when(callsite_ok, S.turn_node(F.col("conv_id"), prev_idx)).otherwise(
+                F.lit(_SENTINEL)
+            ),
+        ).alias("run_callsite"),
+        F.when(run_start, F.when(callsite_ok, prev_tool)).alias("run_tool"),
+        segment_break(prev_role).alias("is_break"),
+    )
+    t = t.select(
+        "*",
+        F.last("run_callsite", ignorenulls=True).over(w_fill).alias("callsite"),
+        F.last("run_tool", ignorenulls=True).over(w_fill).alias("callee_tool"),
+        (F.sum(F.col("is_break").cast("long")).over(w_fill) - 1).alias("seg"),
+    )
+
+    turn = S.turn_node(F.col("conv_id"), F.col("turn_idx"))
+    entry_pred = (
+        F.when(
+            (F.col("prev_role") == "assistant") & F.col("prev_tool").isNotNull(),
+            F.lit("cdg.enter_false"),
+        )
+        .when((F.col("prev_role") == "tool") & F.col("prev_failing"), F.lit("cdg.enter_throws"))
+        .when(F.col("prev_role") == "tool", F.lit("cdg.enter_true"))
+    )
+    arr = F.array_compact(
+        F.array(
+            F.when(
+                F.col("is_tool") & F.col("failing") & (F.col("callsite") != _SENTINEL),
+                F.struct(
+                    turn.alias("src"),
+                    F.lit("flow.throws").alias("pred"),
+                    F.col("callsite").alias("dst"),
+                    F.col("callee_tool").alias("var"),
+                ),
+            ),
+            F.when(
+                F.col("is_break") & (F.col("seg") > 0) & entry_pred.isNotNull(),
+                F.struct(
+                    S.turn_node(F.col("conv_id"), F.col("prev_idx")).alias("src"),
+                    entry_pred.alias("pred"),
+                    S.segment_node(F.col("conv_id"), F.col("seg")).alias("dst"),
+                    F.when(entry_pred == "cdg.enter_false", F.col("prev_tool")).alias("var"),
+                ),
+            ),
+        )
+    )
+    out = t.select("conv_id", F.explode(arr).alias("m"))
+    return out.select(
+        F.col("m.src").alias("src"),
+        F.col("m.pred").alias("pred"),
+        F.col("m.dst").alias("dst"),
+        F.col("m.var").alias("var"),
+        "conv_id",
     )
 
 

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jcpg_spark import schema as S
-from jcpg_spark.operators import calls, canonicalize, flow, linking, mentions, references, structural
+from jcpg_spark.operators import calls, canonicalize, linking, mentions, references, structural
 
 
 @dataclass
@@ -42,13 +42,72 @@ class PipelineResult:
     cc_converged: bool
 
 
+DEFAULT_FAILURE_RX = r"^tool output: no results"
+
+
+def edge_layers(
+    transcripts: DataFrame,
+    m: DataFrame,
+    linked: DataFrame,
+    mapping: DataFrame,
+    failure_rx: str = DEFAULT_FAILURE_RX,
+) -> DataFrame:
+    """Union of every edge layer — the ONE place the graph's layer list
+    lives (build_graph and the resumable materializer both compose from
+    here, so they cannot drift).
+
+    The two text-reading layers (typed CDG entry + THROWS) ride the fused
+    emitter's single window pass via its ``failure_rx`` opt-in — the
+    pipeline's transcripts are persisted, so the text column is a cache
+    read, not a second window. IMPORTS is a distinct projection off
+    linked.
+    """
+    return (
+        calls.cfg_triples(transcripts, failure_rx=failure_rx)
+        .unionByName(mentions.ast_has_mention(m))
+        .unionByName(references.reference_triples(linked))
+        .unionByName(linking.import_triples(linked))
+        .unionByName(canonicalize.same_as_triples(mapping))
+    )
+
+
+def node_layers(transcripts: DataFrame, m: DataFrame, linked: DataFrame) -> DataFrame:
+    """Union of every node layer (shared by build_graph and materialize).
+
+    Turn nodes carry the per-turn DEF/USE sets in their property bag — the
+    reference's per-node defs/uses arrays (CodePropertyGraph.java:202-203,
+    308-309), carried into the GML/JSON exports.
+    """
+    turn_nodes = (
+        structural.turn_nodes(transcripts)
+        .join(references.def_use_rollup(linked), ["conv_id", "turn_idx"], "left")
+        .withColumn(
+            "props",
+            F.map_concat(
+                F.col("props"), S.props_map(defs=F.col("defs"), uses=F.col("uses"))
+            ),
+        )
+        .drop("defs", "uses")
+    )
+    return (
+        structural.conversation_nodes(transcripts)
+        .unionByName(turn_nodes)
+        .unionByName(mentions.mention_nodes(m))
+        .unionByName(references.entity_nodes(linked))
+        .unionByName(calls.tool_nodes(transcripts))
+        .unionByName(calls.role_nodes(transcripts))
+        .unionByName(structural.segment_nodes(transcripts))
+        .unionByName(linking.namespace_nodes(linked))
+    )
+
+
 def build_graph(
     spark: SparkSession,
     transcripts: DataFrame,
     dictionary: DataFrame,
     cc_max_iter: int = 25,
     learn_def_effects: bool = False,
-    failure_rx: str = r"^tool output: no results",
+    failure_rx: str = DEFAULT_FAILURE_RX,
 ) -> PipelineResult:
     if learn_def_effects:
         # signature fixpoint (JavacpgDDGBuilder.java:102-117 analog): learn
@@ -85,43 +144,10 @@ def build_graph(
 
     # fused CFG/ICFG/CDG emitter: ast.has_turn + act.role + flow.* +
     # call/return + cdg.in_segment/cdg.follows in a single window pass
-    # (see calls.cfg_triples) instead of eight separately-shuffled layers.
-    # The text-reading layers (typed CDG entry, THROWS) stay out of the
-    # fused pass so its scan keeps pruning text; they read the persisted
-    # transcripts. IMPORTS is a distinct projection off linked.
-    edges = (
-        calls.cfg_triples(transcripts)
-        .unionByName(flow.segment_entry_triples(transcripts, failure_rx=failure_rx))
-        .unionByName(calls.throw_triples(transcripts, failure_rx=failure_rx))
-        .unionByName(mentions.ast_has_mention(m))
-        .unionByName(references.reference_triples(linked))
-        .unionByName(linking.import_triples(linked))
-        .unionByName(canonicalize.same_as_triples(mapping))
-    )
-    # per-turn DEF/USE sets onto the turn nodes' property bag — the
-    # reference's per-node defs/uses arrays (CodePropertyGraph.java:202-203,
-    # 308-309), carried into the GML/JSON exports
-    turn_nodes = (
-        structural.turn_nodes(transcripts)
-        .join(references.def_use_rollup(linked), ["conv_id", "turn_idx"], "left")
-        .withColumn(
-            "props",
-            F.map_concat(
-                F.col("props"), S.props_map(defs=F.col("defs"), uses=F.col("uses"))
-            ),
-        )
-        .drop("defs", "uses")
-    )
-    nodes = (
-        structural.conversation_nodes(transcripts)
-        .unionByName(turn_nodes)
-        .unionByName(mentions.mention_nodes(m))
-        .unionByName(references.entity_nodes(linked))
-        .unionByName(calls.tool_nodes(transcripts))
-        .unionByName(calls.role_nodes(transcripts))
-        .unionByName(structural.segment_nodes(transcripts))
-        .unionByName(linking.namespace_nodes(linked))
-    )
+    # (see calls.cfg_triples) instead of eight separately-shuffled layers;
+    # full layer list in edge_layers/node_layers above.
+    edges = edge_layers(transcripts, m, linked, mapping, failure_rx=failure_rx)
+    nodes = node_layers(transcripts, m, linked)
     canonical = canonicalize.canonical_map(linked, mapping)
     return PipelineResult(
         nodes=nodes,

@@ -89,37 +89,24 @@ def run_pipeline(
 
     mapping = stage("alias_mapping", _mapping)
 
-    def _edges():
-        return (
-            calls.cfg_triples(transcripts)
-            .unionByName(mentions.ast_has_mention(m))
-            .unionByName(references.reference_triples(linked))
-            .unionByName(canonicalize.same_as_triples(mapping))
-        )
-
     # edges bucketed by the entity var (falls back to src for non-entity
     # triples) — the parquet stand-in for Iceberg bucket(N, entity_hash)
-    # per north_star; later entity-keyed joins co-locate.
+    # per north_star; later entity-keyed joins co-locate. Layer lists are
+    # SHARED with build_graph (pipeline.edge_layers/node_layers) so the
+    # staged path cannot drift from the direct one.
     from pyspark.sql import functions as F
 
+    from jcpg_spark.pipeline import edge_layers, node_layers
+
     def _edges_bucketed():
-        return _edges().withColumn("_bucket_key", F.coalesce(F.col("var"), F.col("src")))
+        return edge_layers(transcripts, m, linked, mapping).withColumn(
+            "_bucket_key", F.coalesce(F.col("var"), F.col("src"))
+        )
 
     edges = stage("edges", _edges_bucketed, bucket_col="_bucket_key")
     edges = edges.drop("_bucket_key")
 
-    def _nodes():
-        return (
-            structural.conversation_nodes(transcripts)
-            .unionByName(structural.turn_nodes(transcripts))
-            .unionByName(mentions.mention_nodes(m))
-            .unionByName(references.entity_nodes(linked))
-            .unionByName(calls.tool_nodes(transcripts))
-            .unionByName(calls.role_nodes(transcripts))
-            .unionByName(structural.segment_nodes(transcripts))
-        )
-
-    stage("nodes", _nodes, bucket_col="node_id")
+    stage("nodes", lambda: node_layers(transcripts, m, linked), bucket_col="node_id")
     stage("canonical", lambda: canonicalize.canonical_map(linked, mapping))
     stage("_metrics", lambda: tmetrics.edge_metrics(edges))
     return summary

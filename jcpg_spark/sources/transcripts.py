@@ -32,12 +32,14 @@ TOOL_MAP = {"signup": "search", "purchase": "db"}
 # Gazetteer over event vocabulary: event types are the entity surfaces;
 # 'signup' and 'error' are state-defining (defs_state analog).
 EVENTS_GAZETTEER = [
-    # surface, canonical, namespace, kind, prior, defs_state
-    ("signup", "ev_signup", "events", "artifact", 0.9, True),
-    ("purchase", "ev_purchase", "events", "artifact", 0.9, False),
-    ("view", "ev_view", "events", "artifact", 0.9, False),
-    ("click", "ev_click", "events", "artifact", 0.9, False),
-    ("error", "ev_error", "events", "system", 0.9, True),
+    # surface, canonical, namespace, kind, prior, defs_state — namespaces
+    # partition the event vocabulary so the IMPORTS layer
+    # (linking.import_triples) has real per-conversation variance
+    ("signup", "ev_signup", "identity", "artifact", 0.9, True),
+    ("purchase", "ev_purchase", "commerce", "artifact", 0.9, False),
+    ("view", "ev_view", "web", "artifact", 0.9, False),
+    ("click", "ev_click", "web", "artifact", 0.9, False),
+    ("error", "ev_error", "sys", "system", 0.9, True),
 ]
 
 

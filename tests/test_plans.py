@@ -100,3 +100,34 @@ def test_hash_aggregate_not_sort_fallback(spark, tr_parquet, dictionary):
         s = line.strip().lstrip("+-:* ")
         if s.startswith(("ObjectHashAggregate", "SortAggregate")):
             assert "keys=[conv_id" not in s, s[:160]
+
+
+def test_failure_layer_fused_equals_standalone_union_single_shuffle(spark, tr_parquet):
+    """calls.failure_layer_triples must be row-identical to the union of
+    throw_triples + segment_entry_triples, in ONE exchange."""
+    from jcpg_spark.operators import flow as fl
+
+    fused = calls.failure_layer_triples(tr_parquet)
+    split = calls.throw_triples(tr_parquet).unionByName(
+        fl.segment_entry_triples(tr_parquet)
+    )
+    assert fused.exceptAll(split).count() == 0
+    assert split.exceptAll(fused).count() == 0
+    plan = _plan(fused)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_cfg_triples_failure_rx_fused_equals_split_still_one_shuffle(spark, tr_parquet):
+    """cfg_triples(failure_rx=...) must equal the default 8 kinds UNION
+    throws UNION typed entry edges, still in ONE exchange."""
+    from jcpg_spark.operators import flow as fl
+
+    fused = calls.cfg_triples(tr_parquet, failure_rx=r"^tool output: no results")
+    split = (
+        calls.cfg_triples(tr_parquet)
+        .unionByName(calls.throw_triples(tr_parquet))
+        .unionByName(fl.segment_entry_triples(tr_parquet))
+    )
+    assert fused.exceptAll(split).count() == 0
+    assert split.exceptAll(fused).count() == 0
+    assert _plan(fused).count("Exchange hashpartitioning") == 1
