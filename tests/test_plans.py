@@ -131,3 +131,21 @@ def test_cfg_triples_failure_rx_fused_equals_split_still_one_shuffle(spark, tr_p
     assert fused.exceptAll(split).count() == 0
     assert split.exceptAll(fused).count() == 0
     assert _plan(fused).count("Exchange hashpartitioning") == 1
+
+
+def test_failure_predicate_evaluated_map_side(tr_parquet):
+    """With failure_rx, the window exchange must carry a boolean, never the
+    raw text column: the projection directly under the exchange computes
+    RLIKE and drops text."""
+    df = calls.cfg_triples(tr_parquet, failure_rx=r"^tool output: no results")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if "Exchange hashpartitioning" in l:
+            child = lines[i + 1]
+            assert "RLIKE" in child and "AS failing" in child, child
+            # text appears only as RLIKE's input, not as a projected column
+            assert not child.strip().rstrip("]").endswith("text"), child
+            break
+    else:
+        raise AssertionError("no exchange found")
