@@ -38,8 +38,16 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """-> (doc_id, shingle) distinct word n-grams."""
+def word_shingles(
+    docs: DataFrame, n: int = 3, text_col: str = "text", hashed: bool = False
+) -> DataFrame:
+    """-> (doc_id, shingle) distinct word n-grams.
+
+    ``hashed=True`` replaces each shingle string with its 64-bit xxhash
+    BEFORE the cross-row distinct — consumers that only join/group/count
+    shingles (jaccard_pairs) shuffle 8-byte longs instead of ~25-byte
+    strings everywhere, at collision odds ~|shingles|^2 / 2^64.
+    """
     ws = words(F.col(text_col))
     # guard size<n: sequence(0, negative) would generate a DESCENDING range
     # and element_at(_, 0) throws — short docs get an empty shingle set.
@@ -52,9 +60,10 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFr
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select(
-        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
-    ).distinct()
+    sh = F.array_distinct(shingles)
+    if hashed:
+        sh = F.transform(sh, lambda s: F.xxhash64(s))
+    return docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
 def jaccard_pairs(
@@ -69,7 +78,10 @@ def jaccard_pairs(
     ``max_df`` drops hub shingles (document frequency cap) so the candidate
     self-join stays near-linear at scale.
     """
-    sh = word_shingles(docs, n=n, text_col=text_col)
+    # shingles are joined/grouped by value only, never read back as text —
+    # hashed=True shuffles 8-byte longs instead of strings through the
+    # distinct, the df-count, the semi join, and the candidate self-join
+    sh = word_shingles(docs, n=n, text_col=text_col, hashed=True)
     # document-frequency filter (two-pass: cheap agg, then semi join)
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     sh = sh.join(

@@ -368,3 +368,48 @@ def test_link_mentions_context_fallback_for_undeclared_context(spark):
     # undeclared contexts: context-free best = highest prior
     assert out["c1"].canonical == "alpha_cache" and out["c1"].score == 0.9
     assert out["c2"].canonical == "alpha_cache"
+
+
+def test_def_use_rollup_matches_bruteforce(spark, dictionary):
+    """def_use_rollup vs a plain-python recomputation over synth data:
+    same def/use semantics as reference_triples (explicit defs_state OR
+    first-mention intro; use when mentions > defs), serialized sorted."""
+    from collections import defaultdict
+
+    from jcpg_spark.operators import linking, mentions as M
+    from jcpg_spark.synth import gazetteer_pdf, synth_transcripts
+
+    tr = synth_transcripts(spark, 12, skew=False)
+    surfaces = gazetteer_pdf()["surface"].tolist()
+    linked = linking.link_mentions(M.detect_mentions(spark, tr, surfaces), dictionary)
+    got = {
+        (r.conv_id, r.turn_idx): (r.defs, r.uses)
+        for r in references.def_use_rollup(linked).collect()
+    }
+
+    rows = sorted(
+        linked.select("conv_id", "canonical", "turn_idx", "ordinal", "defs_state").collect(),
+        key=lambda r: (r.conv_id, r.canonical, r.turn_idx, r.ordinal),
+    )
+    by_entity = defaultdict(list)
+    for r in rows:
+        by_entity[(r.conv_id, r.canonical)].append(r)
+    per_turn = defaultdict(lambda: (set(), set()))  # (conv, turn) -> (defs, uses)
+    for (conv, canonical), ms in by_entity.items():
+        seen_turn = False
+        for turn, grp in __import__("itertools").groupby(ms, key=lambda m: m.turn_idx):
+            grp = list(grp)
+            n_def = sum(1 for g in grp if g.defs_state)
+            if not seen_turn and not grp[0].defs_state:
+                n_def += 1  # intro rule
+            seen_turn = True
+            d, u = per_turn[(conv, turn)]
+            if n_def > 0:
+                d.add(canonical)
+            if len(grp) > n_def:
+                u.add(canonical)
+    want = {}
+    for k, (d, u) in per_turn.items():
+        want[k] = (";".join(sorted(d)) if d else None, ";".join(sorted(u)) if u else None)
+    want = {k: v for k, v in want.items() if v != (None, None)}
+    assert got == want
