@@ -95,48 +95,84 @@ def streaming_flow_next(stream: DataFrame) -> DataFrame:
     )
 
 
-_SEG_STATE = "last_role string, seg int"
+_SEG_STATE = "last_role string, seg int, last_tool string, last_idx int, last_failing boolean"
 
 
 def _seg_fn(key, pdf_iter, state: GroupState):
     (conv_id,) = key
-    last_role, seg = (state.get if state.exists else (None, -1))
-    out = {"src": [], "pred": [], "dst": []}
+    last_role, seg, last_tool, last_idx, last_failing = (
+        state.get if state.exists else (None, -1, None, None, None)
+    )
+    typed = False
+    out = {"src": [], "pred": [], "dst": [], "var": []}
+
+    def emit(src, pred, dst, var=None):
+        out["src"].append(src)
+        out["pred"].append(pred)
+        out["dst"].append(dst)
+        out["var"].append(var)
+
     for pdf in pdf_iter:
-        for idx, role in sorted(zip(pdf["turn_idx"].tolist(), pdf["role"].tolist())):
+        typed = "failing" in pdf.columns
+        cols = [pdf["turn_idx"].tolist(), pdf["role"].tolist()]
+        if typed:
+            cols += [pdf["tool"].tolist(), pdf["failing"].tolist()]
+        else:
+            cols += [[None] * len(pdf), [None] * len(pdf)]
+        for idx, role, tool, failing in sorted(zip(*cols), key=lambda r: r[0]):
             brk = last_role is None or (role == "user" and last_role != "user")
             if brk:
                 seg += 1
                 if seg > 0:
-                    out["src"].append(f"seg:{conv_id}:{seg - 1}")
-                    out["pred"].append("cdg.follows")
-                    out["dst"].append(f"seg:{conv_id}:{seg}")
-            out["src"].append(f"t:{conv_id}:{idx}")
-            out["pred"].append("cdg.in_segment")
-            out["dst"].append(f"seg:{conv_id}:{seg}")
-            last_role = role
-    state.update((last_role, int(seg)))
+                    emit(f"seg:{conv_id}:{seg - 1}", "cdg.follows", f"seg:{conv_id}:{seg}")
+                    if typed:
+                        # typed region entry from the predecessor (batch
+                        # analog: flow.segment_entry_triples / the fused
+                        # emitter's failure_rx kinds)
+                        if last_role == "assistant" and isinstance(last_tool, str):
+                            emit(
+                                f"t:{conv_id}:{last_idx}", "cdg.enter_false",
+                                f"seg:{conv_id}:{seg}", last_tool,
+                            )
+                        elif last_role == "tool":
+                            pred = "cdg.enter_throws" if last_failing else "cdg.enter_true"
+                            emit(f"t:{conv_id}:{last_idx}", pred, f"seg:{conv_id}:{seg}")
+            emit(f"t:{conv_id}:{idx}", "cdg.in_segment", f"seg:{conv_id}:{seg}")
+            last_role, last_tool, last_idx = role, tool, int(idx)
+            last_failing = bool(failing) if failing is not None else None
+    state.update((last_role, int(seg), last_tool, last_idx, last_failing))
     if out["src"]:
         yield pd.DataFrame(
             {
                 "src": out["src"],
                 "pred": out["pred"],
                 "dst": out["dst"],
-                "var": None,
+                "var": out["var"],
                 "conv_id": conv_id,
             }
         )
 
 
-def streaming_segment_triples(stream: DataFrame) -> DataFrame:
-    """Stateful CDG/segment layer: one (last_role, seg) state row per
-    conversation; emits cdg.in_segment per arriving turn and cdg.follows
-    when a user turn re-takes the floor — the streaming analog of the
-    batch running-boundary-sum window (flow.segment_triples), identical
-    output under the ordered-arrival contract (pytest-gated across
-    micro-batches)."""
+def streaming_segment_triples(stream: DataFrame, failure_rx: str | None = None) -> DataFrame:
+    """Stateful CDG/segment layer: one tiny state row per conversation
+    (last role/tool/idx/failing + segment counter); emits cdg.in_segment
+    per arriving turn and cdg.follows when a user turn re-takes the floor
+    — the streaming analog of the batch running-boundary-sum window
+    (flow.segment_triples), identical output under the ordered-arrival
+    contract (pytest-gated across micro-batches).
+
+    ``failure_rx`` additionally emits the TYPED region-entry edges
+    (cdg.enter_true/enter_false/enter_throws — the batch
+    flow.segment_entry_triples analog); the regex is evaluated map-side
+    into a boolean before the stateful shuffle, same as the batch plan.
+    """
+    cols = ["conv_id", "turn_idx", "role"]
+    src = stream
+    if failure_rx is not None:
+        src = stream.withColumn("failing", F.col("text").rlike(failure_rx))
+        cols += ["tool", "failing"]
     return (
-        stream.select("conv_id", "turn_idx", "role")
+        src.select(*cols)
         .groupBy("conv_id")
         .applyInPandasWithState(
             _seg_fn,

@@ -111,3 +111,26 @@ def test_streaming_act_counts_runs(spark, stream_dir):
         "role",
         "n",
     ]
+
+
+def test_streaming_typed_segment_entries_match_batch_across_batches(spark, stream_dir):
+    """failure_rx mode: the stateful layer must additionally emit the typed
+    region-entry edges (cdg.enter_true/false/throws), matching the batch
+    segment_triples + segment_entry_triples union even when the region
+    boundary and its predecessor land in different micro-batches."""
+    path, t = stream_dir
+    rx = r"^tool output: no results"
+    stream = (
+        spark.readStream.schema(t.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    inc.run_to_memory(inc.streaming_segment_triples(stream, failure_rx=rx), "segt_out")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM segt_out").collect()}
+    want = {
+        tuple(r)
+        for r in flow.segment_triples(t)
+        .unionByName(flow.segment_entry_triples(t, failure_rx=rx))
+        .collect()
+    }
+    assert got == want
