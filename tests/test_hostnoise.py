@@ -1,0 +1,67 @@
+"""Unit tests for the bench noise instrumentation (plans/hostnoise.py)."""
+
+from __future__ import annotations
+
+import time
+
+from jcpg_spark.plans import hostnoise as hn
+
+
+def test_read_cpu_stat_shape_and_monotonicity():
+    a = hn.read_cpu_stat()
+    assert set(a) == {"user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal", "total"}
+    assert all(v >= 0 for v in a.values())
+    time.sleep(0.2)
+    b = hn.read_cpu_stat()
+    assert b["total"] >= a["total"]
+    assert b["steal"] >= a["steal"]  # counters never go backwards
+
+
+def test_probe_and_calibration_positive_and_bounded():
+    t = hn.probe_once()
+    assert 0.005 < t < 5.0  # fixed workload: non-trivial, not hung
+    calib = hn.calibrate_probe(n=3)
+    assert 0 < calib <= t * 3
+
+
+def test_sampler_report_scopes_to_window():
+    s = hn.NoiseSampler(interval=0.2)
+    # synthetic samples: clean early window, a steal burst later
+    stat0 = {k: 0 for k in ("user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal")}
+    stat0["total"] = 0
+
+    def stat(total, steal, idle):
+        d = dict(stat0)
+        d.update(total=total, steal=steal, idle=idle)
+        return d
+
+    s.samples = [
+        (100.0, 0.06, stat(0, 0, 0)),
+        (110.0, 0.06, stat(1000, 5, 900)),     # clean decade
+        (120.0, 0.20, stat(2000, 500, 1000)),  # burst decade: 50% steal
+    ]
+    clean = s.report(window=(100.0, 110.0))
+    burst = s.report(window=(110.0, 120.0))
+    assert clean["steal_frac"] == 0.005 and clean["probe_p50"] == 0.06
+    assert burst["steal_frac"] == 0.495 and burst["probe_p50"] >= 0.06
+    assert clean["n_probes"] == 2
+
+
+def test_classify_gates():
+    clean = {"n_probes": 10, "steal_frac": 0.004, "probe_p50": 0.062, "probe_p75": 0.066}
+    stolen = {"n_probes": 10, "steal_frac": 0.08, "probe_p50": 0.062, "probe_p75": 0.066}
+    slowed = {"n_probes": 10, "steal_frac": 0.004, "probe_p50": 0.09, "probe_p75": 0.1}
+    assert hn.classify(clean, probe_clean=0.06) is None
+    assert "steal" in hn.classify(stolen, probe_clean=0.06)
+    assert "probe" in hn.classify(slowed, probe_clean=0.06)
+    # no probes (degenerate) -> no verdict rather than a crash
+    assert hn.classify({"n_probes": 0}, probe_clean=0.06) is None
+
+
+def test_sampler_thread_collects_real_samples():
+    with hn.NoiseSampler(interval=0.2) as s:
+        time.sleep(0.7)
+    assert len(s.samples) >= 3  # enter + ticks + exit
+    rep = s.report()
+    assert rep["n_probes"] == len(s.samples)
+    assert 0 <= rep["steal_frac"] < 1

@@ -34,6 +34,9 @@ TEXTS = [
     "alpha cache touches alpha cache",
     "nothing to see here",
     "",
+    # failure marker: exercises flow.throws + cdg.enter_throws on random
+    # tool runs (incl. multi-turn runs and orphan runs the synth never makes)
+    "tool output: no results",
 ]
 ROLES = ["user", "assistant", "tool"]
 TOOLS = [None, "search", "db"]
