@@ -1,0 +1,37 @@
+"""Every FOLDED_REGISTRY entry keeps its exact DuckDB oracle gate.
+
+The driver checks only the 50 entries in REGISTRY; the near-duplicates
+consolidated into FOLDED_REGISTRY must not silently rot — each is run
+against its oracle here with the same row/column/value comparison the
+driver applies (via tools/check_oracle's normalizers), at sf0.001.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from jcpg_spark.plans.driver_queries import FOLDED_REGISTRY
+from tools.check_oracle import TABLES, df_rows
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+@pytest.mark.parametrize("name", sorted(FOLDED_REGISTRY))
+def test_folded_entry_matches_oracle(spark, con, name):
+    fn, sql = FOLDED_REGISTRY[name]
+    sdf = fn(spark, SF)
+    scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+    res = con.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols)
+    assert df_rows(scols, srows) == df_rows(dcols, drows), name
