@@ -299,3 +299,84 @@ def run_to_memory(stream_df: DataFrame, name: str):
     q.processAllAvailable()
     q.stop()
     return q
+
+
+class IncrementalCanonicalizer:
+    """Streaming entity canonicalization — the one stage SURVEY §2.8 had
+    declared out of scope, made incremental here.
+
+    Key observation: alias-pair EXTRACTION is turn-local (one
+    'introducing X as Y' turn asserts one co-reference pair — see
+    canonicalize.alias_pairs), so micro-batches need no cross-batch state
+    for it; only the union-find over canonical ENTITIES accumulates. That
+    state is dictionary-bounded by contract (canonicals come from the
+    broadcast candidate dictionary), so it is driver-resident by the same
+    argument as the reference's in-memory maps and the batch path's
+    bytes-gated driver union-find (canonicalize.connected_components).
+
+    Merge rule matches the batch CC exactly: min-label roots, so after any
+    prefix of batches the mapping equals connected_components over the
+    union of all pairs seen so far (pytest-gated batch equivalence).
+    """
+
+    def __init__(self, spark: SparkSession, dictionary: DataFrame):
+        from jcpg_spark.operators import linking, mentions
+
+        self._mentions = mentions
+        self._linking = linking
+        self.spark = spark
+        self.dictionary = dictionary
+        self.surfaces = [r["surface"] for r in dictionary.select("surface").distinct().collect()]
+        self.parent: dict[str, str] = {}
+
+    def _find(self, x: str) -> str:
+        self.parent.setdefault(x, x)
+        while self.parent[x] != x:
+            self.parent[x] = self.parent[self.parent[x]]
+            x = self.parent[x]
+        return x
+
+    def update(self, transcripts_batch: DataFrame) -> int:
+        """Fold one micro-batch's alias assertions into the union-find.
+        Returns the number of (distinct) pairs observed in the batch."""
+        from jcpg_spark.operators import canonicalize
+
+        m = self._mentions.detect_mentions(self.spark, transcripts_batch, self.surfaces)
+        linked = self._linking.link_mentions(m, self.dictionary)
+        rows = canonicalize.alias_pairs(transcripts_batch, linked).collect()
+        for r in rows:
+            ra, rb = self._find(r["a"]), self._find(r["b"])
+            if ra != rb:
+                lo, hi = sorted((ra, rb))
+                self.parent[hi] = lo
+        return len(rows)
+
+    def mapping(self) -> dict[str, str]:
+        """entity -> component root (min label), for every entity seen in a
+        pair; identity entries are omitted only for never-seen entities."""
+        return {e: self._find(e) for e in list(self.parent)}
+
+    def same_as_triples_df(self) -> DataFrame:
+        rows = [
+            (f"e:{e}", "same_as", f"e:{root}", None, None)
+            for e, root in sorted(self.mapping().items())
+            if e != root
+        ]
+        return self.spark.createDataFrame(rows, schema=S.EDGES_SCHEMA)
+
+
+def streaming_canonicalize(
+    stream: DataFrame, dictionary: DataFrame
+) -> tuple["IncrementalCanonicalizer", object]:
+    """Drive IncrementalCanonicalizer over a transcript stream via
+    foreachBatch (canonicalization is a fixpoint over global state — it is
+    a sink-side fold, not a per-row transformation, so foreachBatch is the
+    right streaming primitive). Returns (canonicalizer, streaming query);
+    callers stop/await the query and then read the canonicalizer."""
+    canon = IncrementalCanonicalizer(stream.sparkSession, dictionary)
+    q = (
+        stream.writeStream.foreachBatch(lambda df, _id: canon.update(df))
+        .trigger(availableNow=True)
+        .start()
+    )
+    return canon, q

@@ -134,3 +134,33 @@ def test_streaming_typed_segment_entries_match_batch_across_batches(spark, strea
         .collect()
     }
     assert got == want
+
+
+def test_streaming_canonicalize_matches_batch_cc(spark, stream_dir, dictionary):
+    """foreachBatch incremental canonicalization must reach the same
+    mapping + same_as set as batch connected_components over the full
+    input, with alias turns spread across micro-batches."""
+    from jcpg_spark.operators import canonicalize, linking, mentions
+    from jcpg_spark.synth import gazetteer_pdf
+
+    path, t = stream_dir
+    stream = (
+        spark.readStream.schema(t.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    canon, q = inc.streaming_canonicalize(stream, dictionary)
+    q.processAllAvailable()
+    q.stop()
+
+    surfaces = gazetteer_pdf()["surface"].tolist()
+    linked = linking.link_mentions(mentions.detect_mentions(spark, t, surfaces), dictionary)
+    pairs = canonicalize.alias_pairs(t, linked)
+    batch_mapping, _rounds, conv = canonicalize.connected_components(pairs)
+    assert conv
+    want = {(r.entity, r.canonical_id) for r in batch_mapping.collect()}
+    got = set(canon.mapping().items())
+    assert got == want
+    want_sa = {tuple(r) for r in canonicalize.same_as_triples(batch_mapping).collect()}
+    got_sa = {tuple(r) for r in canon.same_as_triples_df().collect()}
+    assert got_sa == want_sa
