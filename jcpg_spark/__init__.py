@@ -22,7 +22,15 @@ connected components for canonicalization.
 """
 
 from jcpg_spark.session import get_spark
-from jcpg_spark.pipeline import build_graph, PipelineResult
+from jcpg_spark.pipeline import build_graph, edge_layers, node_layers, PipelineResult
+from jcpg_spark.caching import clear_caches
 
-__all__ = ["get_spark", "build_graph", "PipelineResult"]
+__all__ = [
+    "get_spark",
+    "build_graph",
+    "edge_layers",
+    "node_layers",
+    "PipelineResult",
+    "clear_caches",
+]
 __version__ = "0.1.0"
