@@ -40,7 +40,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 64k-row Arrow batches: fewer python<->JVM round trips through the
+        # mention-detection mapInPandas (A/B at 6.3M turns: -17% at 4 cores,
+        # -8% at 1; per-core scaling of the phase 0.89 -> 0.98). Rows here
+        # are ~100 B; jobs over LARGE binary payloads (multimodal media)
+        # should override this down so a batch stays executor-memory-sized.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("JCPG_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
