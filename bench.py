@@ -54,7 +54,59 @@ MIN_CLEAN = int(os.environ.get("SPARK_GRAFT_BENCH_MIN_CLEAN", "2"))
 RUN_TIMEOUT = int(os.environ.get("SPARK_GRAFT_RUN_TIMEOUT", "480"))
 # contamination gates (see jcpg_spark/plans/hostnoise.py and BENCH/BASELINE.md)
 STEAL_MAX = float(os.environ.get("SPARK_GRAFT_STEAL_MAX", "0.025"))
-PROBE_REL_MAX = float(os.environ.get("SPARK_GRAFT_PROBE_REL_MAX", "1.15"))
+# Probe gate, v4: the floor is anchored ACROSS levels and ACROSS sessions
+# (committed BENCH/probe_anchor.json + .bench/history.jsonl), because the
+# canary probe is a fixed workload whose clean time is a host property —
+# r3's per-level per-session floor let a uniformly contaminated session set
+# its own floor and certify itself (BENCH_r03: 0.609 recorded off local[4]
+# runs probing 0.0724/0.0745 vs the historical clean 0.0596). Threshold
+# 1.18 is the empirical separtrix on this host: certified-clean run probes
+# cluster at 0.0596-0.0696 (19 of 22 under 0.0596*1.18=0.0703) while every
+# probe observed alongside an inflated wall is >= 0.0705.
+PROBE_REL_MAX = float(os.environ.get("SPARK_GRAFT_PROBE_REL_MAX", "1.18"))
+# A session calibration more than this factor above the historical clean
+# calibration means the session STARTED contaminated (the r3 driver run
+# calibrated at 0.0769 vs history's 0.0552-0.0605); such a calibration is
+# excluded from the floor so it cannot raise the gate.
+CALIB_REL_MAX = float(os.environ.get("SPARK_GRAFT_CALIB_REL_MAX", "1.12"))
+# retry budget for contaminated headline-query windows (total across queries)
+QUERY_RETRY_BUDGET = int(os.environ.get("SPARK_GRAFT_QUERY_RETRIES", "8"))
+
+ANCHOR_PATH = os.path.join(REPO, "BENCH", "probe_anchor.json")
+HISTORY_PATH = os.path.join(REPO, ".bench", "history.jsonl")
+
+
+def load_hist_floors() -> tuple[float | None, float | None]:
+    """(probe_floor, calib_floor): min certified-clean run probe_p50 and min
+    idle calibration over the committed anchor file plus every session in
+    .bench/history.jsonl. The committed anchor survives a wiped .bench/;
+    history keeps the floor current as cleaner windows are observed."""
+    probes: list[float] = []
+    calibs: list[float] = []
+    try:
+        with open(ANCHOR_PATH) as f:
+            a = json.load(f)
+        probes.append(float(a["probe_floor"]))
+        calibs.append(float(a["calib_floor"]))
+    except (OSError, KeyError, ValueError):
+        pass
+    try:
+        with open(HISTORY_PATH) as f:
+            for line in f:
+                try:
+                    d = json.loads(line)
+                except ValueError:
+                    continue
+                s = d.get("scaling", {})
+                c = s.get("gates", {}).get("probe_calib_sec")
+                if c:
+                    calibs.append(c)
+                for r in s.get("runs", []):
+                    if not r.get("contaminated") and r.get("probe_p50"):
+                        probes.append(r["probe_p50"])
+    except OSError:
+        pass
+    return (min(probes) if probes else None, min(calibs) if calibs else None)
 
 
 def log(*a):
@@ -123,8 +175,14 @@ def main() -> None:
     # main session's idle 32-thread JVM off the box during measurement
     spark.stop()
 
+    hist_probe_floor, hist_calib_floor = load_hist_floors()
     probe_calib = calibrate_probe()
-    log(f"probe calibration: {round(probe_calib, 4)}s")
+    calib_ok = hist_calib_floor is None or probe_calib <= hist_calib_floor * CALIB_REL_MAX
+    log(
+        f"probe calibration: {round(probe_calib, 4)}s"
+        f" (history floors: probe={hist_probe_floor} calib={hist_calib_floor}"
+        f" -> calibration {'clean' if calib_ok else 'CONTAMINATED, excluded from floor'})"
+    )
     runs: dict[int, list[dict]] = {SCALE_LO: [], SCALE_HI: []}
 
     def scaling_run(cpus: int) -> dict | None:
@@ -151,17 +209,28 @@ def main() -> None:
         r["noise"] = ns.report((r["measure_t0"], r["measure_t1"]))
         return r
 
-    def probe_floor(cpus: int) -> float:
-        # session floor for this level: calibration (+5% self-inflation
-        # allowance) or the cleanest run observed at this level so far
-        floors = [probe_calib * 1.05]
-        floors += [r["noise"]["probe_p50"] for r in runs[cpus] if r["noise"].get("n_probes")]
-        return min(floors)
+    def probe_floor() -> float:
+        # v4: ONE floor for the whole session, across levels — the probe
+        # measures host speed, which does not depend on how many cores the
+        # bench subprocess got. Candidates: this session's calibration
+        # (+5% self-inflation allowance, only if the calibration itself
+        # passed the history sanity gate), the historical clean floor
+        # (committed anchor + history.jsonl), and every probe observed in
+        # ANY run this session (a clean window at either level lowers the
+        # floor for both).
+        floors = []
+        if calib_ok:
+            floors.append(probe_calib * 1.05)
+        if hist_probe_floor is not None:
+            floors.append(hist_probe_floor)
+        for rs in runs.values():
+            floors += [r["noise"]["probe_p50"] for r in rs if r["noise"].get("n_probes")]
+        return min(floors) if floors else probe_calib * 1.05
 
     def reclassify() -> None:
-        # relative probe floors move as cleaner runs land; re-grade all runs
-        for cpus, rs in runs.items():
-            floor = probe_floor(cpus)
+        # the shared floor moves as cleaner runs land; re-grade all runs
+        floor = probe_floor()
+        for rs in runs.values():
             for r in rs:
                 noise = r["noise"]
                 why = None
@@ -208,6 +277,15 @@ def main() -> None:
             level = SCALE_LO
         elif not runs[SCALE_HI]:
             level = SCALE_HI
+        elif n_lo >= MIN_CLEAN and n_hi >= MIN_CLEAN:
+            # both levels satisfied but efficiency still low: resample the
+            # level whose certified best sits on the slower window — the
+            # probe measures host speed, so a cross-level probe imbalance
+            # means that level's minimum is still noise-inflated (and hi is
+            # ~3x cheaper to resample than lo)
+            p_lo = min(r["noise"]["probe_p50"] for r in clean(SCALE_LO))
+            p_hi = min(r["noise"]["probe_p50"] for r in clean(SCALE_HI))
+            level = SCALE_HI if p_hi >= p_lo else SCALE_LO
         else:
             level = SCALE_LO if n_lo <= n_hi else SCALE_HI
         attempts += 1
@@ -250,7 +328,61 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 
-    # --- headline queries on the driver tables -----------------------------
+    # --- headline queries, noise-certified (v4) ----------------------------
+    # r3's query walls had NO noise gate, so a contaminated window produced
+    # phantom regressions in the round record (BENCH_r03: ngram 38.1s vs
+    # 23.1s clean, pipeline 18.81s vs 11.4s). Each timing window is now
+    # bracketed: canary probes immediately before and after (the box is
+    # idle between queries at local[32]; contamination on this host arrives
+    # in multi-minute bursts, so a burst overlapping a 0.5-40s query shows
+    # in at least one bracket) plus /proc/stat steal across the window. A
+    # contaminated window is re-run (noise is one-sided, keep the fastest
+    # attempt) within a shared retry budget.
+    from jcpg_spark.plans.hostnoise import probe_once, read_cpu_stat
+
+    qfloor = probe_floor()
+    retry_budget = QUERY_RETRY_BUDGET
+
+    def certified_wall(label: str, thunk) -> dict:
+        nonlocal retry_budget
+        best = None
+        attempts = 0
+        while True:
+            attempts += 1
+            pb = min(probe_once(), probe_once())
+            s0 = read_cpu_stat()
+            t0 = time.time()
+            n = thunk()
+            dt = round(time.time() - t0, 3)
+            s1 = read_cpu_stat()
+            pa = min(probe_once(), probe_once())
+            d_total = max(1, s1["total"] - s0["total"])
+            steal = round((s1["steal"] - s0["steal"]) / d_total, 4)
+            probe = round(max(pb, pa), 4)
+            why = None
+            if steal > STEAL_MAX:
+                why = f"steal_frac={steal}"
+            elif probe > qfloor * PROBE_REL_MAX:
+                why = f"probe={probe} vs floor {round(qfloor, 4)}"
+            rec = {"sec": dt, "rows": n, "steal_frac": steal,
+                   "probe_max": probe, "contaminated": why}
+            if best is None or dt < best["sec"]:
+                best = rec
+            if why is None:
+                break
+            if retry_budget <= 0 or attempts > 2:
+                log(f"  {label}: window contaminated ({why}), retry budget spent")
+                break
+            retry_budget -= 1
+            log(f"  {label}: window contaminated ({why}), retrying")
+        best["attempts"] = attempts
+        log(
+            f"query {label}: {best['sec']}s ({best['rows']} rows; steal={best['steal_frac']}"
+            f" probe={best['probe_max']} attempts={attempts}"
+            f"{' UNCERTIFIED: ' + best['contaminated'] if best['contaminated'] else ''})"
+        )
+        return best
+
     headliners = [
         "kg_flow_next",
         "kg_reaching_ref",
@@ -262,24 +394,33 @@ def main() -> None:
         "tpch_q1",
     ]
     qtimes: dict[str, float] = {}
+    qnoise: dict[str, dict] = {}
     for name in headliners:
         fn, _sql = REGISTRY[name]
-        t0 = time.time()
-        n = fn(spark, SF_DIR).count()
-        qtimes[name] = round(time.time() - t0, 3)
-        log(f"query {name}: {qtimes[name]}s ({n} rows)")
+        r = certified_wall(name, lambda fn=fn: fn(spark, SF_DIR).count())
+        qtimes[name] = r["sec"]
+        qnoise[name] = {k: r[k] for k in ("steal_frac", "probe_max", "attempts", "contaminated")}
 
     # --- full KG pipeline on synthesized transcripts at CPUS ---------------
     from jcpg_spark.pipeline import build_graph
     from jcpg_spark.synth import gazetteer_pdf
 
     tr = spark.read.parquet(tpath)
-    t0 = time.time()
-    res = build_graph(spark, tr, spark.createDataFrame(gazetteer_pdf()))
-    triples = res.edges.count()
-    pipe_wall = round(time.time() - t0, 2)
+    dictionary = spark.createDataFrame(gazetteer_pdf())
+    triples = 0
+
+    def pipeline_once() -> int:
+        nonlocal triples
+        res = build_graph(spark, tr, dictionary)
+        triples = res.edges.count()
+        return triples
+
+    r = certified_wall("kg_full_pipeline", pipeline_once)
+    pipe_wall = r["sec"]
     qtimes["kg_full_pipeline"] = pipe_wall
-    log(f"kg_full_pipeline: {pipe_wall}s ({triples} triples)")
+    qnoise["kg_full_pipeline"] = {
+        k: r[k] for k in ("steal_frac", "probe_max", "attempts", "contaminated")
+    }
     spark.stop()
 
     result = {
@@ -287,6 +428,7 @@ def main() -> None:
         "value": pipe_wall,
         "unit": "sec",
         "queries": qtimes,
+        "query_noise": qnoise,
         "sf": float(sf),
         "triples": triples,
         "scaling": {
@@ -296,9 +438,14 @@ def main() -> None:
             f"local{SCALE_HI}_wall_sec": hi["wall_sec"],
             "scaling_efficiency": efficiency,
             "turns": hi["turns"],
-            "protocol": "fastest noise-certified run per level; contaminated runs discarded",
+            "protocol": "v4: fastest noise-certified run per level; floor anchored "
+                        "across levels + BENCH/probe_anchor.json + .bench/history.jsonl",
             "gates": {"steal_max": STEAL_MAX, "probe_rel_max": PROBE_REL_MAX,
-                      "probe_calib_sec": round(probe_calib, 4)},
+                      "probe_calib_sec": round(probe_calib, 4),
+                      "calib_ok": calib_ok,
+                      "hist_probe_floor": hist_probe_floor,
+                      "hist_calib_floor": hist_calib_floor,
+                      "probe_floor": round(probe_floor(), 4)},
             "runs": run_log,
         },
     }
@@ -330,12 +477,21 @@ or probe_p50 > {s['gates']['probe_rel_max']}x level floor (calib {s['gates']['pr
 **Scaling efficiency ({lo}->{hi} cores, fastest clean run per level):
 {s['scaling_efficiency']}** (target >= 0.8)
 
-Headline query times at sf={result['sf']} (local[{cpus}]):
+Headline query times at sf={result['sf']} (local[{cpus}]), each window
+noise-certified (bracketing probes + /proc/stat steal, contaminated windows
+re-run):
 
-| query | sec |
-|---|---|
+| query | sec | steal | probe_max | attempts | verdict |
+|---|---|---|---|---|---|
 """ + "\n".join(
-        f"| {k} | {v} |" for k, v in result["queries"].items()
+        "| {k} | {v} | {s} | {p} | {a} | {c} |".format(
+            k=k, v=v,
+            s=result.get("query_noise", {}).get(k, {}).get("steal_frac", ""),
+            p=result.get("query_noise", {}).get(k, {}).get("probe_max", ""),
+            a=result.get("query_noise", {}).get(k, {}).get("attempts", ""),
+            c=result.get("query_noise", {}).get(k, {}).get("contaminated") or "clean",
+        )
+        for k, v in result["queries"].items()
     ) + f"""
 
 Full pipeline: {result['triples']} triples in {result['value']}s.
