@@ -39,6 +39,27 @@ def _dot_node_line():
     )
 
 
+def _dot_edge_style():
+    """Per-layer Graphviz attributes, mirroring the reference's edge-family
+    styling (CodePropertyGraph.java:120-156): CDG purple-dashed, AST
+    red-dashed, CFG green-dashed, call/return blue-dashed (each with
+    arrowhead=empty), data-dependence use bold, def/redef bold brown —
+    so a Graphviz user keeps the at-a-glance layer separation. Families
+    are keyed on the predicate prefix (the pred vocabulary is this repo's
+    layer naming; the mapping to the reference's CDG/AST/CFG/Call/DDG_U/
+    DDG_D buckets is 1:1)."""
+    p = F.col("pred")
+    return (
+        F.when(p.startswith("cdg."), F.lit("arrowhead=empty, color=purple, style=dashed, "))
+        .when(p.startswith("ast."), F.lit("arrowhead=empty, color=red, style=dashed, "))
+        .when(p.startswith("flow."), F.lit("arrowhead=empty, color=green, style=dashed, "))
+        .when(p.isin("call", "return"), F.lit("arrowhead=empty, color=blue, style=dashed, "))
+        .when(p == "ref.use", F.lit("style=bold, "))
+        .when(p.isin("ref.redef", "ref.self"), F.lit("style=bold, color=brown, "))
+        .otherwise(F.lit(""))
+    )
+
+
 def _dot_edge_line():
     label = F.concat(
         F.col("pred"),
@@ -48,7 +69,7 @@ def _dot_edge_line():
     )
     return F.concat(
         F.lit('  "'), _esc(F.col("src")), F.lit('" -> "'), _esc(F.col("dst")),
-        F.lit('" [label="'), _esc(label), F.lit('"];'),
+        F.lit('" ['), _dot_edge_style(), F.lit('label="'), _esc(label), F.lit('"];'),
     )
 
 

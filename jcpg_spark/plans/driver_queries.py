@@ -579,7 +579,7 @@ nl AS (SELECT conv_id,
 el AS (SELECT conv_id,
               '  "t:' || conv_id || ':' || CAST(idx AS VARCHAR) || '" -> "t:' || conv_id || ':'
               || CAST(lead(idx) OVER (PARTITION BY conv_id ORDER BY idx) AS VARCHAR)
-              || '" [label="flow.next"];' AS line
+              || '" [arrowhead=empty, color=green, style=dashed, label="flow.next"];' AS line
        FROM r QUALIFY lead(idx) OVER (PARTITION BY conv_id ORDER BY idx) IS NOT NULL),
 al AS (SELECT * FROM nl UNION ALL SELECT * FROM el)
 SELECT conv_id,

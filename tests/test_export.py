@@ -13,8 +13,31 @@ from jcpg_spark import export
 from jcpg_spark.pipeline import build_graph
 from jcpg_spark.synth import synth_transcripts
 
-DOT_EDGE = re.compile(r'^  "((?:[^"\\]|\\.)*)" -> "((?:[^"\\]|\\.)*)" \[label="((?:[^"\\]|\\.)*)"\];$')
+DOT_EDGE = re.compile(
+    r'^  "((?:[^"\\]|\\.)*)" -> "((?:[^"\\]|\\.)*)" '
+    r'\[((?:\w+=\w+, )*)label="((?:[^"\\]|\\.)*)"\];$'
+)
 DOT_NODE = re.compile(r'^  "((?:[^"\\]|\\.)*)" \[label="((?:[^"\\]|\\.)*)"\];$')
+
+# per-layer Graphviz styling parity with the reference
+# (CodePropertyGraph.java:120-156); keyed on predicate family
+DOT_STYLE_BY_FAMILY = {
+    "cdg.": "arrowhead=empty, color=purple, style=dashed, ",
+    "ast.": "arrowhead=empty, color=red, style=dashed, ",
+    "flow.": "arrowhead=empty, color=green, style=dashed, ",
+    "call": "arrowhead=empty, color=blue, style=dashed, ",
+    "return": "arrowhead=empty, color=blue, style=dashed, ",
+    "ref.use": "style=bold, ",
+    "ref.redef": "style=bold, color=brown, ",
+    "ref.self": "style=bold, color=brown, ",
+}
+
+
+def _want_style(pred: str) -> str:
+    for fam, style in DOT_STYLE_BY_FAMILY.items():
+        if pred == fam or (fam.endswith(".") and pred.startswith(fam)):
+            return style
+    return ""
 
 
 def _unesc(s: str) -> str:
@@ -46,9 +69,11 @@ def test_dot_roundtrip_three_conversations(spark, graph3):
         for line in dot.splitlines():
             m = DOT_EDGE.match(line)
             if m:
-                label = _unesc(m.group(3))
+                label = _unesc(m.group(4))
                 pm = re.match(r"^(.*?)(?: \((.*)\))?$", label)
                 got_edges.add((_unesc(m.group(1)), _unesc(m.group(2)), pm.group(1), pm.group(2), conv))
+                # layer styling parity (CodePropertyGraph.java:120-156)
+                assert m.group(3) == _want_style(pm.group(1)), line
     assert got_edges == want_edges
 
     # node statements cover exactly the conversation-owned nodes
