@@ -3,11 +3,20 @@
 Training-data pipelines carry images/audio/video as ``binary`` columns
 next to structured metadata. This module makes the SPARK-SIDE plumbing
 real — schema, deterministic synthesis, partition-friendly batch shape,
-``mapInPandas`` feature extraction with Arrow-batched binaries — while the
-actual codec step is STUBBED (no image/audio libraries in this container):
-``decode_stub`` raises ``NotImplementedError`` by default or produces a
-deterministic fake feature vector when ``fake=True``, so the pipeline
-around it is fully testable.
+``mapInPandas`` feature extraction with Arrow-batched binaries.
+
+The codec boundary is split honestly by what stdlib can do:
+
+- **container/header decode is REAL**: PNG IHDR (width/height/bit-depth/
+  color-type, CRC-verified) and WAV RIFF (sample-rate/channels/bits/
+  duration) parse with ``struct`` + ``zlib.crc32`` — no external codec
+  libraries needed — and ``synth_media`` emits payloads with VALID
+  headers so the real parse is exercised end-to-end;
+- **pixel/sample decode is STUBBED**: full image raster and audio PCM
+  decoding (and everything video) needs Pillow/torchaudio/ffmpeg, absent
+  from this container, so ``decode_stub(fake=False)`` on video raises
+  ``NotImplementedError`` and ``fake=True`` keeps the deterministic test
+  vector for all kinds.
 
 At 100 TB: binaries dominate bytes, so the operators below never shuffle
 the payload — feature extraction is map-side, metadata-only results are
@@ -18,6 +27,8 @@ bucketed by content hash for dedup joins.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -38,10 +49,48 @@ MEDIA_SCHEMA = T.StructType(
 
 _KINDS = [("image", "image/png"), ("audio", "audio/wav"), ("video", "video/mp4")]
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_WAV_RATE = 16_000  # synth sample rate; 1000 | rate so duration round-trips exactly
+
+
+def _png_payload(filler: bytes, width: int, height: int) -> bytes:
+    """Minimal PNG prefix with a VALID, CRC-checked IHDR (8-bit truecolor)
+    followed by deterministic filler standing in for the IDAT stream."""
+    ihdr = b"IHDR" + struct.pack(">II5B", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + struct.pack(">I", 13)
+        + ihdr
+        + struct.pack(">I", zlib.crc32(ihdr) & 0xFFFFFFFF)
+        + filler
+    )
+
+
+def _wav_payload(filler: bytes, duration_ms: int) -> bytes:
+    """Valid RIFF/WAVE header (16-bit mono PCM at _WAV_RATE) whose declared
+    data-chunk size encodes ``duration_ms``; sample bytes are truncated to
+    the filler (headers parse; PCM decode stays out of scope)."""
+    channels, bits = 1, 16
+    block = channels * bits // 8
+    byte_rate = _WAV_RATE * block
+    data_size = (duration_ms * _WAV_RATE // 1000) * block
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, _WAV_RATE, byte_rate, block, bits)
+        + b"data"
+        + struct.pack("<I", data_size)
+        + filler[: min(data_size, len(filler))]
+    )
+
 
 def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table: payload bytes derived from sha256 of
-    (seed, media_id) — stable under any partitioning."""
+    """Deterministic fake media table — stable under any partitioning.
+    Image and audio payloads carry VALID PNG/WAV headers (consistent with
+    the metadata columns) so the real header codecs below are exercised;
+    video payloads are opaque bytes (video decode is the remaining stub)."""
 
     def gen(it):
         for pdf in it:
@@ -49,18 +98,17 @@ def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
             for mid in pdf["id"].tolist():
                 kind, mime = _KINDS[mid % 3]
                 h = hashlib.sha256(f"{seed}:{mid}".encode()).digest()
-                payload = (h * ((64 + mid % 128) // len(h) + 1))[: 64 + mid % 128]
-                rows.append(
-                    (
-                        mid,
-                        kind,
-                        mime,
-                        payload,
-                        (mid % 32 + 1) * 16 if kind == "image" else None,
-                        (mid % 18 + 1) * 16 if kind == "image" else None,
-                        (mid % 300 + 1) * 100 if kind != "image" else None,
-                    )
-                )
+                filler = (h * ((64 + mid % 128) // len(h) + 1))[: 64 + mid % 128]
+                width = (mid % 32 + 1) * 16 if kind == "image" else None
+                height = (mid % 18 + 1) * 16 if kind == "image" else None
+                duration = (mid % 300 + 1) * 100 if kind != "image" else None
+                if kind == "image":
+                    payload = _png_payload(filler, width, height)
+                elif kind == "audio":
+                    payload = _wav_payload(filler, duration)
+                else:
+                    payload = filler
+                rows.append((mid, kind, mime, payload, width, height, duration))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -71,20 +119,90 @@ def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
-def decode_stub(payload: bytes, kind: str, fake: bool = False) -> list[float]:
-    """Codec seam. Real deployment plugs Pillow/torchaudio/ffmpeg here.
+def parse_png_header(payload: bytes) -> tuple[int, int, int, int]:
+    """(width, height, bit_depth, color_type) from a PNG IHDR — a real
+    stdlib parse (signature + first-chunk check + CRC verification), no
+    codec libraries involved."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    length, ctype = struct.unpack(">I4s", payload[8:16])
+    if ctype != b"IHDR" or length != 13:
+        raise ValueError("not a PNG: first chunk is not a 13-byte IHDR")
+    width, height, depth, color = struct.unpack(">IIBB", payload[16:26])
+    (crc,) = struct.unpack(">I", payload[29:33])
+    if crc != zlib.crc32(payload[12:29]) & 0xFFFFFFFF:
+        raise ValueError("PNG IHDR CRC mismatch")
+    return width, height, depth, color
 
-    ``fake=True`` returns a deterministic 8-dim feature from the payload
-    bytes (so downstream plumbing is testable); otherwise raises, making it
-    impossible to silently ship the stub.
+
+def parse_wav_header(payload: bytes) -> tuple[int, int, int, int]:
+    """(sample_rate, channels, bits, duration_ms) from RIFF/WAVE chunks.
+    Walks the chunk list for ``fmt `` and ``data``; duration comes from the
+    declared data size over the byte rate (the payload may truncate the
+    sample bytes — the header contract is what a 100 TB scan reads)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(payload) and (fmt is None or data_size is None):
+        cid, size = struct.unpack("<4sI", payload[pos : pos + 8])
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", payload[pos + 8 : pos + 24])
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)
+    if fmt is None or data_size is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    _audio_format, channels, rate, byte_rate, _block, bits = fmt
+    return rate, channels, bits, data_size * 1000 // byte_rate
+
+
+def decode_stub(payload: bytes, kind: str, fake: bool = False) -> list[float]:
+    """Codec seam. Real deployment plugs Pillow/torchaudio/ffmpeg here for
+    pixel/sample-level features.
+
+    ``fake=True`` returns a deterministic 8-dim sha-derived vector (the
+    plumbing test stub, all kinds). ``fake=False`` is REAL for image and
+    audio since round 4: an 8-dim feature from the stdlib-parsed container
+    header (PNG IHDR / WAV RIFF — parse_png_header/parse_wav_header) plus
+    raw byte statistics, each dimension normalized into [0, 1]. Video still
+    raises ``NotImplementedError`` (container walking for MP4 boxes buys
+    nothing without a frame decoder), so the remaining stub cannot ship
+    silently.
     """
-    if not fake:
-        raise NotImplementedError(
-            "media decoding requires codec libraries not present in this "
-            "container; pass fake=True for the deterministic test stub"
-        )
-    h = hashlib.sha256(payload).digest()
-    return [b / 255.0 for b in h[:8]]
+    if fake:
+        h = hashlib.sha256(payload).digest()
+        return [b / 255.0 for b in h[:8]]
+    n = len(payload)
+    mean_byte = (sum(payload) / n / 255.0) if n else 0.0
+    size_dim = min(1.0, n / float(1 << 20))
+    if kind == "image":
+        width, height, depth, color = parse_png_header(payload)
+        return [
+            min(1.0, width / 65535.0),
+            min(1.0, height / 65535.0),
+            depth / 16.0,
+            color / 6.0,
+            min(1.0, width * height / 16_777_216.0),  # vs 4096x4096
+            min(1.0, (width / height) / 8.0) if height else 0.0,
+            size_dim,
+            mean_byte,
+        ]
+    if kind == "audio":
+        rate, channels, bits, duration_ms = parse_wav_header(payload)
+        return [
+            min(1.0, rate / 192_000.0),
+            channels / 8.0,
+            bits / 32.0,
+            min(1.0, duration_ms / 3_600_000.0),  # vs 1 hour
+            min(1.0, duration_ms / 60_000.0),  # vs 1 minute (finer scale)
+            min(1.0, (rate * channels * bits / 8) / 1_536_000.0),  # byte rate vs 48k stereo 16-bit
+            size_dim,
+            mean_byte,
+        ]
+    raise NotImplementedError(
+        "video decoding requires codec libraries not present in this "
+        "container; pass fake=True for the deterministic test stub"
+    )
 
 
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
