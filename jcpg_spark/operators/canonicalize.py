@@ -66,36 +66,47 @@ def _driver_union_find_rows(rows, pairs: DataFrame) -> DataFrame:
     return spark.createDataFrame(out, schema=schema)
 
 
+INTRO_RX = r"^introducing\b"
+
+
 def alias_pairs(transcripts: DataFrame, linked_mentions: DataFrame) -> DataFrame:
     """Extract (entity_a, entity_b) assertions from alias-introduction turns.
 
     A turn whose text matches the introduction form ('introducing X as Y')
     asserts that its first and second linked mentions co-refer. Returns
     distinct (a, b) with a < b (undirected edge, deduped).
-    """
-    from pyspark.sql import Window
 
-    intro = transcripts.filter(F.col("text").rlike(r"^introducing\b")).select(
-        "conv_id", "turn_idx"
-    )
-    m = linked_mentions.join(intro, on=["conv_id", "turn_idx"], how="left_semi")
-    # first/last mention per turn WITHOUT min_by/max_by (TypedImperative
-    # aggregates fall back to sort-based aggregation at data-scale group
-    # counts): rank within turn, then conditional string max — min/max on
-    # strings stay in hash aggregation with partial combine.
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy("ordinal")
-    w_all = Window.partitionBy("conv_id", "turn_idx")
-    m = m.select(
-        "conv_id",
-        "turn_idx",
-        "canonical",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(w_all).alias("cnt"),
+    When ``linked_mentions`` carries a ``turn_flag`` column (the pipeline
+    asks detect_mentions to evaluate INTRO_RX during the tokenization
+    pass), intro turns are a map-side FILTER on the linked cache. The
+    fallback path re-derives them from ``transcripts`` with a broadcast
+    semi-join — correct, but at bench scale the intro-key broadcast is
+    ~560k rows whose driver-side hash-relation build is serial (measured
+    ~2s of the r3 CC phase's 0.49 per-core scaling), plus a second full
+    text scan; the flag path has neither.
+    """
+    if "turn_flag" in linked_mentions.columns:
+        m = linked_mentions.filter(F.col("turn_flag"))
+    else:
+        intro = transcripts.filter(F.col("text").rlike(INTRO_RX)).select(
+            "conv_id", "turn_idx"
+        )
+        m = linked_mentions.join(intro, on=["conv_id", "turn_idx"], how="left_semi")
+    # first/last mention per turn in ONE hash aggregation (r4; previously
+    # two windows + sort-aggregate, three extra stages of driver-serial
+    # scheduling in an otherwise small job). min_by/max_by are
+    # TypedImperative (sort-based fallback at data-scale group counts) and
+    # min/max over struct buffers also leave HashAggregateExec, so the
+    # (ordinal, canonical) pair is encoded as ONE sortable string —
+    # zero-padded ordinal prefix — keeping plain string min/max with
+    # map-side partial combine.
+    key = F.concat(
+        F.lpad(F.col("ordinal").cast("string"), 10, "0"), F.col("canonical")
     )
     per_turn = m.groupBy("conv_id", "turn_idx").agg(
-        F.max(F.when(F.col("rn") == 1, F.col("canonical"))).alias("first"),
-        F.max(F.when(F.col("rn") == F.col("cnt"), F.col("canonical"))).alias("second"),
-        F.max("cnt").alias("n"),
+        F.substring(F.min(key), 11, 2_000_000).alias("first"),
+        F.substring(F.max(key), 11, 2_000_000).alias("second"),
+        F.count(F.lit(1)).alias("n"),
     )
     pairs = per_turn.filter((F.col("n") >= 2) & (F.col("first") != F.col("second")))
     return pairs.select(
@@ -189,18 +200,29 @@ def connected_components(
 
     rounds = 0
     converged = False
-    prev_cnt = -1
+    prev_stats: tuple | None = None
     prev = None
     for rounds in range(1, max_iter + 1):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
-        cnt = edges.count()
-        # equal-size + empty one-sided anti-join == set equality; stability
-        # of the small-star output is the fixpoint criterion (the edge set
-        # is then a union of min-rooted stars)
-        if cnt == prev_cnt and edges.join(prev, ["a", "b"], "left_anti").count() == 0:
+        # ONE job per round (was three in r3: eager checkpoint + count +
+        # anti-join): the checkpoint is lazy, so the stats aggregate both
+        # materializes it and computes the convergence signal — count plus
+        # an order-independent xxhash64 XOR signature of the edge set
+        # (edges are distinct, so XOR cancellation needs two different
+        # sets colliding at 2^-64; cheap signal, exact confirmation below).
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        cnt, sig = edges.agg(
+            F.count(F.lit(1)), F.bit_xor(F.xxhash64("a", "b"))
+        ).first()
+        # stability of the small-star output is the fixpoint criterion (the
+        # edge set is then a union of min-rooted stars). On a stats match,
+        # confirm EXACTLY once with the set-equality join (equal count +
+        # empty one-sided anti-join) — per-call, not per-round cost.
+        if (cnt, sig) == prev_stats and (
+            edges.join(prev, ["a", "b"], "left_anti").count() == 0
+        ):
             converged = True
             break
-        prev, prev_cnt = edges, cnt
+        prev, prev_stats = edges, (cnt, sig)
     if not converged:
         log.warning("connected_components: max_iter=%d reached without convergence", max_iter)
 

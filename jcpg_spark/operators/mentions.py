@@ -20,6 +20,7 @@ Scale notes:
 from __future__ import annotations
 
 import re
+from bisect import bisect_right
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -84,18 +85,35 @@ def compile_gazetteer(surfaces: list[str]) -> re.Pattern:
 
 _MENTIONS_OUT = (
     "conv_id string, turn_idx int, role string, tool string, "
-    "ordinal int, surface string, start int, end int"
+    "ordinal int, surface string, start int, end int, sent_idx int"
 )
+
+# keep in sync with structural.SENTENCE_SEP_RX (not imported: the UDF
+# closure must not capture the DataFrame-side module)
+_SENT_SEP = re.compile(r"[.!?]+\s+")
 
 
 def detect_mentions(
-    spark: SparkSession, transcripts: DataFrame, surfaces: list[str]
+    spark: SparkSession,
+    transcripts: DataFrame,
+    surfaces: list[str],
+    turn_flag_rx: str | None = None,
 ) -> DataFrame:
     """-> mentions DF (conv_id, turn_idx, role, tool, ordinal, surface,
-    start, end).
+    start, end[, turn_flag]).
 
     ``ordinal`` is the 0-based match index within the turn (deterministic:
     regex scan order), giving mention node ids ``m:<conv>:<turn>:<ordinal>``.
+
+    ``turn_flag_rx``: optional turn-level predicate evaluated ONCE per turn
+    during this same pass (the UDF already holds the text) and emitted as a
+    ``turn_flag`` boolean on each of the turn's mentions. Downstream stages
+    that would otherwise re-scan the text and join the result back (e.g.
+    alias-introduction turns for canonicalization) filter on the flag
+    instead — no second text scan, no broadcast build. Semantics match
+    Spark's ``rlike`` (``re.search``, case-sensitive, no MULTILINE). The
+    reference analog is the parser tagging statement kinds during the one
+    parse pass rather than re-lexing per analysis.
 
     Implemented with ``mapInPandas`` emitting already-exploded flat columns:
     returning ``array<struct>`` from a scalar pandas UDF forces a per-row
@@ -105,15 +123,17 @@ def detect_mentions(
     """
     bc = spark.sparkContext.broadcast(sorted(set(surfaces)))
     _local: dict[str, re.Pattern] = {}
+    with_flag = turn_flag_rx is not None
 
     def _detect(batches):
         rx = _local.get("rx")
         if rx is None:
             rx = compile_gazetteer(bc.value)
             _local["rx"] = rx
+        flag_rx = re.compile(turn_flag_rx) if with_flag else None
         for pdf in batches:
             conv, turn, role, tool = [], [], [], []
-            ordinal, surface, start, end = [], [], [], []
+            ordinal, surface, start, end, sent, flag = [], [], [], [], [], []
             for c, ti, ro, to, tx in zip(
                 pdf["conv_id"].values,
                 pdf["turn_idx"].values,
@@ -123,6 +143,10 @@ def detect_mentions(
             ):
                 if not tx:
                     continue
+                fl = bool(flag_rx.search(tx)) if with_flag else False
+                # sentence fragment starts (same separator as structural.
+                # sentences; fragment k begins at the end of separator k)
+                bounds = [0] + [sm.end() for sm in _SENT_SEP.finditer(tx)]
                 for i, m in enumerate(rx.finditer(tx)):
                     conv.append(c)
                     turn.append(ti)
@@ -132,21 +156,27 @@ def detect_mentions(
                     surface.append(m.group(0).lower())
                     start.append(m.start())
                     end.append(m.end())
-            yield pd.DataFrame(
-                {
-                    "conv_id": conv,
-                    "turn_idx": pd.array(turn, dtype="int32"),
-                    "role": role,
-                    "tool": tool,
-                    "ordinal": pd.array(ordinal, dtype="int32"),
-                    "surface": surface,
-                    "start": pd.array(start, dtype="int32"),
-                    "end": pd.array(end, dtype="int32"),
-                }
-            )
+                    sent.append(bisect_right(bounds, m.start()) - 1)
+                    if with_flag:
+                        flag.append(fl)
+            cols = {
+                "conv_id": conv,
+                "turn_idx": pd.array(turn, dtype="int32"),
+                "role": role,
+                "tool": tool,
+                "ordinal": pd.array(ordinal, dtype="int32"),
+                "surface": surface,
+                "start": pd.array(start, dtype="int32"),
+                "end": pd.array(end, dtype="int32"),
+                "sent_idx": pd.array(sent, dtype="int32"),
+            }
+            if with_flag:
+                cols["turn_flag"] = pd.array(flag, dtype="bool")
+            yield pd.DataFrame(cols)
 
+    schema = _MENTIONS_OUT + (", turn_flag boolean" if with_flag else "")
     return transcripts.select("conv_id", "turn_idx", "role", "tool", "text").mapInPandas(
-        _detect, schema=_MENTIONS_OUT
+        _detect, schema=schema
     )
 
 
@@ -162,6 +192,22 @@ def mention_nodes(mentions: DataFrame) -> DataFrame:
         S.props_map(
             surface=F.col("surface"), start=F.col("start"), end=F.col("end")
         ).alias("props"),
+    )
+
+
+def in_sentence_triples(mentions: DataFrame) -> DataFrame:
+    """(mention, 'ast.in_sentence', sentence) — containment of each mention
+    in its enclosing sentence, from the ``sent_idx`` assigned during the
+    detection pass (no join against the sentence split; the Python boundary
+    scan and structural.sentences share SENTENCE_SEP_RX, pytest-gated)."""
+    from jcpg_spark import schema as S
+
+    return mentions.select(
+        S.mention_node(F.col("conv_id"), F.col("turn_idx"), F.col("ordinal")).alias("src"),
+        F.lit("ast.in_sentence").alias("pred"),
+        S.sentence_node(F.col("conv_id"), F.col("turn_idx"), F.col("sent_idx")).alias("dst"),
+        F.lit(None).cast("string").alias("var"),
+        "conv_id",
     )
 
 

@@ -35,6 +35,71 @@ def turn_nodes(transcripts: DataFrame) -> DataFrame:
     )
 
 
+# Sentence separator: punctuation run + whitespace. The same pattern is
+# used by the JVM split here, the Python boundary scan in
+# mentions.detect_mentions (sent_idx assignment), the pandas oracle, and
+# the DuckDB driver oracle (RE2 has no lookbehind, so the separator is
+# consumed rather than looked-behind; terminal punctuation on the final
+# fragment is stripped explicitly to keep all engines identical).
+SENTENCE_SEP_RX = r"[.!?]+\s+"
+
+
+def sentences(transcripts: DataFrame) -> DataFrame:
+    """-> (conv_id, turn_idx, sent_idx, sentence): within-turn sentence
+    split — the honest analog of the reference's intra-statement expression
+    subtrees (CPGNode.java:13-57 has 44 node kinds below the statement;
+    here turns ≈ statements per the north_rule mapping and sentences are
+    the next level down). Pure JVM split + posexplode: map-side, no UDF,
+    no shuffle. ``sent_idx`` is the pre-filter fragment position so it
+    matches the Python boundary scan even when empty fragments (text
+    starting with a separator) are dropped."""
+    frags = F.split(F.col("text"), SENTENCE_SEP_RX)
+    out = transcripts.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.posexplode(frags).alias("sent_idx", "raw"),
+    )
+    return out.filter(F.col("raw") != "").select(
+        "conv_id",
+        "turn_idx",
+        "sent_idx",
+        F.regexp_replace(F.col("raw"), r"[.!?]+$", "").alias("sentence"),
+    )
+
+
+def sentence_nodes(transcripts: DataFrame) -> DataFrame:
+    """One node per sentence, kind='sentence', label = the sentence text."""
+    s = sentences(transcripts)
+    return s.select(
+        S.sentence_node(F.col("conv_id"), F.col("turn_idx"), F.col("sent_idx")).alias(
+            "node_id"
+        ),
+        "conv_id",
+        F.lit("sentence").alias("kind"),
+        F.col("sentence").alias("label"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        S.props_map(
+            sent_idx=F.col("sent_idx"), n_chars=F.length(F.col("sentence"))
+        ).alias("props"),
+    )
+
+
+def sentence_triples(transcripts: DataFrame) -> DataFrame:
+    """(turn, 'ast.has_sentence', sentence) — within-turn AST depth
+    (statement -> expression containment analog, JavacpgCFGBuilder.java:
+    196,228 visitor emitting child edges)."""
+    s = sentences(transcripts)
+    return s.select(
+        S.turn_node(F.col("conv_id"), F.col("turn_idx")).alias("src"),
+        F.lit("ast.has_sentence").alias("pred"),
+        S.sentence_node(F.col("conv_id"), F.col("turn_idx"), F.col("sent_idx")).alias(
+            "dst"
+        ),
+        F.lit(None).cast("string").alias("var"),
+        "conv_id",
+    )
+
+
 def conversation_nodes(transcripts: DataFrame) -> DataFrame:
     """One node per conversation (distinct-agg; map-side partial combine)."""
     return transcripts.groupBy("conv_id").agg(F.count("*").alias("_n")).select(

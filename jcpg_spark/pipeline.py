@@ -64,7 +64,9 @@ def edge_layers(
     """
     return (
         calls.cfg_triples(transcripts, failure_rx=failure_rx)
+        .unionByName(structural.sentence_triples(transcripts))
         .unionByName(mentions.ast_has_mention(m))
+        .unionByName(mentions.in_sentence_triples(m))
         .unionByName(references.reference_triples(linked))
         .unionByName(linking.import_triples(linked))
         .unionByName(canonicalize.same_as_triples(mapping))
@@ -97,6 +99,7 @@ def node_layers(transcripts: DataFrame, m: DataFrame, linked: DataFrame) -> Data
         .unionByName(calls.tool_nodes(transcripts))
         .unionByName(calls.role_nodes(transcripts))
         .unionByName(structural.segment_nodes(transcripts))
+        .unionByName(structural.sentence_nodes(transcripts))
         .unionByName(linking.namespace_nodes(linked))
     )
 
@@ -130,7 +133,12 @@ def build_graph(
 
     transcripts = swap_persist("pipeline.transcripts", transcripts)
 
-    m = mentions.detect_mentions(spark, transcripts, surfaces)
+    # the alias-introduction predicate rides the tokenization pass as a
+    # turn_flag (one regex per turn, map-side) so alias_pairs needs no
+    # second text scan or broadcast semi-join — see canonicalize.alias_pairs
+    m = mentions.detect_mentions(
+        spark, transcripts, surfaces, turn_flag_rx=canonicalize.INTRO_RX
+    )
     # the mention-detection pandas UDF is the most expensive map stage; it
     # feeds both ast_has_mention and linking — persist to run it once.
     m = swap_persist("pipeline.mentions", m)

@@ -79,7 +79,12 @@ def run_pipeline(
     surfaces = [r["surface"] for r in dictionary.select("surface").distinct().collect()]
     transcripts = transcripts.persist()
 
-    m = stage("mentions", lambda: mentions.detect_mentions(spark, transcripts, surfaces))
+    m = stage(
+        "mentions",
+        lambda: mentions.detect_mentions(
+            spark, transcripts, surfaces, turn_flag_rx=canonicalize.INTRO_RX
+        ),
+    )
     linked = stage("linked", lambda: linking.link_mentions(m, dictionary))
 
     def _mapping():

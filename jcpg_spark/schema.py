@@ -128,6 +128,11 @@ PREDICATES = (
                          # (IMPORTS, cpgCFGEdge.java:28; import semi-join
                          # JavacpgICFGBuilder.java:190-213); see
                          # linking.import_triples
+    "ast.has_sentence",  # within-turn AST depth: turn -> sentence (the
+                         # reference's intra-statement expression subtrees,
+                         # CPGNode.java:13-57); see structural.sentence_triples
+    "ast.in_sentence",   # mention -> enclosing sentence containment; see
+                         # mentions.in_sentence_triples
 )
 
 
@@ -163,6 +168,13 @@ def segment_node(conv_id: Column, seg_idx: Column) -> Column:
 
 def namespace_node(namespace: Column) -> Column:
     return F.concat(F.lit("ns:"), namespace)
+
+
+def sentence_node(conv_id: Column, turn_idx: Column, sent_idx: Column) -> Column:
+    return F.concat(
+        F.lit("sent:"), conv_id, F.lit(":"), turn_idx.cast("string"),
+        F.lit(":"), sent_idx.cast("string"),
+    )
 
 
 def props_map(**kv: Column) -> Column:

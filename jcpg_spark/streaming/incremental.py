@@ -341,7 +341,10 @@ class IncrementalCanonicalizer:
         Returns the number of (distinct) pairs observed in the batch."""
         from jcpg_spark.operators import canonicalize
 
-        m = self._mentions.detect_mentions(self.spark, transcripts_batch, self.surfaces)
+        m = self._mentions.detect_mentions(
+            self.spark, transcripts_batch, self.surfaces,
+            turn_flag_rx=canonicalize.INTRO_RX,
+        )
         linked = self._linking.link_mentions(m, self.dictionary)
         rows = canonicalize.alias_pairs(transcripts_batch, linked).collect()
         for r in rows:

@@ -32,12 +32,12 @@ SKEW_LEN = 100 * MEDIAN_LEN  # FIXTURES.md: one conv with 100x median length
 # template 2 produces def + same-turn second mention (ref.self analog of
 # SELF_FLOW, JavacpgDDGBuilder.java:311-314,1682-1685).
 TEMPLATES = [
-    "check the {e0} again",
+    "check the {e0} again. it looked stale yesterday",
     "introducing {e0} as {e1}",
     "{e0} now references {e0} internally",
     "compare {e0} with {e1}",
     "the {e0} looks fine to me",
-    "please update {e0} using {e1}",
+    "please update {e0} using {e1}. then verify {e0}",
     "what is the status of {e0}",
     "thanks, sounds good",
     "continuing with the plan",

@@ -28,6 +28,12 @@ def _rx(surfaces):
 
 
 FAILURE_RX = re.compile(r"^tool output: no results")
+SENT_SEP = re.compile(r"[.!?]+\s+")
+
+
+def _sentence_bounds(text: str) -> list[int]:
+    """Fragment-start offsets under the shared sentence separator."""
+    return [0] + [m.end() for m in SENT_SEP.finditer(text)]
 
 
 def oracle_graph(transcripts: pd.DataFrame, dictionary: pd.DataFrame):
@@ -38,10 +44,23 @@ def oracle_graph(transcripts: pd.DataFrame, dictionary: pd.DataFrame):
     def failing(r):
         return isinstance(r.text, str) and bool(FAILURE_RX.search(r.text))
 
-    # --- structural + act
+    # --- structural + act + within-turn sentence depth
     for r in t.itertuples():
         edges.add((f"c:{r.conv_id}", "ast.has_turn", _turn(r.conv_id, r.turn_idx), None, r.conv_id))
         edges.add((_turn(r.conv_id, r.turn_idx), "act.role", f"role:{r.role}", None, r.conv_id))
+        if isinstance(r.text, str) and r.text:
+            frags = SENT_SEP.split(r.text)
+            for k, frag in enumerate(frags):
+                if frag != "":
+                    edges.add(
+                        (
+                            _turn(r.conv_id, r.turn_idx),
+                            "ast.has_sentence",
+                            f"sent:{r.conv_id}:{r.turn_idx}:{k}",
+                            None,
+                            r.conv_id,
+                        )
+                    )
 
     # --- flow / branch / call / return / segments, per conversation in turn order
     for conv, g in t.groupby("conv_id"):
@@ -116,6 +135,7 @@ def oracle_graph(transcripts: pd.DataFrame, dictionary: pd.DataFrame):
     for r in t.itertuples():
         if not isinstance(r.text, str):
             continue
+        bounds = _sentence_bounds(r.text)
         for i, m in enumerate(rx.finditer(r.text)):
             mid = f"m:{r.conv_id}:{r.turn_idx}:{i}"
             mentions.append(
@@ -132,6 +152,10 @@ def oracle_graph(transcripts: pd.DataFrame, dictionary: pd.DataFrame):
             )
             edges.add(
                 (_turn(r.conv_id, r.turn_idx), "ast.has_mention", mid, m.group(0).lower(), r.conv_id)
+            )
+            sent = sum(1 for b in bounds if b <= m.start()) - 1
+            edges.add(
+                (mid, "ast.in_sentence", f"sent:{r.conv_id}:{r.turn_idx}:{sent}", None, r.conv_id)
             )
 
     # --- linking (score = prior + 0.3*tool-context + 0.05*assistant; max score,

@@ -29,6 +29,17 @@ def con():
 def test_folded_entry_matches_oracle(spark, con, name):
     fn, sql = FOLDED_REGISTRY[name]
     sdf = fn(spark, SF)
+    if sql is None:
+        # rows-only fold (kg_full_pipeline: iterative CC has no single
+        # SQL statement; its SQL-expressible slice — under the parity
+        # failure predicate — is exact-oracled by the registry's
+        # kg_full_pipeline_sql). Pin that the full build still emits every
+        # edge layer the pipeline owns.
+        preds = {r["pred"] for r in sdf.select("pred").distinct().collect()}
+        for fam in ("ast.has_turn", "ast.has_mention", "act.role", "flow.next",
+                    "call", "return", "cdg.in_segment", "ref.use", "imports"):
+            assert fam in preds, f"layer {fam} missing from kg_full_pipeline"
+        return
     scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
     res = con.execute(sql)
     dcols = [d[0] for d in res.description]

@@ -86,6 +86,53 @@ def test_stale_callsite_not_attributed_to_later_run(spark):
     }
 
 
+# --- within-turn AST depth: sentence split + mention containment ------------
+def test_sentence_split_python_jvm_parity(spark):
+    """The JVM split in structural.sentences and the Python boundary scan
+    in detect_mentions share SENTENCE_SEP_RX; both must assign identical
+    sentence indexes on every edge case (multi-punct runs, leading
+    separator, trailing punctuation, no punctuation)."""
+    from jcpg_spark.operators import structural
+
+    texts = [
+        "alpha here. beta there! gamma? delta",
+        "alpha no punctuation at all beta",
+        ". leading separator alpha",
+        "alpha trailing punct.",
+        "multi!?  punct...   runs alpha end",
+    ]
+    t = _t(spark, [("c1", i, "user", tx, None) for i, tx in enumerate(texts)])
+    sents = {
+        (r.turn_idx, r.sent_idx): r.sentence
+        for r in structural.sentences(t).collect()
+    }
+    # fragment indexes are pre-filter positions; empty fragments dropped
+    assert sents[(0, 0)] == "alpha here" and sents[(0, 3)] == "delta"
+    assert sents[(1, 0)] == "alpha no punctuation at all beta"
+    assert (2, 0) not in sents and sents[(2, 1)] == "leading separator alpha"
+    assert sents[(3, 0)] == "alpha trailing punct"
+    assert sents[(4, 2)] == "runs alpha end"
+    # every mention's python-assigned sent_idx names an existing sentence
+    # whose text contains the mention surface
+    m = mentions.detect_mentions(spark, t, ["alpha", "beta", "gamma", "delta"])
+    rows = m.collect()
+    assert rows
+    for r in rows:
+        assert (r.turn_idx, r.sent_idx) in sents, (r.turn_idx, r.sent_idx)
+        assert r.surface in sents[(r.turn_idx, r.sent_idx)].lower()
+
+
+def test_in_sentence_triples_containment(spark):
+    t = _t(spark, [("c1", 0, "user", "check alpha. then beta and alpha", None)])
+    m = mentions.detect_mentions(spark, t, ["alpha", "beta"])
+    got = {(r.src, r.dst) for r in mentions.in_sentence_triples(m).collect()}
+    assert got == {
+        ("m:c1:0:0", "sent:c1:0:0"),
+        ("m:c1:0:1", "sent:c1:0:1"),
+        ("m:c1:0:2", "sent:c1:0:1"),
+    }
+
+
 # --- S2/P3: mention detection ------------------------------------------------
 def test_longest_match_shadows_embedded_surface(spark):
     t = _t(spark, [("c1", 0, "user", "please set alpha cache now", None)])
