@@ -35,6 +35,15 @@ def streaming_call_triples(stream: DataFrame) -> DataFrame:
     return call_triples(stream)
 
 
+def streaming_sentence_triples(stream: DataFrame) -> DataFrame:
+    """Stateless: the within-turn sentence layer (r4) is a per-turn
+    projection (JVM split+posexplode), so it streams with zero state —
+    identical plan to structural.sentence_triples under readStream."""
+    from jcpg_spark.operators.structural import sentence_triples
+
+    return sentence_triples(stream)
+
+
 def streaming_act_counts(stream: DataFrame, window: str = "5 minutes") -> DataFrame:
     """Watermarked windowed speaker-act counts (late data tolerated 10m)."""
     return (

@@ -36,6 +36,17 @@ def test_streaming_call_triples_match_batch(spark, stream_dir):
     assert got == want
 
 
+def test_streaming_sentence_triples_match_batch(spark, stream_dir):
+    from jcpg_spark.operators import structural
+
+    path, t = stream_dir
+    stream = inc.stream_transcripts(spark, path)
+    inc.run_to_memory(inc.streaming_sentence_triples(stream), "sent_out")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM sent_out").collect()}
+    want = {tuple(r) for r in structural.sentence_triples(t).collect()}
+    assert got == want and want
+
+
 def test_streaming_flow_next_matches_batch_across_batches(spark, stream_dir):
     path, t = stream_dir
     stream = (
