@@ -670,8 +670,12 @@ def q_kg_export_json(spark, sf_dir):
         F.lit(None).cast("string").alias("var"),
         F.col("conv_id"),
     )
+    # JSONL omits null fields and read.json infers columns from present
+    # keys, so a corpus slice with no var-carrying edges would drop the
+    # column entirely — reconstruct it as all-null in that case
+    var = F.col("var") if "var" in e2.columns else F.lit(None)
     edge_rows = e2.select(
-        "src", "pred", "dst", F.col("var").cast("string").alias("var"), "conv_id"
+        "src", "pred", "dst", var.cast("string").alias("var"), "conv_id"
     )
     return node_rows.unionByName(edge_rows)
 
