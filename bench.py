@@ -54,6 +54,14 @@ BENCH_BUDGET = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1200"))
 # run is ~3x cheaper than lo and the efficiency ratio's numerator is the
 # cheapest thing to improve when the recorded value sits just under target.
 BENCH_HI_GRACE = int(os.environ.get("SPARK_GRAFT_BENCH_HI_GRACE", "180"))
+# failsafe on TOTAL process wall (synthesis included, unlike BENCH_BUDGET):
+# the driver runs this script under an unknown external timeout, and a run
+# that gets killed prints NO json line — losing the round's bench record
+# entirely, which is strictly worse than recording a noisy efficiency. The
+# longest completed driver run so far was ~1113s (r3); past this guard the
+# scaling loop stops resampling and the script proceeds straight to the
+# (cheap, ~2-3 min) query section so the result line always lands.
+TOTAL_GUARD = int(os.environ.get("SPARK_GRAFT_TOTAL_GUARD", "1500"))
 # clean (noise-certified) runs wanted per parallelism level
 MIN_CLEAN = int(os.environ.get("SPARK_GRAFT_BENCH_MIN_CLEAN", "2"))
 # hard kill for a single scaling subprocess: a run 3x its expected wall is
@@ -78,6 +86,17 @@ PROBE_REL_MAX = float(os.environ.get("SPARK_GRAFT_PROBE_REL_MAX", "1.18"))
 CALIB_REL_MAX = float(os.environ.get("SPARK_GRAFT_CALIB_REL_MAX", "1.12"))
 # retry budget for contaminated headline-query windows (total across queries)
 QUERY_RETRY_BUDGET = int(os.environ.get("SPARK_GRAFT_QUERY_RETRIES", "8"))
+# every headline query runs at least this many times; the recorded wall is
+# the minimum. Bracket probes + steal can certify a window against CPU
+# steal and burst-shaped contention, but a mid-window DRAM-bandwidth
+# neighbor is invisible to both (observed live: a certified-clean bracket
+# pair around a 183s ngram window whose intrinsic wall is ~20-30s; steal
+# 1.3%). Mid-window probes would self-contend with a local[32] query, so
+# corroboration-by-repetition is the gate that actually works here:
+# contamination only ever SLOWS a run, so the min of two independent
+# windows is robust unless both are hit — and a >30% disagreement between
+# attempts triggers a third.
+QUERY_MIN_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_QUERY_MIN_ATTEMPTS", "2"))
 
 ANCHOR_PATH = os.path.join(REPO, "BENCH", "probe_anchor.json")
 HISTORY_PATH = os.path.join(REPO, ".bench", "history.jsonl")
@@ -192,9 +211,12 @@ def main() -> None:
     )
     runs: dict[int, list[dict]] = {SCALE_LO: [], SCALE_HI: []}
 
-    def scaling_run(cpus: int) -> dict | None:
+    aborts: dict[int, int] = {SCALE_LO: 0, SCALE_HI: 0}
+
+    def scaling_run(cpus: int, allow_abort: bool = True) -> dict | None:
         out = os.path.join(REPO, ".bench", f"scaling_{cpus}.json")
-        log(f"scaling run local[{cpus}] on {tpath_scaling} ...")
+        log(f"scaling run local[{cpus}] on {tpath_scaling} ..."
+            + ("" if allow_abort else " (to completion — fallback record needed)"))
         env = dict(os.environ, PYTHONPATH=REPO)
         from jcpg_spark.plans.hostnoise import _quantile
 
@@ -215,7 +237,7 @@ def main() -> None:
                 elapsed = time.time() - t0
                 if elapsed > RUN_TIMEOUT:
                     why_dead = f"exceeded {RUN_TIMEOUT}s (gross contamination)"
-                elif elapsed > 90:
+                elif elapsed > 90 and allow_abort:
                     # early abort: the run would be discarded anyway and a
                     # contaminated lo run burns ~25% of the budget — kill it
                     # once the window is HOPELESS (rolling probe median well
@@ -295,7 +317,10 @@ def main() -> None:
     t_meas = time.time()  # budget clock starts after synthesis
 
     attempts = 0
-    while attempts < 14:
+    # 2x guard: hard stop even when a level still has zero completed runs
+    # (a blackout of consecutive RUN_TIMEOUT kills must not run unbounded —
+    # an incomplete scaling record beats a driver-killed process with none)
+    while attempts < 14 and time.time() - T_START < TOTAL_GUARD * 2:
         n_lo, n_hi = len(clean(SCALE_LO)), len(clean(SCALE_HI))
         if n_lo and n_hi:
             done = n_lo >= MIN_CLEAN and n_hi >= MIN_CLEAN
@@ -327,9 +352,22 @@ def main() -> None:
             allowance = BENCH_BUDGET + (BENCH_HI_GRACE if level == SCALE_HI else 0)
             if time.time() - t_meas >= allowance:
                 break
+            if time.time() - T_START >= TOTAL_GUARD:
+                log(f"total wall {round(time.time() - T_START)}s past guard "
+                    f"{TOTAL_GUARD}s — stopping scaling loop to protect the record")
+                break
         attempts += 1
-        r = scaling_run(level)
-        if r is not None:
+        # the early abort saves budget while a clean window may still come,
+        # but a level must never end the loop with ZERO completed runs (the
+        # efficiency fallback needs a minimum even from a dirty window — a
+        # live window burned 14 straight early-aborts under sustained ~5%
+        # steal and recorded efficiency None): after 3 discarded attempts
+        # at a level with no record yet, the next run goes to completion
+        # and is recorded, contaminated or not.
+        r = scaling_run(level, allow_abort=bool(runs[level]) or aborts[level] < 3)
+        if r is None:
+            aborts[level] += 1
+        else:
             runs[level].append(r)
             reclassify()
             log(
@@ -338,8 +376,18 @@ def main() -> None:
                 f" -> {'DISCARD: ' + r['contaminated'] if r['contaminated'] else 'clean'}"
             )
 
-    lo, hi = best(SCALE_LO), best(SCALE_HI)
-    efficiency = round(current_eff(), 3)
+    if runs[SCALE_LO] and runs[SCALE_HI]:
+        lo, hi = best(SCALE_LO), best(SCALE_HI)
+        efficiency = round(current_eff(), 3)
+    else:
+        # blackout fallback: a level never completed a run (every attempt
+        # timed out under gross contamination). Record what exists instead
+        # of crashing — the null efficiency is an honest "not measurable
+        # this window", and the query section still runs.
+        blank = {"wall_sec": None, "triples_per_sec": None, "turns": None}
+        lo = best(SCALE_LO) if runs[SCALE_LO] else blank
+        hi = best(SCALE_HI) if runs[SCALE_HI] else blank
+        efficiency = None
     run_log = [
         {
             "cpus": c,
@@ -385,6 +433,7 @@ def main() -> None:
     def certified_wall(label: str, thunk) -> dict:
         nonlocal retry_budget
         best = None
+        walls: list[float] = []
         attempts = 0
         while True:
             attempts += 1
@@ -405,19 +454,35 @@ def main() -> None:
                 why = f"probe={probe} vs floor {round(qfloor, 4)}"
             rec = {"sec": dt, "rows": n, "steal_frac": steal,
                    "probe_max": probe, "contaminated": why}
+            walls.append(dt)
             if best is None or dt < best["sec"]:
                 best = rec
-            if why is None:
-                break
-            if retry_budget <= 0 or attempts > 2:
-                log(f"  {label}: window contaminated ({why}), retry budget spent")
-                break
-            retry_budget -= 1
-            log(f"  {label}: window contaminated ({why}), retrying")
+            # attempt policy: always QUERY_MIN_ATTEMPTS windows (min-of-2 —
+            # the only gate that catches mid-window DRAM-neighbor pressure,
+            # which brackets + steal provably miss); a flagged window or a
+            # >30% disagreement between attempts buys one more, on budget.
+            spread = (max(walls) - min(walls)) / max(min(walls), 1e-9)
+            if attempts < QUERY_MIN_ATTEMPTS:
+                continue
+            if why is not None and attempts <= 2 and retry_budget > 0:
+                retry_budget -= 1
+                log(f"  {label}: window contaminated ({why}), retrying")
+                continue
+            if spread > 0.3 and attempts < 3 and retry_budget > 0:
+                retry_budget -= 1
+                log(f"  {label}: attempts disagree by {round(spread * 100)}%, retrying")
+                continue
+            break
         best["attempts"] = attempts
+        # corroborated: another attempt landed within 30% of the best wall,
+        # so the recorded minimum is not a lone observation
+        best["corroborated"] = (
+            sum(1 for w in walls if w <= best["sec"] * 1.3) >= 2
+        )
         log(
             f"query {label}: {best['sec']}s ({best['rows']} rows; steal={best['steal_frac']}"
             f" probe={best['probe_max']} attempts={attempts}"
+            f" corroborated={best['corroborated']}"
             f"{' UNCERTIFIED: ' + best['contaminated'] if best['contaminated'] else ''})"
         )
         return best
@@ -438,7 +503,7 @@ def main() -> None:
         fn, _sql = REGISTRY[name]
         r = certified_wall(name, lambda fn=fn: fn(spark, SF_DIR).count())
         qtimes[name] = r["sec"]
-        qnoise[name] = {k: r[k] for k in ("steal_frac", "probe_max", "attempts", "contaminated")}
+        qnoise[name] = {k: r[k] for k in ("steal_frac", "probe_max", "attempts", "corroborated", "contaminated")}
 
     # --- full KG pipeline on synthesized transcripts at CPUS ---------------
     from jcpg_spark.pipeline import build_graph
@@ -458,7 +523,8 @@ def main() -> None:
     pipe_wall = r["sec"]
     qtimes["kg_full_pipeline"] = pipe_wall
     qnoise["kg_full_pipeline"] = {
-        k: r[k] for k in ("steal_frac", "probe_max", "attempts", "contaminated")
+        k: r[k]
+        for k in ("steal_frac", "probe_max", "attempts", "corroborated", "contaminated")
     }
     spark.stop()
 
@@ -516,18 +582,20 @@ or probe_p50 > {s['gates']['probe_rel_max']}x level floor (calib {s['gates']['pr
 **Scaling efficiency ({lo}->{hi} cores, fastest clean run per level):
 {s['scaling_efficiency']}** (target >= 0.8)
 
-Headline query times at sf={result['sf']} (local[{cpus}]), each window
-noise-certified (bracketing probes + /proc/stat steal, contaminated windows
-re-run):
+Headline query times at sf={result['sf']} (local[{cpus}]): min over >=2
+independent windows (corroborated = another attempt within 30% of the
+recorded minimum), each window also gated by bracketing probes +
+/proc/stat steal:
 
-| query | sec | steal | probe_max | attempts | verdict |
-|---|---|---|---|---|---|
+| query | sec | steal | probe_max | attempts | corroborated | verdict |
+|---|---|---|---|---|---|---|
 """ + "\n".join(
-        "| {k} | {v} | {s} | {p} | {a} | {c} |".format(
+        "| {k} | {v} | {s} | {p} | {a} | {co} | {c} |".format(
             k=k, v=v,
             s=result.get("query_noise", {}).get(k, {}).get("steal_frac", ""),
             p=result.get("query_noise", {}).get(k, {}).get("probe_max", ""),
             a=result.get("query_noise", {}).get(k, {}).get("attempts", ""),
+            co=result.get("query_noise", {}).get(k, {}).get("corroborated", ""),
             c=result.get("query_noise", {}).get(k, {}).get("contaminated") or "clean",
         )
         for k, v in result["queries"].items()
