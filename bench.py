@@ -245,7 +245,7 @@ def main() -> None:
                     # whole-window gate). Thresholds sit above the per-run
                     # gate so a marginal window still runs to completion and
                     # gets judged on its full measured window.
-                    recent = [p for _, p, _ in ns.samples[-15:]]
+                    recent = [s[1] for s in ns.samples[-15:]]
                     so_far = ns.report()
                     if len(recent) >= 10 and (
                         _quantile(recent, 0.5) > floor_now * PROBE_REL_MAX * 1.15
@@ -395,6 +395,7 @@ def main() -> None:
             "triples_per_sec": r["triples_per_sec"],
             "steal_frac": r["noise"].get("steal_frac"),
             "probe_p50": r["noise"].get("probe_p50"),
+            "bw_p50": r["noise"].get("bw_p50"),
             "contaminated": r["contaminated"],
         }
         for c in (SCALE_LO, SCALE_HI)
@@ -425,7 +426,7 @@ def main() -> None:
     # in at least one bracket) plus /proc/stat steal across the window. A
     # contaminated window is re-run (noise is one-sided, keep the fastest
     # attempt) within a shared retry budget.
-    from jcpg_spark.plans.hostnoise import probe_once, read_cpu_stat
+    from jcpg_spark.plans.hostnoise import bw_probe_once, probe_once, read_cpu_stat
 
     qfloor = probe_floor()
     retry_budget = QUERY_RETRY_BUDGET
@@ -438,12 +439,14 @@ def main() -> None:
         while True:
             attempts += 1
             pb = min(probe_once(), probe_once())
+            bwb = bw_probe_once()
             s0 = read_cpu_stat()
             t0 = time.time()
             n = thunk()
             dt = round(time.time() - t0, 3)
             s1 = read_cpu_stat()
             pa = min(probe_once(), probe_once())
+            bwa = bw_probe_once()
             d_total = max(1, s1["total"] - s0["total"])
             steal = round((s1["steal"] - s0["steal"]) / d_total, 4)
             probe = round(max(pb, pa), 4)
@@ -453,7 +456,8 @@ def main() -> None:
             elif probe > qfloor * PROBE_REL_MAX:
                 why = f"probe={probe} vs floor {round(qfloor, 4)}"
             rec = {"sec": dt, "rows": n, "steal_frac": steal,
-                   "probe_max": probe, "contaminated": why}
+                   "probe_max": probe, "bw_max": round(max(bwb, bwa), 4),
+                   "contaminated": why}
             walls.append(dt)
             if best is None or dt < best["sec"]:
                 best = rec
@@ -503,7 +507,11 @@ def main() -> None:
         fn, _sql = REGISTRY[name]
         r = certified_wall(name, lambda fn=fn: fn(spark, SF_DIR).count())
         qtimes[name] = r["sec"]
-        qnoise[name] = {k: r[k] for k in ("steal_frac", "probe_max", "attempts", "corroborated", "contaminated")}
+        qnoise[name] = {
+            k: r[k]
+            for k in ("steal_frac", "probe_max", "bw_max", "attempts",
+                      "corroborated", "contaminated")
+        }
 
     # --- full KG pipeline on synthesized transcripts at CPUS ---------------
     from jcpg_spark.pipeline import build_graph
@@ -524,7 +532,8 @@ def main() -> None:
     qtimes["kg_full_pipeline"] = pipe_wall
     qnoise["kg_full_pipeline"] = {
         k: r[k]
-        for k in ("steal_frac", "probe_max", "attempts", "corroborated", "contaminated")
+        for k in ("steal_frac", "probe_max", "bw_max", "attempts",
+                  "corroborated", "contaminated")
     }
     spark.stop()
 

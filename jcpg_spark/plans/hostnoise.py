@@ -79,6 +79,43 @@ def probe_once() -> float:
     return time.perf_counter() - t0
 
 
+_BW_ARRS = None
+
+
+def bw_probe_once(threads: int = 4) -> float:
+    """Aggregate DRAM-bandwidth canary: ``threads`` concurrent full passes
+    over distinct 64 MB arrays. numpy ``sum`` releases the GIL, so the
+    passes run truly parallel and together press the shared memory
+    controller, where the single-threaded DRAM leg of ``_probe_work``
+    cannot (one core can't saturate the bus, so moderate neighbor
+    bandwidth pressure barely moves it — observed live: windows probing
+    within 13% of the clean floor while job walls ran 2.2x inflated).
+    Recorded per sample as a NON-gating signal since protocol v4.1: it
+    reads *headroom*, so the measured job's own bandwidth use inflates it
+    too, and a gate needs per-context calibration data first — which this
+    field accumulates in .bench/history.jsonl.
+    """
+    global _BW_ARRS
+    import numpy as np
+
+    if _BW_ARRS is None or len(_BW_ARRS) != threads:
+        _BW_ARRS = [np.arange(8_000_000, dtype=np.float64) for _ in range(threads)]
+        for a in _BW_ARRS:
+            a.sum()  # fault pages outside the first timed pass
+    sink = [0.0] * threads
+
+    def run(i: int) -> None:
+        sink[i] = float(_BW_ARRS[i].sum())
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in range(threads)]
+    t0 = time.perf_counter()
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    return time.perf_counter() - t0
+
+
 def calibrate_probe(n: int = 7) -> float:
     """Clean-machine probe time: min over n runs (steal only ever slows)."""
     probe_once()  # allocate buffers / fault pages outside the timing
@@ -107,20 +144,26 @@ class NoiseSampler:
         self._thread: threading.Thread | None = None
 
     def __enter__(self) -> "NoiseSampler":
-        self.samples.append((time.time(), probe_once(), read_cpu_stat()))
+        self.samples.append(self._sample())
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
         return self
 
+    @staticmethod
+    def _sample() -> tuple:
+        # 4-tuple since v4.1 (bw probe appended); report() accepts legacy
+        # 3-tuples so synthetic fixtures keep working
+        return (time.time(), probe_once(), read_cpu_stat(), bw_probe_once())
+
     def _loop(self) -> None:
         while not self._stop.wait(self.interval):
-            self.samples.append((time.time(), probe_once(), read_cpu_stat()))
+            self.samples.append(self._sample())
 
     def __exit__(self, *exc) -> None:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=10)
-        self.samples.append((time.time(), probe_once(), read_cpu_stat()))
+        self.samples.append(self._sample())
 
     def report(self, window: tuple[float, float] | None = None) -> dict:
         """Noise stats restricted to ``window`` (epoch seconds).
@@ -137,13 +180,15 @@ class NoiseSampler:
             t0, t1 = window
         first = min(samples, key=lambda s: abs(s[0] - t0))
         last = min(samples, key=lambda s: abs(s[0] - t1))
-        probes = [p for ts, p, _ in samples if t0 - self.interval <= ts <= t1 + self.interval]
+        in_win = [s for s in samples if t0 - self.interval <= s[0] <= t1 + self.interval]
+        probes = [s[1] for s in in_win]
+        bws = [s[3] for s in in_win if len(s) > 3]
         d_total = max(1, last[2]["total"] - first[2]["total"])
         d_steal = last[2]["steal"] - first[2]["steal"]
         d_idle = (last[2]["idle"] + last[2]["iowait"]) - (
             first[2]["idle"] + first[2]["iowait"]
         )
-        return {
+        rep = {
             "n_probes": len(probes),
             "probe_p50": round(_quantile(probes, 0.50), 4),
             "probe_p75": round(_quantile(probes, 0.75), 4),
@@ -151,6 +196,11 @@ class NoiseSampler:
             "steal_frac": round(d_steal / d_total, 4),
             "busy_frac": round(1.0 - d_idle / d_total, 4),
         }
+        if bws:
+            # informational (non-gating): see bw_probe_once
+            rep["bw_p50"] = round(_quantile(bws, 0.50), 4)
+            rep["bw_min"] = round(min(bws), 4)
+        return rep
 
 
 def classify(
