@@ -86,6 +86,14 @@ PROBE_REL_MAX = float(os.environ.get("SPARK_GRAFT_PROBE_REL_MAX", "1.18"))
 CALIB_REL_MAX = float(os.environ.get("SPARK_GRAFT_CALIB_REL_MAX", "1.12"))
 # retry budget for contaminated headline-query windows (total across queries)
 QUERY_RETRY_BUDGET = int(os.environ.get("SPARK_GRAFT_QUERY_RETRIES", "8"))
+# total-wall deadline for the QUERY section: a contaminated day can push
+# retries until the whole process overshoots whatever external timeout the
+# driver runs bench.py under (a live run spent 529s on queries and landed
+# at 2629s total; a kill there loses the round's entire record). Past this
+# deadline every remaining query records its FIRST window, uncertified if
+# need be — the corroborated/contaminated fields make the degradation
+# visible in the artifact instead of silently absent.
+QUERY_GUARD = int(os.environ.get("SPARK_GRAFT_QUERY_GUARD", "2100"))
 # every headline query runs at least this many times; the recorded wall is
 # the minimum. Bracket probes + steal can certify a window against CPU
 # steal and burst-shaped contention, but a mid-window DRAM-bandwidth
@@ -461,6 +469,10 @@ def main() -> None:
             walls.append(dt)
             if best is None or dt < best["sec"]:
                 best = rec
+            if time.time() - T_START > QUERY_GUARD:
+                log(f"  {label}: past query guard {QUERY_GUARD}s — "
+                    "recording without further windows")
+                break
             # attempt policy: always QUERY_MIN_ATTEMPTS windows (min-of-2 —
             # the only gate that catches mid-window DRAM-neighbor pressure,
             # which brackets + steal provably miss); a flagged window or a
