@@ -29,6 +29,26 @@ from pyspark.sql import functions as F
 MANIFEST = "_MANIFEST.json"
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Widen an under-partitioned scan to the session's parallelism.
+
+    Small benchmark inputs arrive as a single parquet file with ONE row
+    group, so the scan yields one partition and every expression evaluated
+    before the first shuffle (shingling, minhash, RHP projections) runs on
+    one core. This repartitions ONLY when the scan has fewer partitions
+    than ``defaultParallelism`` — at production scale an input table has
+    thousands of splits, so the check short-circuits and no shuffle is
+    added. A round-robin exchange of the raw rows is strictly cheaper than
+    serializing a CPU-bound expression chain on one core (sf0.1 A/B:
+    jaccard shingle phase 9.0s -> 1.9s at local[32]).
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def table_path(base_dir: str, name: str) -> str:
     return os.path.join(base_dir, name)
 

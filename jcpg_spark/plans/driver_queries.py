@@ -25,6 +25,7 @@ from jcpg_spark.functions.text import (
     whitespace_token_count,
     words,
 )
+from jcpg_spark import io
 from jcpg_spark.operators import calls, canonicalize, dedup, flow, references, similarity
 from jcpg_spark.sources.transcripts import (
     EVENTS_GAZETTEER,
@@ -38,7 +39,14 @@ def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # fan_out: the tiny-sf documents table is one parquet row group -> one
+    # scan partition; without it the shingle/minhash/fingerprint expression
+    # chains run single-core (no-op on multi-split production inputs).
+    return io.fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return io.fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _w_user():
@@ -1157,7 +1165,7 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact all-pairs baseline — oracle
     verification at tiny sf ONLY; the registered scale path is
     dedup_embedding_lsh below)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return dedup.embedding_cosine_pairs(emb, threshold=0.4)
 
 
@@ -1166,7 +1174,7 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     cosine verify within buckets (no crossJoin; plan-gated in pytest).
     Rows-only driver check (bucketing is hash-defined); recall >= 0.9 vs the
     exact baseline asserted in pytest."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return dedup.embedding_lsh_pairs(emb, threshold=0.4)
 
 
@@ -1196,7 +1204,7 @@ FROM o
 
 
 def q_ann_cosine_topk(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
@@ -1213,7 +1221,7 @@ SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM r WHERE rank <
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN — scale path; no SQL oracle (bucketing is
     hash-defined), recall vs brute force is asserted in pytest."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
@@ -1222,7 +1230,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     rounds over the deterministic first-k seed) + nprobe search — rows-only
     (centroid assignment is engine-defined); recall vs brute force and
     training-objective improvement asserted in pytest."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     cents = similarity.kmeans_centroids(emb, k=16, iters=2)
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), cents, k=5, nprobe=4)
 

@@ -104,3 +104,18 @@ def test_materialized_nodes_match_build_graph_and_stage_walls(
     assert mat == direct
     assert set(s.stage_walls) == set(s.stages_computed)
     assert all(w >= 0 for w in s.stage_walls.values())
+
+
+def test_fan_out_widens_narrow_scan_only(spark, tmp_path):
+    """fan_out repartitions a 1-partition input up to defaultParallelism,
+    leaves an already-wide input untouched (the production no-op path),
+    and preserves the row multiset either way."""
+    df = spark.range(1000).coalesce(1)
+    wide = tio.fan_out(df)
+    assert wide.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert sorted(r.id for r in wide.collect()) == list(range(1000))
+
+    already = spark.range(1000).repartition(spark.sparkContext.defaultParallelism + 4)
+    assert tio.fan_out(already) is already
+
+    assert tio.fan_out(df, min_partitions=7).rdd.getNumPartitions() == 7
