@@ -163,55 +163,62 @@ def embedding_lsh_pairs(
     recall for a pair at cosine s: 1-(1-p^n_planes)^n_tables with
     p = 1 - arccos(s)/pi (defaults: >= 0.95 at s = 0.4, higher above).
 
-    O(N * n_tables) bucketing + equi-join — replaces the O(N^2) crossJoin
-    of ``embedding_cosine_pairs``. Candidate pairs are deduped across
-    tables as (id_a, id_b) ONLY — the vectors are joined back for the
-    verify AFTER the distinct, so the wide payload never rides through the
-    pair shuffle (carrying 2x64 doubles per candidate row measured ~60x
-    the shuffle bytes and dominated the wall). ``max_bucket`` optionally
-    skips cells larger than the cap (hot-bucket guard, same move as the
-    shingle df-cap above): at 100 TB a degenerate bucket — e.g. the
+    O(N * n_tables) bucketing + ONE hash-aggregate shuffle — replaces the
+    O(N^2) crossJoin of ``embedding_cosine_pairs``. Each (table, bucket)
+    cell collects its sorted id list and expands ordered pairs inline
+    (array transform, no self-join), so candidate generation costs a
+    single exchange of (id, table, bucket) rows; pairs are then deduped
+    across tables as (id_a, id_b) ONLY — the vectors (unit-normalized
+    once, so the verify is one dot product) join back AFTER the distinct,
+    and the wide payload never rides through the pair shuffle (carrying
+    2x64 doubles per candidate row measured ~60x the shuffle bytes).
+    ``max_bucket`` optionally drops cells larger than the cap — now a free
+    ``size()`` filter on the collected cell (previously a second
+    count+semi-join pass): at 100 TB a degenerate bucket — e.g. the
     all-zero region of a bad embedding model — would otherwise go
-    quadratic; capped cells only cost recall for pairs whose EVERY shared
-    bucket is hot, and the multi-table OR keeps that rare.
+    quadratic in both the collected array and the pair expansion; capped
+    cells only cost recall for pairs whose EVERY shared bucket is hot, and
+    the multi-table OR keeps that rare. Set it whenever the id universe is
+    unbounded (the collected cell must fit an executor's row buffer).
     """
-    from jcpg_spark.operators.similarity import _dot, _norm, _rhp_signature
+    from jcpg_spark.operators.similarity import _dot, _rhp_buckets, _unit
 
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                _rhp_signature(F.col(vec_col), dim, n_planes, seed=1042 + t).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-    )
-    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    buckets = _rhp_buckets(vec_col, dim, n_planes, n_tables, seed0=1042)
     cells = embeddings.select(
         F.col(id_col).alias("id"), F.explode(buckets).alias("tb")
     ).select("id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
-    if max_bucket is not None:
-        sizes = cells.groupBy("table", "bucket").agg(F.count("*").alias("_n"))
-        cells = cells.join(
-            sizes.filter(F.col("_n") <= max_bucket).select("table", "bucket"),
-            ["table", "bucket"],
-            "left_semi",
-        )
 
-    a = cells.select(F.col("id").alias("id_a"), "table", "bucket")
-    b = cells.select(F.col("id").alias("id_b"), "table", "bucket")
+    # Candidate generation in ONE shuffle: hash-aggregate the ids of each
+    # (table, bucket) cell and expand the ordered pairs inline (sorted ids,
+    # i < j), instead of the previous two-sided self-equi-join (which
+    # shuffled the cell list twice and needed a separate count+semi-join
+    # pass for the hot-bucket guard — here the guard is a free size()
+    # filter on the collected cell).
+    grouped = cells.groupBy("table", "bucket").agg(
+        F.sort_array(F.collect_set("id")).alias("ids")
+    )
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("ids") <= max_bucket)
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     cand = (
-        a.join(b, ["table", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
+    e = _unit(embeddings, id_col, vec_col, "id", "nv")
     pairs = cand.join(
-        e.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a"
-    ).join(e.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+        e.select(F.col("id").alias("id_a"), F.col("nv").alias("va")), "id_a"
+    ).join(e.select(F.col("id").alias("id_b"), F.col("nv").alias("vb")), "id_b")
     return (
-        pairs.withColumn("cos", cos)
+        pairs.withColumn("cos", _dot(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
