@@ -49,6 +49,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("JCPG_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # PySpark 4's DataFrame-debugging hook wraps EVERY Column/DataFrame
+        # API call with a Python stack walk plus extra py4j round trips to
+        # record the call site for error messages. On plan-construction-heavy
+        # code (the fused KG emitters build hundreds of expression nodes)
+        # that is 3x the driver-side build wall (cfg_triples 1.45s -> 0.48s
+        # measured) — pure serial time a cluster pays once per query but at
+        # every parallelism level alike. Off by default here; re-enable via
+        # extra_conf when chasing a cryptic analysis error.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     if extra_conf:
         for k, v in extra_conf.items():
