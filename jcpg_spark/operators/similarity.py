@@ -132,8 +132,13 @@ def _unit(df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str) -
 
 
 def _centroid_arr(centroids: list[tuple[int, list[float]]]):
-    """Literal array<array<double>> of centroid vectors (tiny, inlined)."""
-    return F.array(*[F.array(*[F.lit(float(x)) for x in vec]) for _cid, vec in centroids])
+    """Literal array<array<double>> of centroid vectors (tiny, inlined as
+    ONE JVM-parsed expression — the per-literal Column form cost K x dim
+    py4j round trips per k-means round)."""
+    inner = ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in vec) + ")" for _cid, vec in centroids
+    )
+    return F.expr(f"array({inner})")
 
 
 def ivf_assign(
