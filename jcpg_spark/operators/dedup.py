@@ -231,11 +231,12 @@ def minhash_signatures(docs: DataFrame, num_perm: int = 32, n: int = 3) -> DataF
     Computed as one explode + groupBy (single shuffle), sketch size constant.
     """
     sh = word_shingles(docs, n=n)
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_perm)
-    ]
-    sig = sh.groupBy("doc_id").agg(*mins)
-    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
+    # one JVM-parsed aggregate expression (array over the num_perm mins):
+    # the per-Column form cost ~300 py4j round trips of serial driver time
+    # per call. SQL integer literals hash identically to F.lit(i) (both
+    # int32 inputs to xxhash64).
+    mins = ",".join(f"min(xxhash64({i},shingle))" for i in range(num_perm))
+    return sh.groupBy("doc_id").agg(F.expr(f"array({mins})").alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -260,19 +261,16 @@ def minhash_lsh_pairs(
     # the shingle aggregate), so persist — swap_persist releases the
     # previous call's cache, so repeated calls never accumulate
     sig = swap_persist("minhash_lsh_pairs.sig", minhash_signatures(docs, num_perm=num_perm, n=n))
-    band_cols = [
-        F.xxhash64(F.lit(b), *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]).alias(
-            f"band{b}"
-        )
+    # band hashes + bucket explosion as ONE inline() expression (same py4j
+    # round-trip collapse as minhash_signatures above; band ids as SQL int
+    # literals hash identically to the previous F.lit form)
+    entries = ",".join(
+        f"struct({b} as band,xxhash64({b},"
+        + ",".join(f"element_at(sig,{b * rows_per_band + r + 1})" for r in range(rows_per_band))
+        + ") as bh)"
         for b in range(bands)
-    ]
-    banded = sig.select("doc_id", "sig", *band_cols)
-    bucketed = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh")) for b in range(bands)])
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    )
+    bucketed = sig.select("doc_id", F.expr(f"inline(array({entries}))"))
 
     a = bucketed.select(F.col("doc_id").alias("doc_a"), "band", "bh")
     b = bucketed.select(F.col("doc_id").alias("doc_b"), "band", "bh")
