@@ -107,7 +107,39 @@ QUERY_GUARD = int(os.environ.get("SPARK_GRAFT_QUERY_GUARD", "2100"))
 QUERY_MIN_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_QUERY_MIN_ATTEMPTS", "2"))
 
 ANCHOR_PATH = os.path.join(REPO, "BENCH", "probe_anchor.json")
+WALL_ANCHOR_PATH = os.path.join(REPO, "BENCH", "wall_anchor.json")
 HISTORY_PATH = os.path.join(REPO, ".bench", "history.jsonl")
+
+
+def load_wall_anchor() -> dict | None:
+    """Committed per-level clean wall minima for the standard scaling input.
+
+    The probe/steal gates certify a run against the HOST's speed during its
+    own window, which catches bursts but not session-wide pressure that
+    slows every run of a session alike (the certified-minimum ratio then
+    holds only if both levels are inflated equally — usually, not always).
+    The wall anchor closes the reporting gap: each run is annotated with
+    how far its wall sits above the best noise-certified wall ever recorded
+    for that level on the same input, so a record produced inside a
+    multi-hour contamination wave carries its own explanation."""
+    try:
+        with open(WALL_ANCHOR_PATH) as f:
+            a = json.load(f)
+        return {"turns": int(a["turns"]),
+                "walls": {int(k): float(v) for k, v in a["walls"].items()}}
+    except (OSError, KeyError, ValueError, TypeError):
+        return None
+
+
+def wall_vs_hist(run: dict, cpus: int, anchor: dict | None) -> float | None:
+    """Fractional wall excess vs the committed clean minimum for this level
+    (0.0 = matches the historical best; 0.16 = 16% slower). None when the
+    anchor is absent, the input differs, or the level is unanchored."""
+    if not anchor or run.get("wall_sec") is None:
+        return None
+    if run.get("turns") != anchor["turns"] or cpus not in anchor["walls"]:
+        return None
+    return round(run["wall_sec"] / anchor["walls"][cpus] - 1.0, 3)
 
 
 def load_hist_floors() -> tuple[float | None, float | None]:
@@ -396,6 +428,7 @@ def main() -> None:
         lo = best(SCALE_LO) if runs[SCALE_LO] else blank
         hi = best(SCALE_HI) if runs[SCALE_HI] else blank
         efficiency = None
+    wall_anchor = load_wall_anchor()
     run_log = [
         {
             "cpus": c,
@@ -404,11 +437,32 @@ def main() -> None:
             "steal_frac": r["noise"].get("steal_frac"),
             "probe_p50": r["noise"].get("probe_p50"),
             "bw_p50": r["noise"].get("bw_p50"),
+            "wall_vs_hist": wall_vs_hist(r, c, wall_anchor),
             "contaminated": r["contaminated"],
         }
         for c in (SCALE_LO, SCALE_HI)
         for r in runs[c]
     ]
+    minima_vs_hist = {
+        "lo": wall_vs_hist(lo, SCALE_LO, wall_anchor),
+        "hi": wall_vs_hist(hi, SCALE_HI, wall_anchor),
+    }
+    for c, m, tag in ((SCALE_LO, lo, "lo"), (SCALE_HI, hi, "hi")):
+        d = minima_vs_hist[tag]
+        if d is not None and d < 0 and not m.get("contaminated"):
+            log(f"  local[{c}] clean wall {m['wall_sec']}s beats the committed "
+                f"anchor by {-d:.1%} — consider updating BENCH/wall_anchor.json")
+    hist_context = None
+    lo_d, hi_d = minima_vs_hist["lo"], minima_vs_hist["hi"]
+    if (efficiency is not None and efficiency < 0.8
+            and lo_d is not None and hi_d is not None
+            and min(lo_d, hi_d) > 0.10):
+        hist_context = (
+            f"both level minima sit >10% above the committed clean wall "
+            f"anchors (lo +{lo_d:.0%}, hi +{hi_d:.0%}) — session-wide host "
+            f"contamination the per-window gates cannot see; protocol and "
+            f"cross-session records in BENCH/BASELINE.md")
+        log(f"  NOTE: {hist_context}")
     log(
         f"scaling runs: {len(run_log)} total, "
         f"clean lo/hi: {len(clean(SCALE_LO))}/{len(clean(SCALE_HI))}, "
@@ -565,7 +619,10 @@ def main() -> None:
             "scaling_efficiency": efficiency,
             "turns": hi["turns"],
             "protocol": "v4: fastest noise-certified run per level; floor anchored "
-                        "across levels + BENCH/probe_anchor.json + .bench/history.jsonl",
+                        "across levels + BENCH/probe_anchor.json + .bench/history.jsonl; "
+                        "walls annotated vs BENCH/wall_anchor.json clean minima",
+            "minima_vs_hist": minima_vs_hist,
+            **({"context": hist_context} if hist_context else {}),
             "gates": {"steal_max": STEAL_MAX, "probe_rel_max": PROBE_REL_MAX,
                       "probe_calib_sec": round(probe_calib, 4),
                       "calib_ok": calib_ok,
@@ -588,7 +645,9 @@ def write_bench_md(result: dict, lo: int, hi: int, cpus: int) -> None:
     s = result["scaling"]
     runs_tbl = "\n".join(
         f"| local[{r['cpus']}] | {r['wall_sec']} | {r['triples_per_sec']} "
-        f"| {r['steal_frac']} | {r['probe_p50']} | {r['contaminated'] or 'clean'} |"
+        f"| {r['steal_frac']} | {r['probe_p50']} "
+        f"| {r.get('wall_vs_hist') if r.get('wall_vs_hist') is not None else '-'} "
+        f"| {r['contaminated'] or 'clean'} |"
         for r in s["runs"]
     )
     md = f"""# BENCH — latest run (protocol: committed BENCH/BASELINE.md)
@@ -596,8 +655,8 @@ def write_bench_md(result: dict, lo: int, hi: int, cpus: int) -> None:
 Input: {s['turns']} turns (seed=42). Gates: steal_frac > {s['gates']['steal_max']}
 or probe_p50 > {s['gates']['probe_rel_max']}x level floor (calib {s['gates']['probe_calib_sec']}s).
 
-| run | wall (s) | triples/sec | steal_frac | probe_p50 | verdict |
-|---|---|---|---|---|---|
+| run | wall (s) | triples/sec | steal_frac | probe_p50 | wall_vs_hist | verdict |
+|---|---|---|---|---|---|---|
 {runs_tbl}
 
 **Scaling efficiency ({lo}->{hi} cores, fastest clean run per level):

@@ -68,3 +68,30 @@ def test_sampler_thread_collects_real_samples():
     rep = s.report()
     assert rep["n_probes"] == len(s.samples)
     assert 0 <= rep["steal_frac"] < 1
+
+
+def test_wall_anchor_annotation():
+    """bench.wall_vs_hist: committed clean-minimum walls annotate runs with
+    their fractional excess; mismatched input or missing data -> None."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    anchor = {"turns": 6310262, "walls": {1: 200.0, 4: 50.0}}
+    assert bench.wall_vs_hist({"wall_sec": 230.0, "turns": 6310262}, 1, anchor) == 0.15
+    assert bench.wall_vs_hist({"wall_sec": 45.0, "turns": 6310262}, 4, anchor) == -0.1
+    # different input size: anchor does not apply
+    assert bench.wall_vs_hist({"wall_sec": 10.0, "turns": 44227}, 1, anchor) is None
+    # unanchored level, blackout run, absent anchor
+    assert bench.wall_vs_hist({"wall_sec": 60.0, "turns": 6310262}, 8, anchor) is None
+    assert bench.wall_vs_hist({"wall_sec": None, "turns": 6310262}, 1, anchor) is None
+    assert bench.wall_vs_hist({"wall_sec": 60.0, "turns": 6310262}, 1, None) is None
+
+    # the committed anchor file parses and matches the standard scaling input
+    a = bench.load_wall_anchor()
+    assert a is not None and a["turns"] == 6310262
+    assert all(isinstance(k, int) and v > 0 for k, v in a["walls"].items())
