@@ -142,6 +142,34 @@ def wall_vs_hist(run: dict, cpus: int, anchor: dict | None) -> float | None:
     return round(run["wall_sec"] / anchor["walls"][cpus] - 1.0, 3)
 
 
+def hist_context(lo_d: float | None, hi_d: float | None,
+                 threshold: float = 0.10) -> str | None:
+    """One-line interpretation of the recorded pair's wall excess vs the
+    committed anchors. Symmetric and direction-honest: an inflated lo
+    minimum OVERSTATES the ratio just as an inflated hi understates it
+    (live example: lo +2.6% / hi +10.2% recorded 0.771 where the anchor
+    pair implies ~0.83 — the hi level never saw a clean window)."""
+    if lo_d is None or hi_d is None:
+        return None
+    if lo_d > threshold and hi_d > threshold:
+        return (f"both level minima sit >{threshold:.0%} above the committed "
+                f"clean wall anchors (lo +{lo_d:.0%}, hi +{hi_d:.0%}) — "
+                f"session-wide host contamination the per-window gates cannot "
+                f"see; the ratio holds only if the pressure was common-mode "
+                f"(protocol + cross-session records: BENCH/BASELINE.md)")
+    if hi_d > threshold:
+        return (f"hi-level minimum sits +{hi_d:.0%} above its committed clean "
+                f"anchor while lo is near-clean (+{lo_d:.0%}) — the recorded "
+                f"efficiency is correspondingly UNDERSTATED (hi never saw a "
+                f"clean window this session)")
+    if lo_d > threshold:
+        return (f"lo-level minimum sits +{lo_d:.0%} above its committed clean "
+                f"anchor while hi is near-clean (+{hi_d:.0%}) — the recorded "
+                f"efficiency is correspondingly OVERSTATED (lo never saw a "
+                f"clean window this session)")
+    return None
+
+
 def load_hist_floors() -> tuple[float | None, float | None]:
     """(probe_floor, calib_floor): min certified-clean run probe_p50 and min
     idle calibration over the committed anchor file plus every session in
@@ -452,17 +480,9 @@ def main() -> None:
         if d is not None and d < 0 and not m.get("contaminated"):
             log(f"  local[{c}] clean wall {m['wall_sec']}s beats the committed "
                 f"anchor by {-d:.1%} — consider updating BENCH/wall_anchor.json")
-    hist_context = None
-    lo_d, hi_d = minima_vs_hist["lo"], minima_vs_hist["hi"]
-    if (efficiency is not None and efficiency < 0.8
-            and lo_d is not None and hi_d is not None
-            and min(lo_d, hi_d) > 0.10):
-        hist_context = (
-            f"both level minima sit >10% above the committed clean wall "
-            f"anchors (lo +{lo_d:.0%}, hi +{hi_d:.0%}) — session-wide host "
-            f"contamination the per-window gates cannot see; protocol and "
-            f"cross-session records in BENCH/BASELINE.md")
-        log(f"  NOTE: {hist_context}")
+    context = hist_context(minima_vs_hist["lo"], minima_vs_hist["hi"])
+    if context:
+        log(f"  NOTE: {context}")
     log(
         f"scaling runs: {len(run_log)} total, "
         f"clean lo/hi: {len(clean(SCALE_LO))}/{len(clean(SCALE_HI))}, "
@@ -622,7 +642,7 @@ def main() -> None:
                         "across levels + BENCH/probe_anchor.json + .bench/history.jsonl; "
                         "walls annotated vs BENCH/wall_anchor.json clean minima",
             "minima_vs_hist": minima_vs_hist,
-            **({"context": hist_context} if hist_context else {}),
+            **({"context": context} if context else {}),
             "gates": {"steal_max": STEAL_MAX, "probe_rel_max": PROBE_REL_MAX,
                       "probe_calib_sec": round(probe_calib, 4),
                       "calib_ok": calib_ok,

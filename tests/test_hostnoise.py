@@ -95,3 +95,22 @@ def test_wall_anchor_annotation():
     a = bench.load_wall_anchor()
     assert a is not None and a["turns"] == 6310262
     assert all(isinstance(k, int) and v > 0 for k, v in a["walls"].items())
+
+
+def test_hist_context_direction_honest():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    assert bench.hist_context(None, 0.2) is None
+    assert bench.hist_context(0.02, 0.05) is None          # both near-clean
+    both = bench.hist_context(0.16, 0.22)
+    assert both and "session-wide" in both
+    under = bench.hist_context(0.026, 0.102)               # live 0.771 case
+    assert under and "UNDERSTATED" in under
+    over = bench.hist_context(0.18, 0.03)
+    assert over and "OVERSTATED" in over
