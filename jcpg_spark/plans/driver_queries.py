@@ -26,7 +26,16 @@ from jcpg_spark.functions.text import (
     words,
 )
 from jcpg_spark import io
-from jcpg_spark.operators import calls, canonicalize, dedup, flow, references, similarity
+from jcpg_spark.operators import (
+    calls,
+    canonicalize,
+    decontaminate,
+    dedup,
+    flow,
+    graph_analytics,
+    references,
+    similarity,
+)
 from jcpg_spark.sources.transcripts import (
     EVENTS_GAZETTEER,
     events_gazetteer,
@@ -1602,6 +1611,98 @@ def q_kg_full_pipeline(spark, sf_dir):
     return res.edges
 
 
+# ---------------------------------------------------------------------------
+# Graph analytics over the KG's co-mention projection + decontamination (r4)
+# ---------------------------------------------------------------------------
+
+# Co-mention graph shared by the analytics entries: entities are the
+# rounded event values (the same CAST(round(value) AS INT) convention the
+# failure predicate uses), conversations are users; an edge (a, b, w) means
+# w distinct users mentioned both items.
+def _comention_edges(spark, sf_dir, min_weight=2):
+    ev = _ev(spark, sf_dir)
+    mentions = ev.select(
+        F.col("user_id").alias("conv_id"),
+        F.round("value").cast("int").alias("entity"),
+    )
+    return graph_analytics.co_mention_edges(mentions, min_weight=min_weight)
+
+
+_SQL_COMENTION = """
+  SELECT x.item AS a, y.item AS b, count(*) AS w
+  FROM (SELECT DISTINCT user_id, CAST(round(value) AS INT) AS item FROM events) x
+  JOIN (SELECT DISTINCT user_id, CAST(round(value) AS INT) AS item FROM events) y
+    ON x.user_id = y.user_id AND x.item < y.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def q_kg_triangles(spark, sf_dir):
+    """Per-vertex triangle counts on the entity co-mention graph via the
+    degree-oriented wedge join (the scalable formulation — each triangle
+    generated once at its lowest-(degree, id) vertex). The oracle uses the
+    naive a<b<c three-way self-join: triangle membership is
+    orientation-invariant, so both must agree exactly."""
+    edges = _comention_edges(spark, sf_dir, min_weight=2)
+    return graph_analytics.triangle_counts(edges)
+
+
+SQL_KG_TRIANGLES = f"""
+WITH e AS ({_SQL_COMENTION}),
+tri AS (SELECT e1.a, e1.b, e2.b AS c
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT v AS item, count(*) AS n_tri
+FROM (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+GROUP BY v
+"""
+
+
+def q_kg_khop2(spark, sf_dir):
+    """<=2-hop neighborhood sizes on the co-mention graph (relational
+    unrolling: one frontier self-join + distinct-agg)."""
+    edges = _comention_edges(spark, sf_dir, min_weight=2)
+    return graph_analytics.khop_counts(edges, k=2)
+
+
+SQL_KG_KHOP2 = f"""
+WITH e AS ({_SQL_COMENTION}),
+adj AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+reach AS (SELECT s, t FROM adj
+          UNION ALL
+          SELECT f.s, a2.t FROM adj f JOIN adj a2 ON a2.s = f.t WHERE a2.t <> f.s)
+SELECT s AS item, count(DISTINCT t) AS n_khop FROM reach GROUP BY s
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing >= 1 word 4-gram
+    with the held-out eval slice (docs whose md5(doc_id) starts with 'f' —
+    the same deterministic hash-split family as doc_sample_hash). The eval
+    side is benchmark-sized, so the containment join broadcasts it."""
+    d = _docs(spark, sf_dir)
+    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "f"
+    return decontaminate.contamination(
+        d.where(~is_eval), d.where(is_eval), n=4
+    )
+
+
+SQL_DECONTAMINATE = r"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws,
+                  substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' AS is_eval
+           FROM documents),
+s AS (SELECT doc_id, is_eval, unnest(list_distinct(CASE WHEN len(ws) >= 4
+          THEN list_transform(generate_series(1, len(ws) - 3),
+                              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+          ELSE [] END)) AS shingle
+      FROM w)
+SELECT t.doc_id, count(DISTINCT t.shingle) AS n_overlap, min(e.doc_id) AS first_eval_match
+FROM s t JOIN s e ON t.shingle = e.shingle AND NOT t.is_eval AND e.is_eval
+GROUP BY t.doc_id
+"""
+
+
 # name -> (spark_fn, oracle_sql or None)
 #
 # EXACTLY 50 entries: the driver checks the first 50, so every operator
@@ -1623,7 +1724,6 @@ REGISTRY: dict[str, tuple] = {
     "kg_flow_next_salted": (q_kg_flow_next_salted, SQL_KG_FLOW_NEXT),
     "kg_branch": (q_kg_branch, SQL_KG_BRANCH),
     "kg_call_return": (q_kg_call_return, SQL_KG_CALL_RETURN),
-    "kg_call_resolved": (q_kg_call_resolved, SQL_KG_CALL_RESOLVED),
     "kg_throws": (q_kg_throws, SQL_KG_THROWS),
     "kg_reaching_ref": (q_kg_reaching_ref, SQL_KG_REACHING_REF),
     "kg_segment": (q_kg_segment, SQL_KG_SEGMENT),
@@ -1639,7 +1739,13 @@ REGISTRY: dict[str, tuple] = {
     # item 7); w3_sessionize moved to FOLDED_REGISTRY to stay at 50 — W3
     # keeps its green driver entry via kg_segment.
     "kg_sentences": (q_kg_sentences, SQL_KG_SENTENCES),
-    "kg_degree_topk": (q_kg_degree_topk, SQL_KG_DEGREE_TOPK),
+    # graph analytics over the co-mention projection (r4): degree-oriented
+    # triangle counting; kg_degree_topk folded to make room (§2.6 keeps its
+    # green entry via tpch_q1 — the fold the r3 verdict itself suggested),
+    # and kg_call_resolved folded for decontaminate below (J2 stays green
+    # via kg_call_return; the registry-resolution join keeps its exact
+    # oracle in FOLDED_REGISTRY).
+    "kg_triangles": (q_kg_triangles, SQL_KG_TRIANGLES),
     "kg_text_roundtrip": (q_kg_text_roundtrip, SQL_KG_TEXT_ROUNDTRIP),
     "w5_top1_per_user_type": (q_w5_top1_per_user_type, SQL_W5_TOP1),
     "a4_exit_points": (q_a4_exit_points, SQL_A4_EXIT),
@@ -1674,6 +1780,7 @@ REGISTRY: dict[str, tuple] = {
     "doc_sample_hash": (q_doc_sample_hash, SQL_DOC_SAMPLE),
     "text_redact": (q_text_redact, SQL_TEXT_REDACT),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "media_features": (q_media_features, None),
 }
 
@@ -1691,6 +1798,13 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     # folded in r4 to make room for kg_sentences (W3 stays green via
     # kg_segment; the session-window semantics remain exactly oracled here)
     "w3_sessionize": (q_w3_sessionize, SQL_W3_SESSIONIZE),
+    # folded in r4 for kg_triangles / decontaminate (see REGISTRY comments):
+    # §2.6 keeps tpch_q1 green, J2 keeps kg_call_return green; both entries
+    # keep their exact oracles here. kg_khop2 is the second graph-analytics
+    # kernel, pytest-oracled from birth.
+    "kg_degree_topk": (q_kg_degree_topk, SQL_KG_DEGREE_TOPK),
+    "kg_call_resolved": (q_kg_call_resolved, SQL_KG_CALL_RESOLVED),
+    "kg_khop2": (q_kg_khop2, SQL_KG_KHOP2),
     # folded in r4 to make room for kg_export_json: the full build is
     # rows-only (iterative CC has no single-statement SQL), while its
     # SQL-expressible ~99% keeps the exact composite oracle as the

@@ -1,0 +1,133 @@
+"""Graph-analytics kernels (triangles, k-hop, co-mention projection) and
+benchmark decontamination.
+
+Triangle correctness is pinned two ways: closed-form counts on known
+graphs (complete graph, path), and equality of the degree-oriented wedge
+implementation against an orientation-free naive count on a seeded random
+graph — the invariance that lets the DuckDB oracle stay naive while the
+engine runs the scale path.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from jcpg_spark.operators import decontaminate, graph_analytics
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in pairs], "a int, b int"
+    ).distinct()
+
+
+def _naive_triangle_counts(pairs):
+    es = {(min(a, b), max(a, b)) for a, b in pairs}
+    verts = sorted({v for e in es for v in e})
+    out = {}
+    for x, y, z in itertools.combinations(verts, 3):
+        if (x, y) in es and (y, z) in es and (x, z) in es:
+            for v in (x, y, z):
+                out[v] = out.get(v, 0) + 1
+    return out
+
+
+def test_triangles_complete_graph(spark):
+    # K5: C(5,3)=10 triangles, each vertex in C(4,2)=6.
+    edges = _edges_df(spark, itertools.combinations(range(5), 2))
+    got = {r["item"]: r["n_tri"] for r in graph_analytics.triangle_counts(edges).collect()}
+    assert got == {v: 6 for v in range(5)}
+
+
+def test_triangles_path_graph_empty(spark):
+    edges = _edges_df(spark, [(i, i + 1) for i in range(10)])
+    assert graph_analytics.triangle_counts(edges).count() == 0
+
+
+def test_triangles_match_naive_on_random_graph(spark):
+    rng = random.Random(42)
+    pairs = {
+        (a, b)
+        for a, b in (sorted(rng.sample(range(30), 2)) for _ in range(150))
+    }
+    edges = _edges_df(spark, pairs)
+    got = {r["item"]: r["n_tri"] for r in graph_analytics.triangle_counts(edges).collect()}
+    assert got == _naive_triangle_counts(pairs)
+
+
+def test_triangles_skewed_hub(spark):
+    # A hub in a star plus one closing edge: exactly one triangle; the
+    # degree orientation must not over- or under-count around the hub.
+    pairs = [(0, i) for i in range(1, 20)] + [(1, 2)]
+    edges = _edges_df(spark, pairs)
+    got = {r["item"]: r["n_tri"] for r in graph_analytics.triangle_counts(edges).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_khop2_path_graph(spark):
+    # path 0-1-2-3: ends reach 2 within <=2 hops, middles reach 3.
+    edges = _edges_df(spark, [(0, 1), (1, 2), (2, 3)])
+    got = {r["item"]: r["n_khop"] for r in graph_analytics.khop_counts(edges, k=2).collect()}
+    assert got == {0: 2, 1: 3, 2: 3, 3: 2}
+
+
+def test_khop1_is_degree(spark):
+    edges = _edges_df(spark, [(0, 1), (1, 2), (2, 3)])
+    got = {r["item"]: r["n_khop"] for r in graph_analytics.khop_counts(edges, k=1).collect()}
+    assert got == {0: 1, 1: 2, 2: 2, 3: 1}
+
+
+def test_comention_threshold_and_hub_cap(spark):
+    rows = (
+        # convs c1, c2 both mention (a, b) -> weight 2
+        [("c1", "a"), ("c1", "b"), ("c2", "a"), ("c2", "b")]
+        # c3 mentions (a, c) once -> weight 1, dropped at min_weight=2
+        + [("c3", "a"), ("c3", "c")]
+        # hub conv mentions 5 entities -> dropped entirely at max_per_conv=4
+        + [("hub", e) for e in ("a", "b", "c", "d", "e")]
+    )
+    m = spark.createDataFrame(rows, "conv_id string, entity string")
+    got = graph_analytics.co_mention_edges(m, min_weight=2, max_per_conv=4).collect()
+    assert [(r["a"], r["b"], r["w"]) for r in got] == [("a", "b", 2)]
+    # without the cap the hub's pairs count toward the weights
+    uncapped = {
+        (r["a"], r["b"]): r["w"]
+        for r in graph_analytics.co_mention_edges(m, min_weight=2, max_per_conv=100).collect()
+    }
+    assert uncapped[("a", "b")] == 3 and ("a", "c") in uncapped
+
+
+def test_contamination_counts_and_exemplar(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),  # shares 2 distinct 4-grams
+            (2, "zeta eta theta iota"),  # no overlap
+            (3, "alpha beta gamma delta"),  # shares 1
+        ],
+        "doc_id long, text string",
+    )
+    evald = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta"),
+            (200, "beta gamma delta epsilon"),  # duplicates a train1 4-gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_overlap"], r["first_eval_match"])
+        for r in decontaminate.contamination(train, evald, n=4).collect()
+    }
+    # doc 1 has 4-grams {abgd, bgde}; both hit eval -> n_overlap=2, min eval id 100
+    assert got == {1: (2, 100), 3: (1, 100)}
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    train = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    evald = spark.createDataFrame([(9, "a b c d")], "doc_id long, text string")
+    plan = decontaminate.contamination(train, evald, n=4)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
