@@ -349,3 +349,38 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
         "doc_a", "doc_b", "hamming"
     )
+
+
+def keep_list(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Final dedup decision: near-dup pairs -> duplicate clusters ->
+    (doc_id, canonical_doc_id, keep), one kept doc (min id) per cluster.
+
+    This is the composition a production pipeline actually ships: any pair
+    generator above (exact / Jaccard / MinHash / SimHash / embedding LSH)
+    feeds the union-find canonicalizer (``canonicalize.connected_components``
+    — the reference analog is the transitive method-graph merge,
+    JavacpgMethodLevel.java:272-290), and the resulting cluster map is
+    joined back onto the corpus. The pair graph is dup-pair-sized (orders
+    of magnitude below the corpus), so the CC fast path applies and the
+    mapping is BROADCAST back — the corpus side contributes no shuffle.
+    Docs in no pair are their own canonical and kept.
+    """
+    from jcpg_spark.operators.canonicalize import connected_components
+
+    mapping, _rounds, _converged = connected_components(
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
+    canon = F.coalesce(F.col("canonical_id"), F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(
+            F.broadcast(mapping.select(F.col("entity").alias("doc_id"), "canonical_id")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            canon.alias("canonical_doc_id"),
+            (canon == F.col("doc_id")).alias("keep"),
+        )
+    )

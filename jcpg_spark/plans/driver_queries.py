@@ -1703,6 +1703,45 @@ GROUP BY t.doc_id
 """
 
 
+def q_dedup_keep_list(spark, sf_dir):
+    """End-to-end dedup decision: Jaccard pair generation -> union-find
+    clusters -> per-doc (canonical, keep). The iterative CC step is exactly
+    oracle-checkable here because the pair graph is tiny at test scale: the
+    oracle computes the transitive closure with a recursive CTE and takes
+    the component minimum — the same min-label the engine's union-find /
+    star alternation converges to."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(docs, n=3, threshold=0.4).select("doc_a", "doc_b")
+    return dedup.keep_list(docs, pairs)
+
+
+SQL_DEDUP_KEEP_LIST = r"""
+WITH RECURSIVE
+w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+s AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 3
+          THEN list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+          ELSE [] END)) AS shingle
+      FROM w),
+flt AS (SELECT s.* FROM s JOIN (SELECT shingle FROM s GROUP BY shingle HAVING count(*) <= 1000) ok USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM flt GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM flt a JOIN flt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pr AS (SELECT doc_a, doc_b FROM inter
+       JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.4),
+sym AS (SELECT doc_a AS s, doc_b AS t FROM pr UNION SELECT doc_b, doc_a FROM pr),
+reach AS (SELECT s, t FROM sym
+          UNION
+          SELECT r.s, y.t FROM reach r JOIN sym y ON y.s = r.t WHERE y.t <> r.s)
+SELECT d.doc_id,
+       coalesce(least(d.doc_id, m.mn), d.doc_id) AS canonical_doc_id,
+       coalesce(least(d.doc_id, m.mn), d.doc_id) = d.doc_id AS keep
+FROM documents d
+LEFT JOIN (SELECT s, min(t) AS mn FROM reach GROUP BY s) m ON m.s = d.doc_id
+"""
+
+
 # name -> (spark_fn, oracle_sql or None)
 #
 # EXACTLY 50 entries: the driver checks the first 50, so every operator
@@ -1805,6 +1844,9 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_degree_topk": (q_kg_degree_topk, SQL_KG_DEGREE_TOPK),
     "kg_call_resolved": (q_kg_call_resolved, SQL_KG_CALL_RESOLVED),
     "kg_khop2": (q_kg_khop2, SQL_KG_KHOP2),
+    # the shipped dedup composition (pairs -> clusters -> keep); the CC
+    # step gets an exact recursive-CTE oracle at test scale.
+    "dedup_keep_list": (q_dedup_keep_list, SQL_DEDUP_KEEP_LIST),
     # folded in r4 to make room for kg_export_json: the full build is
     # rows-only (iterative CC has no single-statement SQL), while its
     # SQL-expressible ~99% keeps the exact composite oracle as the

@@ -250,3 +250,20 @@ def test_repeated_calls_do_not_accumulate_caches(spark, docs_df):
     assert n_cached() <= base + 2  # one slot per call site, no growth
     clear_caches()
     assert n_cached() <= base
+
+
+def test_keep_list_clusters_identity_and_keep_flags(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: (r["canonical_doc_id"], r["keep"])
+        for r in dedup.keep_list(docs, pairs).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False),  # chain 1-2-3 -> min 1
+        4: (4, True),                                 # isolated doc kept
+        5: (5, True), 6: (5, False),                  # pair 5-6 -> min 5
+        7: (7, True),
+    }
