@@ -27,8 +27,16 @@ operators of this engine:
   unrolling, not an iterative fixpoint — use ``canonicalize`` for
   unbounded reachability).
 
-All outputs are exact integers — no approximation, no floating point — so
-they compare bit-identically across engines and partitionings.
+- ``pagerank``: K-round power iteration over the symmetrized graph, pure
+  DataFrame joins (rank messages shuffle on the destination vertex, the
+  adjacency and degree sides are built once and persisted). K is fixed and
+  small, so the unrolled plan stays a finite join tree an exact SQL oracle
+  can mirror; past ``_CHECKPOINT_EVERY`` rounds each iteration is cut with
+  a lazy ``localCheckpoint`` so lineage stays bounded at large K.
+
+Counting outputs are exact integers and compare bit-identically across
+engines and partitionings; ``pagerank`` is IEEE-double arithmetic whose
+cross-engine agreement is pinned by rounding (see its entry's oracle).
 """
 
 from __future__ import annotations
@@ -150,3 +158,101 @@ def khop_counts(edges: DataFrame, k: int = 2) -> DataFrame:
     return reach.groupBy("s").agg(
         F.count_distinct("t").alias("n_khop")
     ).select(F.col("s").alias("item"), "n_khop")
+
+
+def kcore(
+    edges: DataFrame, k: int = 3, max_iter: int = 50
+) -> tuple[DataFrame, int, bool]:
+    """k-core of the undirected graph by iterative peeling: drop vertices
+    whose current degree is < k until fixpoint. -> ((item, deg), rounds,
+    converged) where deg is the vertex degree WITHIN the core.
+
+    Same driver-coordination posture as ``canonicalize.connected_components``:
+    each round is one degree hash-agg + two semi-joins, the convergence
+    probe is a single scalar count per round (peeling strictly shrinks the
+    vertex set, so equal counts in consecutive rounds == fixpoint), and the
+    adjacency is cut with a lazy ``localCheckpoint`` per round so lineage
+    doesn't grow with the peel depth. Rounds are bounded by the graph's
+    degeneracy-peel depth (small for co-mention-like graphs); ``max_iter``
+    is a safety budget and the returned flag reports a budget exhaustion
+    honestly instead of raising mid-pipeline.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = edges.select("a", "b")
+    adj = e.select(F.col("a").alias("s"), F.col("b").alias("t")).unionByName(
+        e.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    deg = adj.groupBy("s").agg(F.count("*").alias("deg"))
+    keep = deg.where(F.col("deg") >= k)
+    prev = None
+    for rounds in range(1, max_iter + 1):
+        n = keep.count()
+        if n == 0 or n == prev:
+            return keep.select(F.col("s").alias("item"), "deg"), rounds, True
+        prev = n
+        adj = (
+            adj.join(keep.select("s"), "s", "semi")
+            .join(keep.select(F.col("s").alias("t")), "t", "semi")
+            .localCheckpoint(eager=False)
+        )
+        deg = adj.groupBy("s").agg(F.count("*").alias("deg"))
+        keep = deg.where(F.col("deg") >= k)
+    return keep.select(F.col("s").alias("item"), "deg"), max_iter, False
+
+
+_CHECKPOINT_EVERY = 4
+
+
+def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85) -> DataFrame:
+    """-> (item, pagerank): K rounds of power iteration on the symmetrized
+    undirected graph (uniform 1/n start; rank_{k+1}(v) = (1-d)/n +
+    d * sum_{u->v} rank_k(u) / outdeg(u)).
+
+    Isolated vertices don't occur in an edge list and symmetrization leaves
+    no dangling vertices, so no dangling-mass term is needed. The vertex
+    count rides along as a broadcast scalar (crossJoin of a 1-row
+    aggregate) instead of a driver-side collect, keeping the whole
+    computation one lazy plan. Per iteration: one shuffle keying rank
+    messages by source to meet the adjacency, one hash-agg shuffle on the
+    destination — the adjacency and (degree, n) base are computed once and
+    persisted across rounds. Rank values are raw doubles; callers that
+    need cross-engine comparability round (the driver entry pins 6 dp
+    against an unrolled-CTE oracle).
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    from jcpg_spark.caching import swap_persist
+
+    e = edges.select("a", "b")
+    adj = e.select(F.col("a").alias("s"), F.col("b").alias("t")).unionByName(
+        e.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    adj = swap_persist("pagerank.adj", adj)
+    deg = adj.groupBy("s").agg(F.count("*").alias("outdeg"))
+    base = deg.crossJoin(F.broadcast(deg.agg(F.count("*").alias("n_verts"))))
+    base = swap_persist("pagerank.base", base)
+
+    teleport = (F.lit(1.0) - F.lit(damping)) / F.col("n_verts")
+    ranks = base.select(F.col("s").alias("v"), (F.lit(1.0) / F.col("n_verts")).alias("r"))
+    for i in range(iters):
+        msgs = (
+            adj.join(
+                ranks.join(base, ranks["v"] == base["s"]).select(
+                    "v", (F.col("r") / F.col("outdeg")).alias("m")
+                ),
+                adj["s"] == F.col("v"),
+            )
+            .groupBy("t")
+            .agg(F.sum("m").alias("in_sum"))
+        )
+        ranks = (
+            base.join(msgs, base["s"] == msgs["t"], "left")
+            .select(
+                F.col("s").alias("v"),
+                (teleport + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))).alias("r"),
+            )
+        )
+        if (i + 1) % _CHECKPOINT_EVERY == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select(F.col("v").alias("item"), F.col("r").alias("pagerank"))

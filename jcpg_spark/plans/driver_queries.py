@@ -1676,6 +1676,75 @@ SELECT s AS item, count(DISTINCT t) AS n_khop FROM reach GROUP BY s
 """
 
 
+def q_kg_pagerank(spark, sf_dir):
+    """Entity centrality on the co-mention graph: 3 rounds of power
+    iteration (damping 0.85), pure DataFrame joins. The oracle unrolls the
+    same 3 rounds as CTEs; both sides are IEEE-double arithmetic over the
+    identical expression tree, so agreement at 6 dp pins everything except
+    summation order (round(,6) absorbs the last-ulp differences, same
+    convention as the jaccard/cosine entries)."""
+    edges = _comention_edges(spark, sf_dir, min_weight=2)
+    pr = graph_analytics.pagerank(edges, iters=3)
+    return pr.select("item", F.round("pagerank", 6).alias("pagerank"))
+
+
+def _pagerank_iter_sql(k: int) -> str:
+    # one power-iteration round: rank_k = (1-d)/n + d * sum_in rank_{k-1}/outdeg.
+    # Literals are e-notation so DuckDB types them DOUBLE (a bare 0.85 is
+    # DECIMAL there, which would diverge from Spark's double arithmetic).
+    return f"""r{k} AS (
+  SELECT b.v, (1e0 - 0.85e0) / b.n + 0.85e0 * coalesce(m.in_sum, 0e0) AS r
+  FROM (SELECT s AS v, n FROM deg, nv) b
+  LEFT JOIN (SELECT adj.t AS v, sum(p.r / d2.outdeg) AS in_sum
+             FROM adj JOIN r{k - 1} p ON p.v = adj.s JOIN deg d2 ON d2.s = adj.s
+             GROUP BY adj.t) m USING (v))"""
+
+
+SQL_KG_PAGERANK = f"""
+WITH e AS ({_SQL_COMENTION}),
+adj AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT s, count(*) AS outdeg FROM adj GROUP BY s),
+nv AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT s AS v, 1e0 / n AS r FROM deg, nv),
+{_pagerank_iter_sql(1)},
+{_pagerank_iter_sql(2)},
+{_pagerank_iter_sql(3)}
+SELECT v AS item, round(r, 6) AS pagerank FROM r3
+"""
+
+
+def q_doc_length_stats(spark, sf_dir):
+    """Corpus profiling: per-(lang, source) document-length distribution —
+    count, exact interpolated quantiles (p25/p50/p75/p95), mean, max. Both
+    engines use the same type-7 linear interpolation (Spark ``percentile``,
+    DuckDB ``quantile_cont``), so values agree exactly up to double
+    summation order (round 6). The Spark aggregate is a single hash-agg
+    shuffle on the two grouping columns; percentile is exact (sort within
+    group) — the approx_percentile sketch is the drop-in at 100 TB when a
+    bounded-memory single-pass answer is preferred."""
+    d = _docs(spark, sf_dir)
+    n = F.length("text")
+    qs = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p95": 0.95}
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        *[F.round(F.percentile(n, F.lit(p)), 6).alias(k) for k, p in qs.items()],
+        F.round(F.avg(n), 6).alias("mean_len"),
+        F.max(n).alias("max_len"),
+    )
+
+
+SQL_DOC_LENGTH_STATS = """
+SELECT lang, source, count(*) AS n_docs,
+       round(quantile_cont(len(text), 0.25), 6) AS p25,
+       round(quantile_cont(len(text), 0.50), 6) AS p50,
+       round(quantile_cont(len(text), 0.75), 6) AS p75,
+       round(quantile_cont(len(text), 0.95), 6) AS p95,
+       round(avg(len(text)), 6) AS mean_len,
+       max(len(text)) AS max_len
+FROM documents GROUP BY lang, source
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: training docs sharing >= 1 word 4-gram
     with the held-out eval slice (docs whose md5(doc_id) starts with 'f' —
@@ -1844,6 +1913,8 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_degree_topk": (q_kg_degree_topk, SQL_KG_DEGREE_TOPK),
     "kg_call_resolved": (q_kg_call_resolved, SQL_KG_CALL_RESOLVED),
     "kg_khop2": (q_kg_khop2, SQL_KG_KHOP2),
+    "kg_pagerank": (q_kg_pagerank, SQL_KG_PAGERANK),
+    "doc_length_stats": (q_doc_length_stats, SQL_DOC_LENGTH_STATS),
     # the shipped dedup composition (pairs -> clusters -> keep); the CC
     # step gets an exact recursive-CTE oracle at test scale.
     "dedup_keep_list": (q_dedup_keep_list, SQL_DEDUP_KEEP_LIST),

@@ -131,3 +131,88 @@ def test_contamination_broadcasts_eval_side(spark):
     plan = decontaminate.contamination(train, evald, n=4)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def _naive_pagerank(pairs, iters=3, d=0.85):
+    es = {(min(a, b), max(a, b)) for a, b in pairs}
+    adj: dict[int, list[int]] = {}
+    for a, b in es:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    n = len(adj)
+    r = {v: 1.0 / n for v in adj}
+    for _ in range(iters):
+        nxt = {}
+        for v in adj:
+            in_sum = sum(r[u] / len(adj[u]) for u in adj[v])
+            nxt[v] = (1.0 - d) / n + d * in_sum
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_naive_power_iteration(spark):
+    rng = random.Random(7)
+    pairs = {tuple(sorted(rng.sample(range(20), 2))) for _ in range(60)}
+    got = {
+        r["item"]: r["pagerank"]
+        for r in graph_analytics.pagerank(_edges_df(spark, pairs), iters=3).collect()
+    }
+    want = _naive_pagerank(pairs, iters=3)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-12), v
+
+
+def test_pagerank_sums_to_one_and_star_center_dominates(spark):
+    # star K1,6: mass conserved every round (no dangling after
+    # symmetrization); the hub must outrank every leaf.
+    edges = _edges_df(spark, [(0, i) for i in range(1, 7)])
+    rows = graph_analytics.pagerank(edges, iters=5).collect()
+    total = sum(r["pagerank"] for r in rows)
+    assert total == pytest.approx(1.0, rel=1e-9)
+    by_v = {r["item"]: r["pagerank"] for r in rows}
+    assert all(by_v[0] > by_v[i] for i in range(1, 7))
+
+
+def _naive_kcore(pairs, k):
+    adj: dict[int, set[int]] = {}
+    for a, b in {(min(a, b), max(a, b)) for a, b in pairs}:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in [v for v, nb in adj.items() if len(nb) < k]:
+            for u in adj.pop(v):
+                adj[u].discard(v)
+            changed = True
+    return {v: len(nb) for v, nb in adj.items()}
+
+
+def test_kcore_complete_and_path(spark):
+    # K5 is its own 4-core; a path has an empty 2-core.
+    k5 = _edges_df(spark, itertools.combinations(range(5), 2))
+    core, _, conv = graph_analytics.kcore(k5, k=4)
+    assert conv and {r["item"]: r["deg"] for r in core.collect()} == {v: 4 for v in range(5)}
+    path = _edges_df(spark, [(i, i + 1) for i in range(8)])
+    core, _, conv = graph_analytics.kcore(path, k=2)
+    assert conv and core.count() == 0
+
+
+def test_kcore_matches_naive_peel(spark):
+    rng = random.Random(11)
+    pairs = {tuple(sorted(rng.sample(range(24), 2))) for _ in range(70)}
+    for k in (2, 3, 4):
+        core, _, conv = graph_analytics.kcore(_edges_df(spark, pairs), k=k)
+        assert conv
+        got = {r["item"]: r["deg"] for r in core.collect()}
+        assert got == _naive_kcore(pairs, k), f"k={k}"
+
+
+def test_kcore_triangle_with_tail(spark):
+    # triangle + pendant chain: the 2-core is exactly the triangle, and the
+    # peel must cascade down the chain (multi-round convergence).
+    edges = _edges_df(spark, [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5)])
+    core, rounds, conv = graph_analytics.kcore(edges, k=2)
+    assert conv and rounds > 2
+    assert {r["item"]: r["deg"] for r in core.collect()} == {0: 2, 1: 2, 2: 2}
