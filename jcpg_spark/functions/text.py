@@ -81,6 +81,35 @@ def bpe_ish_token_count(col: Column) -> Column:
     return F.regexp_count(F.lower(col), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"))
 
 
+def word_ngrams(col: Column, n: int = 2) -> Column:
+    """Array of space-joined word n-grams (empty array when the document
+    has fewer than n words). transform+slice stays JVM-side — the same
+    no-UDF shape as the doc_chunks windower."""
+    ws = words(col)
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_fraction(col: Column, n: int = 2) -> Column:
+    """Within-document repetition score: fraction of word n-gram OCCURRENCES
+    whose n-gram also occurs elsewhere in the same document — the
+    Gopher/RefinedWeb "duplicate n-gram fraction" quality filter (a doc
+    that loops the same phrases scores high and is dropped before
+    training). 1 - distinct/total over the n-gram array; 0.0 for docs
+    shorter than n words. Pure per-row column algebra: embarrassingly
+    parallel, no shuffle, no UDF."""
+    grams = word_ngrams(col, n)
+    total = F.size(grams)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / total.cast("double")
+    )
+
+
 def fingerprint_md5(col: Column) -> Column:
     """Normalized-content fingerprint (cross-engine checkable)."""
     return F.md5(normalize_text(col))

@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 
 from jcpg_spark.functions.text import (
     bpe_ish_token_count,
+    dup_ngram_fraction,
+    word_ngrams,
     fingerprint_md5,
     normalize_text,
     stopword_count,
@@ -1288,6 +1290,38 @@ FROM w
 """
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher/RefinedWeb within-document repetition filter: fraction of
+    word-bigram occurrences whose bigram repeats inside the same document,
+    plus the drop decision at the 0.2 threshold (applied to the rounded
+    score so both engines compare the identical double). Per-row column
+    algebra only — no shuffle, no UDF; the filter runs map-side at any
+    corpus scale."""
+    docs = _docs(spark, sf_dir)
+    dup = F.round(dup_ngram_fraction(F.col("text"), n=2), 6)
+    return docs.select(
+        "doc_id",
+        F.size(word_ngrams(F.col("text"), n=2)).alias("n_2grams"),
+        dup.alias("dup_2gram_frac"),
+        (dup > 0.2).alias("repetitive"),
+    )
+
+
+SQL_TEXT_REPETITION = r"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+g AS (SELECT doc_id, CASE WHEN len(ws) >= 2
+          THEN list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1])
+          ELSE [] END AS grams
+      FROM w),
+s AS (SELECT doc_id, len(grams) AS n_2grams,
+             round(CASE WHEN len(grams) = 0 THEN 0e0
+                   ELSE 1e0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE)
+                   END, 6) AS dup_2gram_frac
+      FROM g)
+SELECT doc_id, n_2grams, dup_2gram_frac, dup_2gram_frac > 0.2e0 AS repetitive FROM s
+"""
+
+
 def q_text_lang_score(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     n_stop = stopword_count(F.col("text"))
@@ -1915,6 +1949,7 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_khop2": (q_kg_khop2, SQL_KG_KHOP2),
     "kg_pagerank": (q_kg_pagerank, SQL_KG_PAGERANK),
     "doc_length_stats": (q_doc_length_stats, SQL_DOC_LENGTH_STATS),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     # the shipped dedup composition (pairs -> clusters -> keep); the CC
     # step gets an exact recursive-CTE oracle at test scale.
     "dedup_keep_list": (q_dedup_keep_list, SQL_DEDUP_KEEP_LIST),

@@ -267,3 +267,22 @@ def test_keep_list_clusters_identity_and_keep_flags(spark):
         5: (5, True), 6: (5, False),                  # pair 5-6 -> min 5
         7: (7, True),
     }
+
+
+def test_dup_ngram_fraction_closed_forms(spark):
+    from jcpg_spark.functions.text import dup_ngram_fraction
+
+    cases = [
+        (0, "a b c d e", 0.0),          # 4 distinct bigrams
+        (1, "x y x y x y", 3.0 / 5.0),  # bigrams: xy yx xy yx xy -> 2 distinct of 5
+        (2, "one", 0.0),                # shorter than n -> defined as 0
+        (3, "", 0.0),
+        (4, "w w w w", 2.0 / 3.0),      # all bigrams identical
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in cases], "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["f"]
+        for r in df.select("doc_id", dup_ngram_fraction(F.col("text")).alias("f")).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == pytest.approx(want, abs=1e-12), i
