@@ -234,14 +234,19 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85) -> DataFra
     base = swap_persist("pagerank.base", base)
 
     teleport = (F.lit(1.0) - F.lit(damping)) / F.col("n_verts")
-    ranks = base.select(F.col("s").alias("v"), (F.lit(1.0) / F.col("n_verts")).alias("r"))
+    # ranks carries outdeg so each round is exactly TWO joins: messages meet
+    # the adjacency on the source vertex, aggregated messages meet the base
+    # on the destination — no third join to re-fetch the degree.
+    ranks = base.select(
+        F.col("s").alias("v"), "outdeg", (F.lit(1.0) / F.col("n_verts")).alias("r")
+    )
     for i in range(iters):
         msgs = (
             adj.join(
-                ranks.join(base, ranks["v"] == base["s"]).select(
-                    "v", (F.col("r") / F.col("outdeg")).alias("m")
+                ranks.select(
+                    F.col("v").alias("s"), (F.col("r") / F.col("outdeg")).alias("m")
                 ),
-                adj["s"] == F.col("v"),
+                "s",
             )
             .groupBy("t")
             .agg(F.sum("m").alias("in_sum"))
@@ -250,6 +255,7 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85) -> DataFra
             base.join(msgs, base["s"] == msgs["t"], "left")
             .select(
                 F.col("s").alias("v"),
+                "outdeg",
                 (teleport + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))).alias("r"),
             )
         )
