@@ -1290,6 +1290,58 @@ FROM w
 """
 
 
+def q_doc_pack(spark, sf_dir, budget: int = 64):
+    """Sequence packing (concat-then-chunk, the standard pretraining
+    packer): docs are hashed into independent streams (first md5 hex digit
+    of doc_id — the same deterministic hash family as doc_sample_hash),
+    each stream is concatenated in (group, doc_id) order, and fixed
+    ``budget``-token sequences are cut across the stream; a doc whose span
+    straddles a cut gets ``crosses_boundary`` (where the attention mask
+    resets). One window per group — parallel across groups, no global
+    sort; at 100 TB the group count scales with the cluster (any power of
+    16 via more md5 digits) so each stream stays one task."""
+    d = _docs(spark, sf_dir)
+    grp = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    toks = bpe_ish_token_count(F.col("text"))
+    w = Window.partitionBy("grp").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    t = d.select("doc_id", grp.alias("grp"), toks.alias("n_tokens"))
+    t = t.withColumn("start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    seq = F.floor(F.col("start_offset") / budget)
+    end = F.col("start_offset") + F.col("n_tokens")
+    return t.select(
+        "doc_id",
+        "grp",
+        "n_tokens",
+        "start_offset",
+        seq.alias("seq_id"),
+        ((F.col("n_tokens") > 0) & (F.floor((end - 1) / budget) != seq)).alias(
+            "crosses_boundary"
+        ),
+    )
+
+
+SQL_DOC_PACK = r"""
+WITH t AS (
+  SELECT doc_id,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS grp,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_tokens
+  FROM documents),
+o AS (
+  SELECT doc_id, grp, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM t)
+SELECT doc_id, grp, n_tokens, start_offset,
+       CAST(floor(start_offset / 64.0) AS BIGINT) AS seq_id,
+       n_tokens > 0 AND
+         floor((start_offset + n_tokens - 1) / 64.0) <> floor(start_offset / 64.0)
+         AS crosses_boundary
+FROM o
+"""
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher/RefinedWeb within-document repetition filter: fraction of
     word-bigram occurrences whose bigram repeats inside the same document,
@@ -1950,6 +2002,7 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_pagerank": (q_kg_pagerank, SQL_KG_PAGERANK),
     "doc_length_stats": (q_doc_length_stats, SQL_DOC_LENGTH_STATS),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "doc_pack": (q_doc_pack, SQL_DOC_PACK),
     # the shipped dedup composition (pairs -> clusters -> keep); the CC
     # step gets an exact recursive-CTE oracle at test scale.
     "dedup_keep_list": (q_dedup_keep_list, SQL_DEDUP_KEEP_LIST),

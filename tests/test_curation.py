@@ -60,3 +60,24 @@ def test_sample_is_subset_and_stable(spark):
     }
     assert sample <= all_ids
     assert 0 < len(sample) < len(all_ids)
+
+
+def test_pack_sequences_tile_contiguously(spark):
+    from jcpg_spark.plans.driver_queries import q_doc_pack
+
+    rows = q_doc_pack(spark, SF).collect()
+    by_grp: dict[str, list] = {}
+    for r in rows:
+        by_grp.setdefault(r["grp"], []).append(r)
+    assert len(by_grp) == 16  # one stream per md5 hex digit
+    for grp, rs in by_grp.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        # concatenation invariant: each doc starts where the previous ended
+        off = 0
+        for r in rs:
+            assert r["start_offset"] == off, (grp, r["doc_id"])
+            assert r["seq_id"] == off // 64
+            end = off + r["n_tokens"]
+            want_cross = r["n_tokens"] > 0 and (end - 1) // 64 != off // 64
+            assert r["crosses_boundary"] == want_cross
+            off = end
