@@ -351,6 +351,86 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     )
 
 
+def jaccard_pairs_prefix(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.4,
+    max_df: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin):
+    identical output to ``jaccard_pairs``, asymptotically fewer candidates.
+
+    The inverted-index join in ``jaccard_pairs`` generates a candidate for
+    EVERY shared shingle. Prefix filtering exploits a total order over
+    shingles (rarest first, by (df, hash)): if J(A,B) >= t then — given
+    the size-ratio bound |B| >= t|A| — the intersection is >= ceil(t|A|),
+    so A and B MUST share a token inside each one's first
+    |x| - ceil(t*|x|) + 1 sorted tokens. Only prefixes are exploded into
+    the index join (for t=0.4 that is ~43% of tokens, and the rare-first
+    order makes surviving collisions rarer still); candidates are ids-only
+    pairs, then verified exactly with one array_intersect over the
+    per-doc sorted shingle-hash arrays (two joins against a doc-sized
+    table instead of a shared-shingle-sized aggregation).
+    """
+    from jcpg_spark.caching import swap_persist
+
+    sh = word_shingles(docs, n=n, text_col=text_col, hashed=True)
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh = sh.join(
+        df_counts.filter(F.col("df") <= max_df), "shingle"
+    )  # inner: keeps df for the global rare-first order
+    # one row per doc: shingles sorted rare-first (df asc, hash asc), plus
+    # the plain sorted-hash array for the exact verify step
+    per_doc = sh.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("ordered"),
+        F.sort_array(F.collect_list("shingle")).alias("arr"),
+    )
+    per_doc = swap_persist(
+        "jaccard_prefix.per_doc",
+        per_doc.select(
+            "doc_id",
+            F.transform("ordered", lambda s: s["shingle"]).alias("ordered"),
+            "arr",
+            F.size("arr").alias("n_sh"),
+        ),
+    )
+    # prefix length |x| - ceil(t|x|) + 1; the 1e-9 nudge keeps a float
+    # t*|x| that lands epsilon ABOVE the exact rational from shortening
+    # the prefix by one (overshoot only ever adds candidates)
+    plen = (
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+        + F.lit(1)
+    ).cast("int")
+    prefix = per_doc.select(
+        "doc_id", "n_sh", F.explode(F.slice("ordered", 1, plen)).alias("tok")
+    )
+    cand = (
+        prefix.alias("x")
+        .join(prefix.alias("y"), "tok")
+        .filter(
+            (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (F.col("x.n_sh") >= threshold * F.col("y.n_sh"))
+            & (F.col("y.n_sh") >= threshold * F.col("x.n_sh"))
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    docs_a = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"),
+                            F.col("n_sh").alias("na"))
+    docs_b = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"),
+                            F.col("n_sh").alias("nb"))
+    inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    return (
+        cand.join(docs_a, "doc_a")
+        .join(docs_b, "doc_b")
+        .withColumn("jaccard", inter / (F.col("na") + F.col("nb") - inter))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def keep_list(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Final dedup decision: near-dup pairs -> duplicate clusters ->
     (doc_id, canonical_doc_id, keep), one kept doc (min id) per cluster.

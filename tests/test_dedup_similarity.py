@@ -286,3 +286,27 @@ def test_dup_ngram_fraction_closed_forms(spark):
     }
     for i, _, want in cases:
         assert got[i] == pytest.approx(want, abs=1e-12), i
+
+
+def test_jaccard_prefix_equals_inverted_index(spark, docs_df):
+    want = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dedup.jaccard_pairs(docs_df, n=3, threshold=0.4).collect()}
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in dedup.jaccard_pairs_prefix(docs_df, n=3, threshold=0.4).collect()}
+    assert got == want and want  # identical pairs AND non-trivial fixture
+
+
+def test_jaccard_prefix_equality_on_random_corpus(spark):
+    # adversarial sizes: docs built from a tiny vocabulary so shingle sets
+    # overlap heavily and prefix lengths hit every ceil() boundary
+    import random as _r
+
+    rng = _r.Random(13)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.4, 0.5, 0.75):
+        want = sorted(tuple(r) for r in dedup.jaccard_pairs(df, n=3, threshold=t).collect())
+        got = sorted(tuple(r) for r in dedup.jaccard_pairs_prefix(df, n=3, threshold=t).collect())
+        assert got == want, f"threshold {t}"
