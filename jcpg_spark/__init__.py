@@ -24,6 +24,15 @@ connected components for canonicalization.
 from jcpg_spark.session import get_spark
 from jcpg_spark.pipeline import build_graph, edge_layers, node_layers, PipelineResult
 from jcpg_spark.caching import clear_caches
+from jcpg_spark.operators.canonicalize import connected_components
+from jcpg_spark.operators.dedup import jaccard_pairs_prefix, keep_list
+from jcpg_spark.operators.graph_analytics import (
+    co_mention_edges,
+    kcore,
+    khop_counts,
+    pagerank,
+    triangle_counts,
+)
 
 __all__ = [
     "get_spark",
@@ -32,5 +41,13 @@ __all__ = [
     "node_layers",
     "PipelineResult",
     "clear_caches",
+    "connected_components",
+    "jaccard_pairs_prefix",
+    "keep_list",
+    "co_mention_edges",
+    "kcore",
+    "khop_counts",
+    "pagerank",
+    "triangle_counts",
 ]
 __version__ = "0.1.0"
