@@ -160,6 +160,51 @@ def khop_counts(edges: DataFrame, k: int = 2) -> DataFrame:
     ).select(F.col("s").alias("item"), "n_khop")
 
 
+def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """-> (item, label): K synchronous rounds of label propagation over the
+    symmetrized graph. Labels start as the vertex's own id; each round every
+    vertex adopts the MOST FREQUENT label among its neighbors, ties broken
+    by the smallest label — fully deterministic, unlike classic
+    random-order LPA, so the result is partitioning-invariant and an exact
+    SQL oracle can unroll the same rounds.
+
+    Per round: one join keying neighbor labels on the source vertex, one
+    hash-agg counting (vertex, label) votes, one window picking the argmax
+    (count desc, label asc). K is small and fixed (community structure
+    stabilizes in a few rounds; an unbounded fixpoint can oscillate on
+    bipartite-ish graphs under synchronous updates, which is why bounded-K
+    is the standard formulation).
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    from pyspark.sql import Window
+    from jcpg_spark.caching import swap_persist
+
+    e = edges.select("a", "b")
+    adj = e.select(F.col("a").alias("s"), F.col("b").alias("t")).unionByName(
+        e.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    adj = swap_persist("label_propagation.adj", adj)
+    labels = adj.select("s").distinct().select(
+        F.col("s").alias("v"), F.col("s").alias("label")
+    )
+    w = Window.partitionBy("s").orderBy(F.col("votes").desc(), F.col("label").asc())
+    for i in range(iters):
+        votes = (
+            adj.join(labels.select(F.col("v").alias("t"), "label"), "t")
+            .groupBy("s", "label")
+            .agg(F.count("*").alias("votes"))
+        )
+        labels = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select(F.col("s").alias("v"), "label")
+        )
+        if (i + 1) % _CHECKPOINT_EVERY == 0 and i + 1 < iters:
+            labels = labels.localCheckpoint(eager=False)
+    return labels.select(F.col("v").alias("item"), "label")
+
+
 def kcore(
     edges: DataFrame, k: int = 3, max_iter: int = 50
 ) -> tuple[DataFrame, int, bool]:

@@ -1810,6 +1810,34 @@ SELECT v AS item, round(r, 6) AS pagerank FROM r3
 """
 
 
+def q_kg_labelprop(spark, sf_dir):
+    """Community detection on the co-mention graph: 2 synchronous rounds of
+    deterministic label propagation (most-frequent neighbor label, min-label
+    tie-break). The oracle unrolls the same 2 rounds; every quantity is an
+    integer, so agreement is bit-exact."""
+    edges = _comention_edges(spark, sf_dir, min_weight=2)
+    return graph_analytics.label_propagation(edges, iters=2)
+
+
+def _lpa_iter_sql(k: int) -> str:
+    return f"""v{k} AS (SELECT adj.s, l.label, count(*) AS votes
+       FROM adj JOIN l{k - 1} l ON l.v = adj.t GROUP BY adj.s, l.label),
+l{k} AS (SELECT s AS v, label FROM (
+         SELECT s, label,
+                row_number() OVER (PARTITION BY s ORDER BY votes DESC, label ASC) AS rk
+         FROM v{k}) WHERE rk = 1)"""
+
+
+SQL_KG_LABELPROP = f"""
+WITH e AS ({_SQL_COMENTION}),
+adj AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+l0 AS (SELECT DISTINCT s AS v, s AS label FROM adj),
+{_lpa_iter_sql(1)},
+{_lpa_iter_sql(2)}
+SELECT v AS item, label FROM l2
+"""
+
+
 def q_doc_length_stats(spark, sf_dir):
     """Corpus profiling: per-(lang, source) document-length distribution —
     count, exact interpolated quantiles (p25/p50/p75/p95), mean, max. Both
@@ -2015,6 +2043,7 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "doc_pack": (q_doc_pack, SQL_DOC_PACK),
     "dedup_jaccard_index": (q_dedup_jaccard_index, SQL_DEDUP_NGRAM),
+    "kg_labelprop": (q_kg_labelprop, SQL_KG_LABELPROP),
     # the shipped dedup composition (pairs -> clusters -> keep); the CC
     # step gets an exact recursive-CTE oracle at test scale.
     "dedup_keep_list": (q_dedup_keep_list, SQL_DEDUP_KEEP_LIST),

@@ -216,3 +216,47 @@ def test_kcore_triangle_with_tail(spark):
     core, rounds, conv = graph_analytics.kcore(edges, k=2)
     assert conv and rounds > 2
     assert {r["item"]: r["deg"] for r in core.collect()} == {0: 2, 1: 2, 2: 2}
+
+
+def _naive_lpa(pairs, iters=2):
+    adj: dict[int, list[int]] = {}
+    for a, b in {(min(a, b), max(a, b)) for a, b in pairs}:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lab = {v: v for v in adj}
+    for _ in range(iters):
+        nxt = {}
+        for v, nbs in adj.items():
+            cnt: dict[int, int] = {}
+            for u in nbs:
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            nxt[v] = min(l for l in cnt if cnt[l] == max(cnt.values()))
+        lab = nxt
+    return lab
+
+
+def test_label_propagation_matches_naive(spark):
+    rng = random.Random(23)
+    pairs = {tuple(sorted(rng.sample(range(30), 2))) for _ in range(80)}
+    for iters in (1, 2, 3):
+        got = {
+            r["item"]: r["label"]
+            for r in graph_analytics.label_propagation(
+                _edges_df(spark, pairs), iters=iters
+            ).collect()
+        }
+        assert got == _naive_lpa(pairs, iters=iters), f"iters={iters}"
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    # two K4 cliques joined by one bridge edge: after 2 rounds each clique
+    # agrees on its minimum vertex id.
+    pairs = list(itertools.combinations(range(4), 2)) + list(
+        itertools.combinations(range(10, 14), 2)
+    ) + [(3, 10)]
+    got = {
+        r["item"]: r["label"]
+        for r in graph_analytics.label_propagation(_edges_df(spark, pairs), iters=2).collect()
+    }
+    assert all(got[v] == 0 for v in range(4))
+    assert all(got[v] == 10 for v in range(10, 14))
