@@ -249,10 +249,20 @@ def kcore(
 _CHECKPOINT_EVERY = 4
 
 
-def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85) -> DataFrame:
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    weight: str | None = None,
+) -> DataFrame:
     """-> (item, pagerank): K rounds of power iteration on the symmetrized
     undirected graph (uniform 1/n start; rank_{k+1}(v) = (1-d)/n +
     d * sum_{u->v} rank_k(u) / outdeg(u)).
+
+    ``weight`` names an edge-weight column (e.g. the co-mention count
+    ``w``): messages become rank_k(u) * w(u,v) / strength(u) with
+    strength = sum of u's edge weights — weighted PageRank, same plan
+    shape (the degree hash-agg turns into a sum).
 
     Isolated vertices don't occur in an edge list and symmetrization leaves
     no dangling vertices, so no dangling-mass term is needed. The vertex
@@ -269,12 +279,14 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85) -> DataFra
         raise ValueError("iters must be >= 1")
     from jcpg_spark.caching import swap_persist
 
-    e = edges.select("a", "b")
-    adj = e.select(F.col("a").alias("s"), F.col("b").alias("t")).unionByName(
-        e.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    cols = ["a", "b"] + ([weight] if weight else [])
+    e = edges.select(*cols)
+    wcol = (F.col(weight).cast("double") if weight else F.lit(1.0)).alias("w")
+    adj = e.select(F.col("a").alias("s"), F.col("b").alias("t"), wcol).unionByName(
+        e.select(F.col("b").alias("s"), F.col("a").alias("t"), wcol)
     )
     adj = swap_persist("pagerank.adj", adj)
-    deg = adj.groupBy("s").agg(F.count("*").alias("outdeg"))
+    deg = adj.groupBy("s").agg(F.sum("w").alias("outdeg"))
     base = deg.crossJoin(F.broadcast(deg.agg(F.count("*").alias("n_verts"))))
     base = swap_persist("pagerank.base", base)
 
@@ -294,7 +306,7 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85) -> DataFra
                 "s",
             )
             .groupBy("t")
-            .agg(F.sum("m").alias("in_sum"))
+            .agg(F.sum(F.col("m") * F.col("w")).alias("in_sum"))
         )
         ranks = (
             base.join(msgs, base["s"] == msgs["t"], "left")

@@ -1810,6 +1810,40 @@ SELECT v AS item, round(r, 6) AS pagerank FROM r3
 """
 
 
+def q_kg_pagerank_weighted(spark, sf_dir):
+    """Weighted PageRank on the co-mention graph: messages scale with the
+    co-mention count w (rank/strength * w, strength = sum of incident w).
+    The oracle mirrors the engine's exact expression tree —
+    sum((r / strength) * w) — so agreement at 6 dp again pins everything
+    but summation order."""
+    edges = _comention_edges(spark, sf_dir, min_weight=2)
+    pr = graph_analytics.pagerank(edges, iters=3, weight="w")
+    return pr.select("item", F.round("pagerank", 6).alias("pagerank"))
+
+
+def _wpagerank_iter_sql(k: int) -> str:
+    return f"""r{k} AS (
+  SELECT b.v, (1e0 - 0.85e0) / b.n + 0.85e0 * coalesce(m.in_sum, 0e0) AS r
+  FROM (SELECT s AS v, n FROM deg, nv) b
+  LEFT JOIN (SELECT adj.t AS v, sum((p.r / d2.strength) * adj.w) AS in_sum
+             FROM adj JOIN r{k - 1} p ON p.v = adj.s JOIN deg d2 ON d2.s = adj.s
+             GROUP BY adj.t) m USING (v))"""
+
+
+SQL_KG_PAGERANK_WEIGHTED = f"""
+WITH e AS ({_SQL_COMENTION}),
+adj AS (SELECT a AS s, b AS t, CAST(w AS DOUBLE) AS w FROM e
+        UNION ALL SELECT b, a, CAST(w AS DOUBLE) FROM e),
+deg AS (SELECT s, sum(w) AS strength FROM adj GROUP BY s),
+nv AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT s AS v, 1e0 / n AS r FROM deg, nv),
+{_wpagerank_iter_sql(1)},
+{_wpagerank_iter_sql(2)},
+{_wpagerank_iter_sql(3)}
+SELECT v AS item, round(r, 6) AS pagerank FROM r3
+"""
+
+
 def q_kg_labelprop(spark, sf_dir):
     """Community detection on the co-mention graph: 2 synchronous rounds of
     deterministic label propagation (most-frequent neighbor label, min-label
@@ -2044,6 +2078,7 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "doc_pack": (q_doc_pack, SQL_DOC_PACK),
     "dedup_jaccard_index": (q_dedup_jaccard_index, SQL_DEDUP_NGRAM),
     "kg_labelprop": (q_kg_labelprop, SQL_KG_LABELPROP),
+    "kg_pagerank_weighted": (q_kg_pagerank_weighted, SQL_KG_PAGERANK_WEIGHTED),
     # the shipped dedup composition (pairs -> clusters -> keep); the CC
     # step gets an exact recursive-CTE oracle at test scale.
     "dedup_keep_list": (q_dedup_keep_list, SQL_DEDUP_KEEP_LIST),

@@ -260,3 +260,42 @@ def test_label_propagation_two_cliques_bridge(spark):
     }
     assert all(got[v] == 0 for v in range(4))
     assert all(got[v] == 10 for v in range(10, 14))
+
+
+def _naive_weighted_pagerank(wpairs, iters=3, d=0.85):
+    adj: dict[int, dict[int, float]] = {}
+    for a, b, w in wpairs:
+        adj.setdefault(a, {})[b] = w
+        adj.setdefault(b, {})[a] = w
+    n = len(adj)
+    strength = {v: sum(nb.values()) for v, nb in adj.items()}
+    r = {v: 1.0 / n for v in adj}
+    for _ in range(iters):
+        r = {
+            v: (1.0 - d) / n
+            + d * sum((r[u] / strength[u]) * w for u, w in adj[v].items())
+            for v in adj
+        }
+    return r
+
+
+def test_weighted_pagerank_matches_naive(spark):
+    rng = random.Random(5)
+    wpairs = [
+        (*sorted(rng.sample(range(15), 2)), float(rng.randint(1, 9)))
+        for _ in range(40)
+    ]
+    seen, uniq = set(), []
+    for a, b, w in wpairs:
+        if (a, b) not in seen:
+            seen.add((a, b))
+            uniq.append((a, b, w))
+    df = spark.createDataFrame(uniq, "a int, b int, w double")
+    got = {
+        r["item"]: r["pagerank"]
+        for r in graph_analytics.pagerank(df, iters=3, weight="w").collect()
+    }
+    want = _naive_weighted_pagerank(uniq, iters=3)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-12), v

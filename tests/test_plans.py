@@ -149,3 +149,39 @@ def test_failure_predicate_evaluated_map_side(tr_parquet):
             break
     else:
         raise AssertionError("no exchange found")
+
+
+def test_graph_kernels_no_cartesian(spark):
+    """The iterative graph kernels must never degenerate to a cartesian
+    product: pagerank's only nested-loop join is the broadcast 1-row
+    vertex-count scalar, and LPA/triangles are pure equi-joins."""
+    from jcpg_spark.operators import graph_analytics
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "a int, b int"
+    )
+    for df in (
+        graph_analytics.pagerank(edges, iters=2),
+        graph_analytics.label_propagation(edges, iters=2),
+        graph_analytics.triangle_counts(edges),
+    ):
+        assert "CartesianProduct" not in _plan(df)
+
+
+def test_prefix_join_candidates_are_ids_only(spark, docs_parquet=None):
+    """The prefix-filter candidate self-join must shuffle only (doc_id,
+    n_sh, tok) — the full shingle arrays ('arr', 'ordered') join in AFTER
+    the ids-only distinct, mirroring the LSH ids-only candidate rule."""
+    from jcpg_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common words here and also w{i+1} trailing") for i in range(8)],
+        "doc_id long, text string",
+    )
+    plan = _plan(dedup.jaccard_pairs_prefix(docs, n=3, threshold=0.4))
+    # the candidate join key is 'tok'; every exchange that partitions on it
+    # must not carry an array column
+    for frag in plan.split("Exchange hashpartitioning"):
+        head = frag[:300]
+        if head.startswith("(") and "tok" in head.split("\n")[0]:
+            assert "arr" not in head.split("\n")[0], head.split("\n")[0]
