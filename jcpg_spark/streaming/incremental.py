@@ -59,6 +59,23 @@ def streaming_act_counts(stream: DataFrame, window: str = "5 minutes") -> DataFr
     )
 
 
+def streaming_dedup_exact(stream: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Streaming ingest dedup: keep the first-seen row per normalized-text
+    fingerprint within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` keyed on the md5 of the normalized
+    text — the batch analog is ``dedup.exact_duplicates``). State is
+    bounded: a key is dropped once the watermark passes ``delay`` beyond
+    its event time, so an unbounded stream holds only the horizon's keys —
+    the standard exactly-once ingest-dedup shape for a 10^12-turn feed."""
+    from jcpg_spark.functions.text import fingerprint_md5
+
+    return (
+        stream.withColumn("fp", fingerprint_md5(F.col("text")))
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+
+
 _FLOW_OUT = "src string, pred string, dst string, var string, conv_id string"
 _FLOW_STATE = "last_idx int"
 

@@ -175,3 +175,40 @@ def test_streaming_canonicalize_matches_batch_cc(spark, stream_dir, dictionary):
     want_sa = {tuple(r) for r in canonicalize.same_as_triples(batch_mapping).collect()}
     got_sa = {tuple(r) for r in canon.same_as_triples_df().collect()}
     assert got_sa == want_sa
+
+
+def test_streaming_dedup_exact_first_seen_per_fingerprint(spark, tmp_path):
+    """Cross-batch exact dedup: duplicate texts (modulo whitespace/case)
+    arriving in a later micro-batch are suppressed by the watermark state;
+    every distinct normalized text survives exactly once."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows_b1 = [
+        ("c1", 0, "user", "Hello  World", None, base),
+        ("c1", 1, "assistant", "unique one", None, base),
+    ]
+    rows_b2 = [
+        ("c2", 0, "user", "hello world", None, base),     # dup of b1 modulo norm
+        ("c2", 1, "assistant", "unique two", None, base),
+        ("c2", 2, "user", "unique two", None, base),      # intra-batch dup
+    ]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    d = str(tmp_path / "dd")
+    spark.createDataFrame(rows_b1, schema).coalesce(1).write.mode("overwrite").parquet(d)
+    import glob, shutil, os
+    spark.createDataFrame(rows_b2, schema).coalesce(1).write.mode("overwrite").parquet(d + "_b2")
+    for i, f in enumerate(sorted(glob.glob(d + "_b2/part-*.parquet"))):
+        shutil.copy(f, os.path.join(d, f"zz_file{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    inc.run_to_memory(inc.streaming_dedup_exact(stream), "dedup_out")
+    got = spark.sql("SELECT fp, text FROM dedup_out").collect()
+    fps = [r["fp"] for r in got]
+    assert len(fps) == len(set(fps)) == 3  # hello-world, unique-one, unique-two
+    texts = {r["text"].lower().replace("  ", " ") for r in got}
+    assert texts == {"hello world", "unique one", "unique two"}
