@@ -1810,6 +1810,38 @@ SELECT v AS item, round(r, 6) AS pagerank FROM r3
 """
 
 
+def q_doc_weighted_sample(spark, sf_dir):
+    """Deterministic weighted (Poisson) sampling: include a doc with
+    probability proportional to its length — inclusion test
+    u < n_chars * 5e-5 where u is a uniform derived from the doc's md5
+    (13 hex digits / 2^52, an EXACT power-of-two division). The whole
+    decision is rational arithmetic on identical doubles, so both engines
+    select the identical sample — the deterministic-hash analog of
+    ``df.sampleBy`` weighting, reproducible across reruns, engines, and
+    partitionings (the property a training-data pipeline needs for
+    auditable subsampling)."""
+    d = _docs(spark, sf_dir)
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
+        "double"
+    ) / F.lit(float(16**13))
+    return (
+        d.select("doc_id", "n_chars", u.alias("u"))
+        .where(F.col("u") < F.col("n_chars") * F.lit(5e-5))
+        .select("doc_id", "n_chars", F.round("u", 6).alias("u"))
+    )
+
+
+SQL_DOC_WEIGHTED_SAMPLE = """
+WITH t AS (
+  SELECT doc_id, n_chars,
+         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+              AS DOUBLE) / 4503599627370496e0 AS u
+  FROM documents)
+SELECT doc_id, n_chars, round(u, 6) AS u
+FROM t WHERE u < n_chars * 5e-5
+"""
+
+
 def q_kg_pagerank_weighted(spark, sf_dir):
     """Weighted PageRank on the co-mention graph: messages scale with the
     co-mention count w (rank/strength * w, strength = sum of incident w).
@@ -2079,6 +2111,7 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "dedup_jaccard_index": (q_dedup_jaccard_index, SQL_DEDUP_NGRAM),
     "kg_labelprop": (q_kg_labelprop, SQL_KG_LABELPROP),
     "kg_pagerank_weighted": (q_kg_pagerank_weighted, SQL_KG_PAGERANK_WEIGHTED),
+    "doc_weighted_sample": (q_doc_weighted_sample, SQL_DOC_WEIGHTED_SAMPLE),
     # the shipped dedup composition (pairs -> clusters -> keep); the CC
     # step gets an exact recursive-CTE oracle at test scale.
     "dedup_keep_list": (q_dedup_keep_list, SQL_DEDUP_KEEP_LIST),
