@@ -25,9 +25,16 @@ from jcpg_spark.session import get_spark
 from jcpg_spark.pipeline import build_graph, edge_layers, node_layers, PipelineResult
 from jcpg_spark.caching import clear_caches
 from jcpg_spark.operators.canonicalize import connected_components
-from jcpg_spark.operators.dedup import jaccard_pairs_prefix, keep_list
+from jcpg_spark.io import compaction_plan
+from jcpg_spark.operators.dedup import (
+    jaccard_pairs_prefix,
+    keep_list,
+    leakage_safe_split,
+)
 from jcpg_spark.operators.graph_analytics import (
     co_mention_edges,
+    cooccurrence_lift,
+    entity_salience,
     kcore,
     khop_counts,
     pagerank,
@@ -44,7 +51,11 @@ __all__ = [
     "connected_components",
     "jaccard_pairs_prefix",
     "keep_list",
+    "leakage_safe_split",
+    "compaction_plan",
     "co_mention_edges",
+    "cooccurrence_lift",
+    "entity_salience",
     "kcore",
     "khop_counts",
     "pagerank",

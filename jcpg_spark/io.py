@@ -49,6 +49,62 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    partition_cols: tuple[str, ...] = (),
+    id_col: str = "file_id",
+    size_col: str = "size_bytes",
+) -> DataFrame:
+    """-> input columns + ``bin``: group small files into rewrite tasks of
+    ~``target_bytes`` each (the Iceberg ``rewrite_data_files`` binpack
+    planner, expressed relationally).
+
+    A 100 TB table accretes millions of under-sized files (streaming
+    micro-batches, per-executor outputs); compaction is the table-
+    maintenance operator that keeps scan task counts sane. Files already
+    at or above the target are singleton bins (they are not rewritten
+    together with others). Within each table partition the remaining files
+    are ordered by (size desc, id) and assigned bin =
+    floor(running_sum_before / target) — cumulative-sum sharding, ONE
+    window over the partition instead of a sequential greedy loop, so the
+    planner itself scales with the file count. Each bin's payload is
+    bounded by target + the partition's largest small file; the size-desc
+    order packs big files first so the tail bins hold many tiny files,
+    matching greedy binpack's shape without its sequential dependency.
+    Deterministic: ties break on the file id.
+    """
+    from pyspark.sql import Window
+
+    pcols = [F.col(c) for c in partition_cols]
+    big = F.col(size_col) >= target_bytes
+    w = (
+        Window.partitionBy(*pcols, "_big")
+        .orderBy(F.col(size_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rn = Window.partitionBy(*pcols, "_big").orderBy(
+        F.col(size_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        files.withColumn("_big", big)
+        .withColumn(
+            "bin",
+            F.when(
+                F.col("_big"),
+                # singleton bins for already-right-sized files, numbered
+                # below 0 so they never collide with the packed bins
+                -F.row_number().over(rn).cast("long"),
+            ).otherwise(
+                F.floor(
+                    F.coalesce(F.sum(size_col).over(w), F.lit(0)) / F.lit(target_bytes)
+                )
+            ),
+        )
+        .drop("_big")
+    )
+
+
 def table_path(base_dir: str, name: str) -> str:
     return os.path.join(base_dir, name)
 

@@ -464,3 +464,35 @@ def keep_list(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             (canon == F.col("doc_id")).alias("keep"),
         )
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    val_hex: tuple[str, ...] = ("c", "d"),
+    test_hex: tuple[str, ...] = ("e", "f"),
+) -> DataFrame:
+    """-> (doc_id, canonical_doc_id, split): train/val/test assignment at
+    near-duplicate-CLUSTER granularity.
+
+    A per-document hash split (``doc_split_assign``'s family) leaks: two
+    near-duplicates can land on opposite sides of the train/eval boundary,
+    and the eval score then measures memorization. Here every document
+    inherits the split of its cluster CANONICAL (union-find over the
+    near-dup pairs, exactly ``keep_list``'s composition), so a whole
+    duplicate cluster moves as one unit and no pair ever straddles the
+    boundary. The hash family is the same md5-first-hex-char 12/2/2 split
+    as the per-doc assigner, applied to the canonical id — singleton docs
+    (in no pair) therefore get exactly their per-doc assignment, and the
+    operator is a drop-in refinement. The cluster mapping is dup-pair-sized
+    and broadcasts; the corpus side contributes no shuffle beyond
+    ``keep_list``'s.
+    """
+    kl = keep_list(docs, pairs)
+    c = F.substring(F.md5(F.col("canonical_doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(c.isin(*val_hex), "val")
+        .when(c.isin(*test_hex), "test")
+        .otherwise("train")
+    )
+    return kl.select("doc_id", "canonical_doc_id", split.alias("split"))

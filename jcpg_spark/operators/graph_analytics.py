@@ -246,6 +246,108 @@ def kcore(
     return keep.select(F.col("s").alias("item"), "deg"), max_iter, False
 
 
+def cooccurrence_lift(
+    mentions: DataFrame, min_weight: int = 1, max_per_conv: int = 1000
+) -> DataFrame:
+    """-> (a, b, w, n_a, n_b, n_conv, lift): association strength of each
+    co-mention edge: lift(a,b) = P(a,b) / (P(a)·P(b)) = w·N / (n_a·n_b),
+    N = #conversations, n_x = #conversations mentioning x. Lift > 1 means
+    the entities co-occur MORE than independence predicts — the classic
+    edge-weighting for pruning coincidental KG edges (PMI = log(lift) is
+    monotone in it, so thresholding lift is thresholding PMI without the
+    transcendental: the integer products are exact and the one IEEE
+    division compares bit-identically cross-engine).
+
+    Pairs, marginals, and N are all computed over the SAME hub-capped
+    distinct mention set, so the ratio is a coherent probability estimate.
+    Plan: the capped mention frame is persisted once and feeds three
+    hash-aggs (pairs / marginals / N); marginals are entity-cardinality-
+    sized, so they broadcast onto the pair frame, and N rides along as a
+    broadcast 1-row crossJoin — the only data-scale shuffles are the two
+    the pair generation already pays. At 10^12-conversation scale w·N can
+    approach 2^63: go through double before the multiply there (each IEEE
+    op is still single-rounded deterministic); at this engine's test
+    scales the bigint products are exact.
+    """
+    from jcpg_spark.caching import swap_persist
+
+    m = mentions.select("conv_id", "entity").distinct()
+    per_conv = m.groupBy("conv_id").agg(F.count("*").alias("n_ent"))
+    m = m.join(
+        per_conv.where(F.col("n_ent") <= max_per_conv).select("conv_id"), "conv_id"
+    )
+    m = swap_persist("cooccurrence_lift.mentions", m)
+    pairs = (
+        m.select("conv_id", F.col("entity").alias("a"))
+        .join(m.select("conv_id", F.col("entity").alias("b")), "conv_id")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= min_weight)
+    )
+    marg = m.groupBy("entity").agg(F.count("*").alias("n"))
+    total = m.select(F.countDistinct("conv_id").alias("n_conv"))
+    return (
+        pairs.join(
+            F.broadcast(marg.select(F.col("entity").alias("a"), F.col("n").alias("n_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("entity").alias("b"), F.col("n").alias("n_b"))),
+            "b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            "w",
+            "n_a",
+            "n_b",
+            "n_conv",
+            (
+                (F.col("w") * F.col("n_conv")) / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+
+
+def entity_salience(mentions: DataFrame, k: int = 3) -> DataFrame:
+    """-> (conv_id, entity, tf, df, salience, rank): the k most salient
+    entities per conversation, salience = tf · N / df — term frequency
+    damped by corpus-wide document frequency (the rational tf-idf variant:
+    idf as N/df instead of log(N/df), keeping the score an exact integer
+    ratio; the log is monotone, so for FIXED tf the ordering is identical,
+    and the operator's contract is the damping, not the log curve).
+
+    tf counts every mention row (repeat mentions raise salience); df and N
+    count distinct conversations. One hash-agg builds (conv, entity, tf);
+    df is entity-cardinality-sized and broadcasts back; the top-k window
+    partitions by conversation — no global sort. Ties break on entity id
+    for a total order.
+    """
+    per = mentions.groupBy("conv_id", "entity").agg(F.count("*").alias("tf"))
+    df_ = mentions.groupBy("entity").agg(F.countDistinct("conv_id").alias("df"))
+    total = mentions.select(F.countDistinct("conv_id").alias("n_conv"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("salience").desc(), F.col("entity").asc()
+    )
+    return (
+        per.join(F.broadcast(df_), "entity")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "conv_id",
+            "entity",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_conv")) / F.col("df")).alias("salience"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 _CHECKPOINT_EVERY = 4
 
 

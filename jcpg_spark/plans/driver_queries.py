@@ -1975,7 +1975,11 @@ def q_dedup_keep_list(spark, sf_dir):
     return dedup.keep_list(docs, pairs)
 
 
-SQL_DEDUP_KEEP_LIST = r"""
+# Shared dup-cluster CTE: Jaccard pairs -> transitive closure -> per-doc
+# canonical (component minimum — the same min-label the engine's union-find
+# / star alternation converges to). Ends with the `canon` relation so the
+# keep-list and leakage-safe-split oracles differ only in their projection.
+_SQL_DUP_CANON = r"""
 WITH RECURSIVE
 w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
 s AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 3
@@ -1993,12 +1997,130 @@ pr AS (SELECT doc_a, doc_b FROM inter
 sym AS (SELECT doc_a AS s, doc_b AS t FROM pr UNION SELECT doc_b, doc_a FROM pr),
 reach AS (SELECT s, t FROM sym
           UNION
-          SELECT r.s, y.t FROM reach r JOIN sym y ON y.s = r.t WHERE y.t <> r.s)
-SELECT d.doc_id,
-       coalesce(least(d.doc_id, m.mn), d.doc_id) AS canonical_doc_id,
-       coalesce(least(d.doc_id, m.mn), d.doc_id) = d.doc_id AS keep
-FROM documents d
-LEFT JOIN (SELECT s, min(t) AS mn FROM reach GROUP BY s) m ON m.s = d.doc_id
+          SELECT r.s, y.t FROM reach r JOIN sym y ON y.s = r.t WHERE y.t <> r.s),
+canon AS (SELECT d.doc_id,
+                 coalesce(least(d.doc_id, m.mn), d.doc_id) AS canonical_doc_id
+          FROM documents d
+          LEFT JOIN (SELECT s, min(t) AS mn FROM reach GROUP BY s) m ON m.s = d.doc_id)
+"""
+
+SQL_DEDUP_KEEP_LIST = (
+    _SQL_DUP_CANON
+    + "SELECT doc_id, canonical_doc_id, canonical_doc_id = doc_id AS keep FROM canon"
+)
+
+
+def q_doc_split_leakage_safe(spark, sf_dir):
+    """Train/val/test assignment at near-dup-CLUSTER granularity: every doc
+    inherits its cluster canonical's hash split (same 12/2/2 md5 family as
+    doc_split_assign), so no near-duplicate pair straddles the train/eval
+    boundary — the split that makes eval scores measure generalization
+    instead of memorization."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(docs, n=3, threshold=0.4).select("doc_a", "doc_b")
+    return dedup.leakage_safe_split(docs, pairs)
+
+
+SQL_DOC_SPLIT_LEAKAGE_SAFE = (
+    _SQL_DUP_CANON
+    + """
+SELECT doc_id, canonical_doc_id,
+       CASE WHEN substring(md5(CAST(canonical_doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+            WHEN substring(md5(CAST(canonical_doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+            ELSE 'train' END AS split
+FROM canon
+"""
+)
+
+
+def q_kg_cooccur_lift(spark, sf_dir):
+    """Association-strength weighting of co-mention edges: lift(a,b) =
+    w·N / (n_a·n_b) — the transcendental-free monotone image of PMI,
+    exact integer products + one IEEE division, so the oracle agrees
+    bit-for-bit (round(,6) is belt-and-braces per the doubles
+    convention)."""
+    ev = _ev(spark, sf_dir)
+    mentions = ev.select(
+        F.col("user_id").alias("conv_id"),
+        F.round("value").cast("int").alias("entity"),
+    )
+    out = graph_analytics.cooccurrence_lift(mentions, min_weight=2)
+    return out.withColumn("lift", F.round("lift", 6))
+
+
+SQL_KG_COOCCUR_LIFT = """
+WITH m AS (SELECT DISTINCT user_id AS conv_id, CAST(round(value) AS INT) AS entity FROM events),
+pairs AS (SELECT x.entity AS a, y.entity AS b, count(*) AS w
+          FROM m x JOIN m y ON x.conv_id = y.conv_id AND x.entity < y.entity
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+marg AS (SELECT entity, count(*) AS n FROM m GROUP BY entity),
+tot AS (SELECT count(DISTINCT conv_id) AS n_conv FROM m)
+SELECT a, b, w, ma.n AS n_a, mb.n AS n_b, n_conv,
+       round((w * n_conv) / (ma.n * mb.n), 6) AS lift
+FROM pairs JOIN marg ma ON ma.entity = a JOIN marg mb ON mb.entity = b, tot
+"""
+
+
+def q_kg_entity_salience(spark, sf_dir):
+    """Top-3 salient entities per conversation: salience = tf·N/df (the
+    rational tf-idf — exact integer ratio, log-free), ranked per conv with
+    an entity-id tie-break. Rank is computed on the unrounded score; the
+    output rounds per the doubles convention."""
+    ev = _ev(spark, sf_dir)
+    mentions = ev.select(
+        F.col("user_id").alias("conv_id"),
+        F.round("value").cast("int").alias("entity"),
+    )
+    out = graph_analytics.entity_salience(mentions, k=3)
+    return out.withColumn("salience", F.round("salience", 6))
+
+
+SQL_KG_ENTITY_SALIENCE = """
+WITH m AS (SELECT user_id AS conv_id, CAST(round(value) AS INT) AS entity FROM events),
+per AS (SELECT conv_id, entity, count(*) AS tf FROM m GROUP BY 1, 2),
+dfq AS (SELECT entity, count(DISTINCT conv_id) AS df FROM m GROUP BY 1),
+tot AS (SELECT count(DISTINCT conv_id) AS n_conv FROM m),
+s AS (SELECT conv_id, p.entity, tf, df, (tf * n_conv) / df AS salience
+      FROM per p JOIN dfq USING (entity), tot),
+r AS (SELECT *, row_number() OVER (PARTITION BY conv_id
+                                   ORDER BY salience DESC, entity ASC) AS rank
+      FROM s)
+SELECT conv_id, entity, tf, df, round(salience, 6) AS salience, rank
+FROM r WHERE rank <= 3
+"""
+
+
+def q_file_compaction_plan(spark, sf_dir):
+    """Storage-maintenance planner: bin small files (documents standing in
+    as data files, size = octet_length(text)) into ~8 KiB rewrite tasks per
+    (lang, source) table partition via cumulative-sum sharding; files
+    already >= target become negative-numbered singleton bins."""
+    docs = _docs(spark, sf_dir)
+    files = docs.select(
+        F.col("doc_id").alias("file_id"),
+        "lang",
+        "source",
+        F.octet_length("text").alias("size_bytes"),
+    )
+    return io.compaction_plan(
+        files, target_bytes=8192, partition_cols=("lang", "source")
+    )
+
+
+SQL_FILE_COMPACTION_PLAN = """
+WITH f AS (SELECT doc_id AS file_id, lang, source, strlen(text) AS size_bytes
+           FROM documents),
+b AS (SELECT *, size_bytes >= 8192 AS big FROM f)
+SELECT file_id, lang, source, size_bytes,
+       CASE WHEN big THEN -CAST(row_number() OVER (
+                 PARTITION BY lang, source, big
+                 ORDER BY size_bytes DESC, file_id) AS BIGINT)
+            ELSE CAST(floor(coalesce(sum(size_bytes) OVER (
+                 PARTITION BY lang, source, big
+                 ORDER BY size_bytes DESC, file_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 8192)
+                 AS BIGINT) END AS bin
+FROM b
 """
 
 
@@ -2115,6 +2237,13 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     # the shipped dedup composition (pairs -> clusters -> keep); the CC
     # step gets an exact recursive-CTE oracle at test scale.
     "dedup_keep_list": (q_dedup_keep_list, SQL_DEDUP_KEEP_LIST),
+    # cluster-granular split (no near-dup pair straddles train/eval),
+    # PMI-monotone edge weighting, tf-idf entity salience, and the
+    # Iceberg-style file-compaction binpack planner — all exact-oracled.
+    "doc_split_leakage_safe": (q_doc_split_leakage_safe, SQL_DOC_SPLIT_LEAKAGE_SAFE),
+    "kg_cooccur_lift": (q_kg_cooccur_lift, SQL_KG_COOCCUR_LIFT),
+    "kg_entity_salience": (q_kg_entity_salience, SQL_KG_ENTITY_SALIENCE),
+    "file_compaction_plan": (q_file_compaction_plan, SQL_FILE_COMPACTION_PLAN),
     # folded in r4 to make room for kg_export_json: the full build is
     # rows-only (iterative CC has no single-statement SQL), while its
     # SQL-expressible ~99% keeps the exact composite oracle as the

@@ -81,3 +81,66 @@ def test_pack_sequences_tile_contiguously(spark):
             want_cross = r["n_tokens"] > 0 and (end - 1) // 64 != off // 64
             assert r["crosses_boundary"] == want_cross
             off = end
+
+
+def test_leakage_safe_split_never_straddles_pairs(spark):
+    """The operator's whole contract: every near-dup pair (and transitively
+    every dup cluster) lands in ONE split, while singleton docs keep their
+    per-doc hash assignment."""
+    from jcpg_spark.operators import dedup
+    from jcpg_spark.plans.driver_queries import q_doc_split_assign
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = dedup.jaccard_pairs(docs, n=3, threshold=0.4).select("doc_a", "doc_b")
+    split = dedup.leakage_safe_split(docs, pairs)
+    straddle = (
+        pairs.join(split.select(F.col("doc_id").alias("doc_a"),
+                                F.col("split").alias("sa")), "doc_a")
+        .join(split.select(F.col("doc_id").alias("doc_b"),
+                           F.col("split").alias("sb")), "doc_b")
+        .where(F.col("sa") != F.col("sb"))
+    )
+    assert straddle.count() == 0
+    assert pairs.count() > 0  # the gate means something at this sf
+    # singletons (docs in no pair) match the per-doc assigner exactly
+    in_pair = pairs.select(F.col("doc_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"))).distinct()
+    per_doc = q_doc_split_assign(spark, sf).withColumnRenamed("split", "pd")
+    diff = (
+        split.join(in_pair, "doc_id", "left_anti")
+        .join(per_doc, "doc_id")
+        .where(F.col("split") != F.col("pd"))
+    )
+    assert diff.count() == 0
+
+
+def test_compaction_plan_bin_bounds(spark):
+    """Every packed bin's payload < target + partition's largest small file;
+    big files are singleton bins; plan preserves every input row."""
+    from jcpg_spark import io as jio
+
+    target = 500
+    files = spark.createDataFrame(
+        [(i, "p", (i * 97) % 700 + 1) for i in range(200)],
+        "file_id int, part string, size_bytes int",
+    )
+    plan = jio.compaction_plan(files, target, partition_cols=("part",))
+    rows = plan.collect()
+    assert len(rows) == 200
+    big = [r for r in rows if r["size_bytes"] >= target]
+    small = [r for r in rows if r["size_bytes"] < target]
+    # big files: one per bin, all negative bin ids
+    assert all(r["bin"] < 0 for r in big)
+    assert len({r["bin"] for r in big}) == len(big)
+    # packed bins: payload bounded by target + max small size
+    from collections import defaultdict
+
+    tot = defaultdict(int)
+    for r in small:
+        assert r["bin"] >= 0
+        tot[r["bin"]] += r["size_bytes"]
+    max_small = max(r["size_bytes"] for r in small)
+    assert all(v < target + max_small for v in tot.values())
+    # cumulative-sum sharding leaves no empty bin below the max bin id
+    assert set(tot) == set(range(max(tot) + 1))

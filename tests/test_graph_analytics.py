@@ -299,3 +299,37 @@ def test_weighted_pagerank_matches_naive(spark):
     assert set(got) == set(want)
     for v in want:
         assert got[v] == pytest.approx(want[v], rel=1e-12), v
+
+
+def test_cooccurrence_lift_hand_computed(spark):
+    # 4 conversations: (1,2) always together; (1,3) once by overlap.
+    m = spark.createDataFrame(
+        [(10, 1), (10, 2), (20, 1), (20, 2), (30, 1), (30, 3), (40, 4)],
+        "conv_id int, entity int",
+    )
+    rows = {
+        (r["a"], r["b"]): r
+        for r in graph_analytics.cooccurrence_lift(m).collect()
+    }
+    # N=4; n_1=3, n_2=2, n_3=1. lift(1,2) = 2*4/(3*2); lift(1,3) = 1*4/(3*1)
+    assert rows[(1, 2)]["lift"] == 2 * 4 / (3 * 2)
+    assert rows[(1, 3)]["lift"] == 1 * 4 / (3 * 1)
+    assert rows[(1, 2)]["n_conv"] == 4 and rows[(1, 2)]["w"] == 2
+    assert (2, 3) not in rows  # never co-mentioned
+
+
+def test_entity_salience_topk_and_tiebreak(spark):
+    # conv 10: entity 1 twice (common, df=2), entity 2 once (rare, df=1).
+    # salience(1) = 2*2/2 = 2.0 == salience(2) = 1*2/1 -> tie, entity asc.
+    m = spark.createDataFrame(
+        [(10, 1), (10, 1), (10, 2), (20, 1), (20, 3)],
+        "conv_id int, entity int",
+    )
+    out = graph_analytics.entity_salience(m, k=2).collect()
+    by_conv = {}
+    for r in out:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    c10 = sorted(by_conv[10], key=lambda r: r["rank"])
+    assert [r["entity"] for r in c10] == [1, 2]
+    assert c10[0]["salience"] == c10[1]["salience"] == 2.0
+    assert all(len(v) <= 2 for v in by_conv.values())

@@ -185,3 +185,40 @@ def test_prefix_join_candidates_are_ids_only(spark, docs_parquet=None):
         head = frag[:300]
         if head.startswith("(") and "tok" in head.split("\n")[0]:
             assert "arr" not in head.split("\n")[0], head.split("\n")[0]
+
+
+def test_lift_and_salience_scalar_is_broadcast_marginals_not_smj(spark):
+    """cooccurrence_lift / entity_salience: the corpus-size scalar rides a
+    broadcast nested-loop of a 1-row aggregate (never a data-scale
+    cartesian) and the entity marginals come back via broadcast hash
+    joins — no sort-merge join anywhere in either kernel."""
+    from jcpg_spark.operators import graph_analytics
+
+    m = spark.createDataFrame(
+        [(10, 1), (10, 2), (20, 1), (20, 2), (30, 3)], "conv_id int, entity int"
+    )
+    for df in (
+        graph_analytics.cooccurrence_lift(m),
+        graph_analytics.entity_salience(m, k=2),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+        # the only shuffled join allowed is the conv_id pair self-join
+        # (data-scale by design); marginals must never sort-merge
+        for frag in plan.split("SortMergeJoin")[1:]:
+            assert "conv_id" in frag.split("\n")[0]
+
+
+def test_compaction_plan_is_one_window_no_join(spark):
+    """The binpack planner is a single partitioned window over the file
+    listing — no join, no global sort (Sort appears only window-local,
+    i.e. below an Exchange hashpartitioning, never rangepartitioning)."""
+    from jcpg_spark import io as jio
+
+    files = spark.createDataFrame(
+        [(i, "p", 100 + i) for i in range(20)], "file_id int, part string, size_bytes int"
+    )
+    plan = _plan(jio.compaction_plan(files, 500, partition_cols=("part",)))
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
