@@ -26,6 +26,8 @@ from jcpg_spark.pipeline import build_graph, edge_layers, node_layers, PipelineR
 from jcpg_spark.caching import clear_caches
 from jcpg_spark.operators.canonicalize import connected_components
 from jcpg_spark.io import compaction_plan
+from jcpg_spark.operators.bpe import pair_counts as bpe_pair_counts, train as bpe_train
+from jcpg_spark.operators.subgraph import graph_diff, induced_subgraph
 from jcpg_spark.operators.dedup import (
     jaccard_pairs_prefix,
     keep_list,
@@ -53,6 +55,10 @@ __all__ = [
     "keep_list",
     "leakage_safe_split",
     "compaction_plan",
+    "bpe_pair_counts",
+    "bpe_train",
+    "graph_diff",
+    "induced_subgraph",
     "co_mention_edges",
     "cooccurrence_lift",
     "entity_salience",

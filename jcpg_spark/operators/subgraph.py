@@ -109,3 +109,29 @@ def induced_subgraph(
         ids.select(F.col("node_id").alias("src")), "src", "left_semi"
     ).join(ids.select(F.col("node_id").alias("dst")), "dst", "left_semi")
     return sub_nodes, sub_edges.select("src", "pred", "dst", "var", "conv_id")
+
+
+def graph_diff(
+    old: DataFrame, new: DataFrame, keys: tuple[str, ...] = ("src", "pred", "dst")
+) -> DataFrame:
+    """-> keys + ``change`` ('added' | 'removed'): the edge-set delta
+    between two graph snapshots.
+
+    The maintenance primitive behind incremental re-publication and
+    deletion audits (e.g. a right-to-be-forgotten purge: rebuild over the
+    reduced corpus, diff against the last published snapshot, ship only
+    the delta to downstream consumers). Two left-anti joins on the edge
+    key — each one shuffle on data that at 100 TB is bucketed by the same
+    key the snapshots are stored under, so a bucketed table layout makes
+    both sides co-located; nothing is collected and no side is assumed
+    small. Rows are deduplicated on the key (a diff is a SET delta; a
+    weight column included in ``keys`` turns a weight change into a
+    removed+added pair).
+    """
+    ks = list(keys)
+    o = old.select(*ks).distinct()
+    n = new.select(*ks).distinct()
+    return (
+        n.join(o, ks, "left_anti").withColumn("change", F.lit("added"))
+        .unionByName(o.join(n, ks, "left_anti").withColumn("change", F.lit("removed")))
+    )

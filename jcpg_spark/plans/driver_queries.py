@@ -1725,13 +1725,17 @@ def _comention_edges(spark, sf_dir, min_weight=2):
     return graph_analytics.co_mention_edges(mentions, min_weight=min_weight)
 
 
-_SQL_COMENTION = """
+def _sql_comention_where(where: str = "") -> str:
+    return f"""
   SELECT x.item AS a, y.item AS b, count(*) AS w
-  FROM (SELECT DISTINCT user_id, CAST(round(value) AS INT) AS item FROM events) x
-  JOIN (SELECT DISTINCT user_id, CAST(round(value) AS INT) AS item FROM events) y
+  FROM (SELECT DISTINCT user_id, CAST(round(value) AS INT) AS item FROM events {where}) x
+  JOIN (SELECT DISTINCT user_id, CAST(round(value) AS INT) AS item FROM events {where}) y
     ON x.user_id = y.user_id AND x.item < y.item
   GROUP BY 1, 2 HAVING count(*) >= 2
 """
+
+
+_SQL_COMENTION = _sql_comention_where()
 
 
 def q_kg_triangles(spark, sf_dir):
@@ -2124,6 +2128,105 @@ FROM b
 """
 
 
+def q_kg_graph_diff(spark, sf_dir):
+    """Snapshot delta after a deletion purge: rebuild the co-mention graph
+    without every 10th user's conversations and diff edge sets keyed on
+    (a, b, w) against the full snapshot — weight drops surface as a
+    removed+added pair, threshold crossings as pure removals. Two
+    left-anti joins; no side collected or assumed small."""
+    from jcpg_spark.operators.subgraph import graph_diff
+
+    ev = _ev(spark, sf_dir)
+
+    def mentions(frame):
+        return frame.select(
+            F.col("user_id").alias("conv_id"),
+            F.round("value").cast("int").alias("entity"),
+        )
+
+    old = graph_analytics.co_mention_edges(mentions(ev), min_weight=2)
+    new = graph_analytics.co_mention_edges(
+        mentions(ev.where(F.col("user_id") % 10 != 0)), min_weight=2
+    )
+    return graph_diff(old, new, keys=("a", "b", "w"))
+
+
+SQL_KG_GRAPH_DIFF = f"""
+WITH e_old AS ({_sql_comention_where()}),
+e_new AS ({_sql_comention_where("WHERE user_id % 10 <> 0")}),
+added AS (SELECT a, b, w FROM e_new EXCEPT SELECT a, b, w FROM e_old),
+removed AS (SELECT a, b, w FROM e_old EXCEPT SELECT a, b, w FROM e_new)
+SELECT a, b, w, 'added' AS change FROM added
+UNION ALL
+SELECT a, b, w, 'removed' AS change FROM removed
+"""
+
+
+def q_corpus_card(spark, sf_dir):
+    """The corpus audit card: per (lang, source) — doc count, exact-dup
+    doc count (normalized-text collision anywhere in the corpus), total
+    whitespace tokens, median tokens. The dup flag costs one shuffle on
+    the normalized text (the dedup_exact key); the rollup reuses the
+    corpus-wide percentile convention of doc_length_stats."""
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        normalize_text(F.col("text")).alias("norm"),
+        whitespace_token_count(F.col("text")).alias("toks"),
+    )
+    dupc = base.groupBy("norm").agg(F.count("*").alias("nd"))
+    return (
+        base.join(dupc, "norm")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_dup_docs"),
+            F.sum("toks").alias("total_tokens"),
+            F.round(F.percentile("toks", F.lit(0.5)), 6).alias("tok_p50"),
+        )
+    )
+
+
+SQL_CORPUS_CARD = r"""
+WITH base AS (
+  SELECT doc_id, lang, source,
+         regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks
+  FROM documents),
+dupc AS (SELECT norm, count(*) AS nd FROM base GROUP BY norm)
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       round(quantile_cont(toks, 0.5), 6) AS tok_p50
+FROM base JOIN dupc USING (norm)
+GROUP BY lang, source
+"""
+
+
+def q_bpe_pair_counts(spark, sf_dir):
+    """Round-0 BPE training statistics: adjacent character pairs over the
+    word-type vocabulary, weighted by word frequency — the exactly-SQL
+    slice of operators/bpe.py's greedy trainer (whose full loop is
+    pytest-gated against a pure-Python golden)."""
+    from jcpg_spark.operators import bpe
+
+    return bpe.pair_counts(_docs(spark, sf_dir))
+
+
+SQL_BPE_PAIR_COUNTS = """
+WITH wd AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
+wc AS (SELECT word, count(*) AS n FROM wd GROUP BY word),
+ix AS (SELECT word, n, unnest(generate_series(1, length(word) - 1)) AS i
+       FROM wc WHERE length(word) >= 2)
+SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r,
+       CAST(sum(n) AS BIGINT) AS cnt
+FROM ix GROUP BY 1, 2
+"""
+
+
 # name -> (spark_fn, oracle_sql or None)
 #
 # EXACTLY 50 entries: the driver checks the first 50, so every operator
@@ -2244,6 +2347,10 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_cooccur_lift": (q_kg_cooccur_lift, SQL_KG_COOCCUR_LIFT),
     "kg_entity_salience": (q_kg_entity_salience, SQL_KG_ENTITY_SALIENCE),
     "file_compaction_plan": (q_file_compaction_plan, SQL_FILE_COMPACTION_PLAN),
+    # snapshot maintenance, corpus audit, and tokenizer training
+    "kg_graph_diff": (q_kg_graph_diff, SQL_KG_GRAPH_DIFF),
+    "corpus_card": (q_corpus_card, SQL_CORPUS_CARD),
+    "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
     # folded in r4 to make room for kg_export_json: the full build is
     # rows-only (iterative CC has no single-statement SQL), while its
     # SQL-expressible ~99% keeps the exact composite oracle as the

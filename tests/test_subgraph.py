@@ -90,3 +90,25 @@ def test_induced_subgraph_scope_as_dataframe(spark, built):
     b_nodes, b_edges = induced_subgraph(res.nodes, res.edges, scope_df, res.canonical)
     assert {tuple(r) for r in a_edges.collect()} == {tuple(r) for r in b_edges.collect()}
     assert {r.node_id for r in a_nodes.collect()} == {r.node_id for r in b_nodes.collect()}
+
+
+def test_graph_diff_added_removed_and_weight_change(spark):
+    from jcpg_spark.operators.subgraph import graph_diff
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame(
+        [(1, 2, 3), (2, 3, 1), (4, 5, 2)], "a int, b int, w int"
+    )
+    new = spark.createDataFrame(
+        [(1, 2, 2), (4, 5, 2), (6, 7, 1)], "a int, b int, w int"
+    )
+    d = {(r["a"], r["b"], r["w"]): r["change"]
+         for r in graph_diff(old, new, keys=("a", "b", "w")).collect()}
+    assert d == {
+        (1, 2, 2): "added",   # weight changed: new row added...
+        (1, 2, 3): "removed",  # ...old row removed
+        (2, 3, 1): "removed",
+        (6, 7, 1): "added",
+    }
+    # unchanged edge (4,5,2) absent; idempotent on identical snapshots
+    assert graph_diff(new, new, keys=("a", "b", "w")).count() == 0
