@@ -131,3 +131,39 @@ def train(
         if (k + 1) % _CHECKPOINT_EVERY == 0:
             vocab = vocab.localCheckpoint(eager=False)
     return merges
+
+
+def segment(docs: DataFrame, merges, text_col: str = "text") -> DataFrame:
+    """-> (doc_id, tokens array<string>): tokenize with trained merges.
+
+    The scale design mirrors training's vocabulary funnel in reverse: the
+    merge rules are applied to the corpus's DISTINCT words (vocabulary-
+    sized, each rule one JVM fold — ``n_merges`` narrow map stages over a
+    small frame), and the resulting word->tokens map is BROADCAST back
+    onto the corpus, so the 100 TB side pays one word split + one
+    broadcast hash join and never sees the iterative part. Unseen words
+    can't occur (the vocab comes from the same corpus); a pre-trained
+    rule set applied to NEW data gets its vocab from that data too —
+    merges only ever fire on pairs they were trained on.
+    """
+    base = docs.select("doc_id", words(F.col(text_col)).alias("ws"))
+    vocab = base.select(F.explode("ws").alias("word")).distinct()
+    seg = vocab.select("word", F.expr(_CHARS_EXPR).alias("syms"))
+    for l, r, *_ in merges:
+        seg = seg.withColumn("syms", F.expr(_merge_expr(l, r)))
+    # collect_list order is partition-dependent, so the word position rides
+    # through the join and an array_sort on (pos, …) structs restores it
+    toks = (
+        base.select("doc_id", F.posexplode("ws").alias("pos", "word"))
+        .join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.expr("transform(array_sort(collect_list(struct(pos, syms))), x -> x.syms)")
+            ).alias("tokens")
+        )
+    )
+    return docs.select("doc_id").join(toks, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("tokens"), F.expr("array_repeat('', 0)")).alias("tokens"),
+    )

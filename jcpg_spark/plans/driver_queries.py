@@ -2128,6 +2128,89 @@ FROM b
 """
 
 
+def q_doc_sample_stratified(spark, sf_dir):
+    """Balanced subsampling: exactly min(k, |stratum|) docs per
+    (lang, source), chosen by md5 hash order — the deterministic
+    equivalent of a per-stratum reservoir (stable across partitionings
+    and engines, no RNG state). One window per stratum, no global sort."""
+    docs = _docs(spark, sf_dir)
+    k = 5
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang", "source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", "source", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "lang", "source", "rk")
+    )
+
+
+SQL_DOC_SAMPLE_STRATIFIED = """
+SELECT doc_id, lang, source, rk
+FROM (SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang, source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+WHERE rk <= 5
+"""
+
+
+def q_doc_negative_pairs(spark, sf_dir):
+    """Deterministic negative sampling for contrastive training: each doc
+    takes k=2 'random' partners from a hash ring. Docs are bucketed by the
+    first hex char of md5(doc_id) (uniform assignment -> unbiased
+    negatives), ordered inside the bucket by the full hash, and each doc
+    pairs with the next k ring positions, wrapping modulo the bucket size
+    — so the windows are 16-way parallel (256+-way in production via more
+    hex chars) and there is NO global sort; the wraparound is an equi-join
+    on the ring ordinal against the per-bucket count (broadcast,
+    bucket-cardinality-sized)."""
+    docs = _docs(spark, sf_dir)
+    k = 2
+    h = F.md5(F.col("doc_id").cast("string"))
+    pos = docs.select("doc_id", h.alias("h"), F.substring(h, 1, 1).alias("bkt"))
+    w = Window.partitionBy("bkt").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    rn = pos.withColumn("rn", F.row_number().over(w))
+    nb = rn.groupBy("bkt").agg(F.count("*").alias("n_bkt"))
+    anchors = (
+        rn.join(F.broadcast(nb), "bkt")
+        .select(
+            "bkt",
+            F.col("doc_id").alias("anchor_id"),
+            "rn",
+            "n_bkt",
+            F.explode(F.expr(f"sequence(1, {k})")).alias("j"),
+        )
+        .where(F.col("n_bkt") > F.col("j"))  # tiny buckets: no self-pairs
+        .withColumn("tgt", ((F.col("rn") - 1 + F.col("j")) % F.col("n_bkt")) + 1)
+    )
+    return (
+        anchors.join(
+            rn.select("bkt", F.col("rn").alias("tgt"), F.col("doc_id").alias("neg_id")),
+            ["bkt", "tgt"],
+        )
+        .select("anchor_id", "j", "neg_id")
+    )
+
+
+SQL_DOC_NEGATIVE_PAIRS = """
+WITH pos AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bkt
+             FROM documents),
+rn AS (SELECT doc_id, bkt,
+              row_number() OVER (PARTITION BY bkt ORDER BY h, doc_id) AS rn
+       FROM pos),
+nb AS (SELECT bkt, count(*) AS n_bkt FROM rn GROUP BY bkt),
+anchors AS (SELECT r.bkt, r.doc_id AS anchor_id, r.rn, nb.n_bkt, j.j,
+                   ((r.rn - 1 + j.j) % nb.n_bkt) + 1 AS tgt
+            FROM rn r JOIN nb USING (bkt)
+            CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS j) j
+            WHERE nb.n_bkt > j.j)
+SELECT a.anchor_id, a.j, t.doc_id AS neg_id
+FROM anchors a JOIN rn t ON t.bkt = a.bkt AND t.rn = a.tgt
+"""
+
+
 def q_kg_graph_diff(spark, sf_dir):
     """Snapshot delta after a deletion purge: rebuild the co-mention graph
     without every 10th user's conversations and diff edge sets keyed on
@@ -2351,6 +2434,9 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_graph_diff": (q_kg_graph_diff, SQL_KG_GRAPH_DIFF),
     "corpus_card": (q_corpus_card, SQL_CORPUS_CARD),
     "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
+    # sampling for training: balanced strata + contrastive negatives
+    "doc_sample_stratified": (q_doc_sample_stratified, SQL_DOC_SAMPLE_STRATIFIED),
+    "doc_negative_pairs": (q_doc_negative_pairs, SQL_DOC_NEGATIVE_PAIRS),
     # folded in r4 to make room for kg_export_json: the full build is
     # rows-only (iterative CC has no single-statement SQL), while its
     # SQL-expressible ~99% keeps the exact composite oracle as the

@@ -70,3 +70,31 @@ def test_pair_counts_weighted_by_word_frequency(spark):
     )
     rows = {(r["l"], r["r"]): r["cnt"] for r in bpe.pair_counts(docs).collect()}
     assert rows == {("a", "b"): 3, ("b", "a"): 1}
+
+
+def test_segment_applies_merges_in_word_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "abab cd abab"), (2, "zz zz"), (3, "123 !!")],
+        "doc_id int, text string",
+    )
+    merges = bpe.train(docs, n_merges=2)
+    out = {r["doc_id"]: list(r["tokens"]) for r in bpe.segment(docs, merges).collect()}
+    # pure-python application of the same rules, word by word, in order
+    def apply(word):
+        syms = list(word)
+        for l, r, *_ in merges:
+            o, prev = [], ""
+            for s in syms:
+                if prev == l and s == r:
+                    o.append(l + r); prev = ""
+                elif prev == "":
+                    prev = s
+                else:
+                    o.append(prev); prev = s
+            if prev:
+                o.append(prev)
+            syms = o
+        return syms
+    assert out[1] == apply("abab") + apply("cd") + apply("abab")
+    assert out[2] == apply("zz") + apply("zz")
+    assert out[3] == []  # no alphabetic words -> empty tokens, doc kept
