@@ -46,3 +46,18 @@ def test_folded_entry_matches_oracle(spark, con, name):
     drows = res.fetchall()
     assert sorted(scols) == sorted(dcols)
     assert df_rows(scols, srows) == df_rows(dcols, drows), name
+
+
+def test_driver_window_is_exactly_50_and_disjoint_from_folds():
+    """The driver checks exactly the first 50 registry entries (round-2
+    lesson: entries past the window go silently unchecked). Pin the count,
+    the REGISTRY/FOLDED_REGISTRY disjointness, and that the entry-point
+    surface mirrors the registry's oracles one-for-one."""
+    import __spark_entry__ as e
+    from jcpg_spark.plans.driver_queries import REGISTRY
+
+    assert len(REGISTRY) == 50
+    assert not set(REGISTRY) & set(FOLDED_REGISTRY)
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(qs) == set(REGISTRY)
+    assert set(oracles) == {k for k, (_, sql) in REGISTRY.items() if sql is not None}
