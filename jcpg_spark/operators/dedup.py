@@ -38,6 +38,86 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def boilerplate_texts(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    min_groups: int = 2,
+) -> DataFrame:
+    """-> (canonical_doc_id, n_groups, n_docs): normalized texts that recur
+    across >= ``min_groups`` DISTINCT groups (sources, domains, crawls).
+
+    Cross-group repetition is the boilerplate signature (license headers,
+    navigation chrome, templated notices): within-group duplicates may be
+    legitimate re-crawls, but the same text appearing under many sources is
+    near-certainly template material — C4/RefinedWeb-style pipelines drop
+    or down-weight it before training. ``exact_duplicates`` answers "is
+    this text repeated?"; this answers "is it repeated ACROSS corpora?".
+
+    One shuffle on the normalized-text hash (md5 so the 16-byte key, not
+    the document body, crosses the exchange), one hash-agg computing both
+    the distinct-group count and the per-text canonical; output is
+    dimension-sized (distinct boilerplate texts), never data-sized.
+    """
+    norm_hash = F.md5(normalize_text(F.col(text_col))).alias("h")
+    return (
+        docs.select("doc_id", F.col(group_col).alias("grp"), norm_hash)
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count_distinct("grp").alias("n_groups"),
+            F.count("*").alias("n_docs"),
+        )
+        .where(F.col("n_groups") >= min_groups)
+        .select("canonical_doc_id", "n_groups", "n_docs")
+    )
+
+
+def boilerplate_spans(
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    group_col: str = "source",
+    min_groups: int = 2,
+) -> DataFrame:
+    """-> (shingle, n_groups, n_docs): word n-gram spans recurring across
+    >= ``min_groups`` DISTINCT groups — the span-granularity form of
+    ``boilerplate_texts`` (RefinedWeb-style duplicated-span detection:
+    whole-document repetition is rare long before span repetition is, so
+    the span unit is what actually fires on mostly-distinct corpora).
+
+    Same plan shape as the shingle side of ``jaccard_pairs``: one explode
+    of per-doc DISTINCT n-grams, one hash-agg on the span computing the
+    distinct-group count. Output is vocabulary-sized. Unlike the hashed
+    jaccard path the span string itself is kept (the consumer's next step
+    is usually to scrub the span from the text), so this shuffles strings
+    by design; ``n_groups`` dominance means the agg is map-side partial
+    like any hash-agg.
+    """
+    ws = words(F.col(text_col))
+    shingles = F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, (i + k + 1).cast("int")) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(F.array_distinct(shingles)).alias("shingle"),
+        )
+        .groupBy("shingle")
+        .agg(
+            F.count_distinct("grp").alias("n_groups"),
+            F.count("*").alias("n_docs"),
+        )
+        .where(F.col("n_groups") >= min_groups)
+    )
+
+
 def word_shingles(
     docs: DataFrame, n: int = 3, text_col: str = "text", hashed: bool = False
 ) -> DataFrame:

@@ -160,6 +160,85 @@ def khop_counts(edges: DataFrame, k: int = 2) -> DataFrame:
     ).select(F.col("s").alias("item"), "n_khop")
 
 
+def bfs_distances(
+    edges: DataFrame, sources: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """-> (item, dist): multi-source BFS over the symmetrized graph —
+    dist = fewest hops from ANY source vertex (0 for the sources
+    themselves); vertices unreached within ``max_hops`` are absent.
+
+    ``sources`` is a one-column DataFrame (column ``v``) so seed sets of
+    any size stay distributed (a literal list would put the seeds in the
+    plan). Per round: the frontier meets the adjacency on the frontier
+    vertex (one shuffle), first-visit pruning is a left_anti against the
+    visited set — so each vertex crosses the shuffle at most once per
+    round it is newly reached in, the relational form of Pregel's
+    "halt if not newly activated". Rounds are bounded by ``max_hops``
+    (bounded-round posture like ``khop_counts``/``pagerank``: the unrolled
+    plan is a finite join tree an exact SQL oracle can mirror with a
+    min-over-hops aggregation; use ``canonicalize`` for unbounded
+    reachability). Lineage is cut every ``_CHECKPOINT_EVERY`` rounds.
+    Exact integers — bit-identical across engines and partitionings.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    from jcpg_spark.caching import swap_persist
+
+    e = edges.select("a", "b")
+    adj = e.select(F.col("a").alias("s"), F.col("b").alias("t")).unionByName(
+        e.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    if max_hops > 1:
+        adj = swap_persist("bfs_distances.adj", adj)
+    visited = sources.select(
+        F.col("v").alias("item"), F.lit(0).cast("int").alias("dist")
+    ).distinct()
+    frontier = visited.select(F.col("item").alias("s"))
+    for h in range(1, max_hops + 1):
+        new = (
+            adj.join(frontier, "s")
+            .select(F.col("t").alias("item"))
+            .distinct()
+            .join(visited.select("item"), "item", "left_anti")
+        )
+        # the new layer feeds BOTH the visited union and the next frontier;
+        # cut it so the anti-join side doesn't recompute the whole prefix
+        new = new.localCheckpoint(eager=False)
+        visited = visited.unionByName(
+            new.withColumn("dist", F.lit(h).cast("int"))
+        )
+        frontier = new.select(F.col("item").alias("s"))
+        if h % _CHECKPOINT_EVERY == 0 and h < max_hops:
+            visited = visited.localCheckpoint(eager=False)
+    return visited
+
+
+def component_sizes(edges: DataFrame) -> DataFrame:
+    """-> (canonical, size): connected-component sizes of the undirected
+    graph — canonical = component-minimum vertex id (the same label
+    ``canonicalize.connected_components`` converges to, so the result is
+    deterministic and an exact recursive-CTE oracle can mirror it), size =
+    number of vertices in the component.
+
+    The audit rollup for any pair-graph this engine produces (near-dup
+    clusters, co-mention communities, same_as islands): a giant component
+    is the standard symptom of an over-permissive pairing threshold, and
+    this is the one-line check for it. Scale posture is inherited from
+    ``connected_components`` (driver union-find under the byte budget,
+    large-star/small-star alternation above it) plus one count hash-agg.
+    """
+    from jcpg_spark.operators import canonicalize
+
+    mapping, _rounds, _converged = canonicalize.connected_components(
+        edges.select("a", "b")
+    )
+    return (
+        mapping.groupBy("canonical_id")
+        .agg(F.count("*").alias("size"))
+        .select(F.col("canonical_id").alias("canonical"), "size")
+    )
+
+
 def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
     """-> (item, label): K synchronous rounds of label propagation over the
     symmetrized graph. Labels start as the vertex's own id; each round every

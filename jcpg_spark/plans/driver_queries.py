@@ -1139,6 +1139,31 @@ GROUP BY norm
 """
 
 
+def q_doc_boilerplate(spark, sf_dir):
+    """Cross-SOURCE boilerplate spans: word 5-grams recurring under >= 2
+    distinct sources (template/license/chrome material a C4/RefinedWeb
+    pipeline scrubs before training). Span granularity, not whole-document
+    (``dedup.boilerplate_texts``): whole-doc repetition is rare long
+    before span repetition is, so the span unit is the one that fires —
+    ~1k spans at every test sf, where the doc-level form is empty below
+    sf0.1."""
+    docs = _docs(spark, sf_dir)
+    return dedup.boilerplate_spans(docs, n=5, group_col="source", min_groups=2)
+
+
+SQL_DOC_BOILERPLATE = r"""
+WITH w AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS ws
+           FROM documents),
+s AS (SELECT doc_id, source, unnest(list_distinct(CASE WHEN len(ws) >= 5
+          THEN list_transform(generate_series(1, len(ws) - 4),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])
+          ELSE [] END)) AS shingle
+      FROM w)
+SELECT shingle, count(DISTINCT source) AS n_groups, count(*) AS n_docs
+FROM s GROUP BY shingle HAVING count(DISTINCT source) >= 2
+"""
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact Jaccard pairs at t=0.4 via AllPairs/PPJoin prefix filtering
     (the shipped default since r4 — ~2x faster than the inverted-index
@@ -1774,6 +1799,53 @@ reach AS (SELECT s, t FROM adj
           UNION ALL
           SELECT f.s, a2.t FROM adj f JOIN adj a2 ON a2.s = f.t WHERE a2.t <> f.s)
 SELECT s AS item, count(DISTINCT t) AS n_khop FROM reach GROUP BY s
+"""
+
+
+def q_kg_bfs_distance(spark, sf_dir):
+    """Multi-source BFS distances (<= 3 hops) from the smallest vertex of
+    the co-mention graph. The engine prunes revisits with a left_anti
+    visited set per round; the oracle expands every unrolled hop and takes
+    min(hop) — both are exactly the BFS layer distance, in exact
+    integers."""
+    edges = _comention_edges(spark, sf_dir, min_weight=2)
+    src = edges.agg(F.min("a").alias("v"))
+    return graph_analytics.bfs_distances(edges, src, max_hops=3)
+
+
+SQL_KG_BFS_DISTANCE = f"""
+WITH e AS ({_SQL_COMENTION}),
+adj AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+h0 AS (SELECT min(a) AS v, 0 AS d FROM e),
+h1 AS (SELECT DISTINCT t AS v, 1 AS d FROM adj WHERE s IN (SELECT v FROM h0)),
+h2 AS (SELECT DISTINCT t AS v, 2 AS d FROM adj WHERE s IN (SELECT v FROM h1)),
+h3 AS (SELECT DISTINCT t AS v, 3 AS d FROM adj WHERE s IN (SELECT v FROM h2))
+SELECT v AS item, CAST(min(d) AS INT) AS dist
+FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1
+      UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3)
+GROUP BY v
+"""
+
+
+def q_kg_component_sizes(spark, sf_dir):
+    """Connected-component sizes of the co-mention graph (canonical =
+    component-minimum vertex — the label the engine's union-find / star
+    alternation converges to, mirrored by the oracle's recursive
+    transitive closure + min). The one-line audit for over-permissive
+    pairing thresholds: a giant component is the classic failure mode."""
+    edges = _comention_edges(spark, sf_dir, min_weight=2)
+    return graph_analytics.component_sizes(edges)
+
+
+SQL_KG_COMPONENT_SIZES = f"""
+WITH RECURSIVE
+e AS ({_SQL_COMENTION}),
+sym AS (SELECT a AS s, b AS t FROM e UNION SELECT b, a FROM e),
+reach AS (SELECT s, t FROM sym
+          UNION
+          SELECT r.s, y.t FROM reach r JOIN sym y ON y.s = r.t WHERE y.t <> r.s),
+canon AS (SELECT s AS v, least(s, min(t)) AS canonical FROM reach GROUP BY s)
+SELECT canonical, count(*) AS size FROM canon GROUP BY canonical
 """
 
 
@@ -2437,6 +2509,11 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     # sampling for training: balanced strata + contrastive negatives
     "doc_sample_stratified": (q_doc_sample_stratified, SQL_DOC_SAMPLE_STRATIFIED),
     "doc_negative_pairs": (q_doc_negative_pairs, SQL_DOC_NEGATIVE_PAIRS),
+    # BFS layer distances + component-size audit on the co-mention graph,
+    # and cross-source boilerplate detection — all exact-oracled.
+    "kg_bfs_distance": (q_kg_bfs_distance, SQL_KG_BFS_DISTANCE),
+    "kg_component_sizes": (q_kg_component_sizes, SQL_KG_COMPONENT_SIZES),
+    "doc_boilerplate": (q_doc_boilerplate, SQL_DOC_BOILERPLATE),
     # folded in r4 to make room for kg_export_json: the full build is
     # rows-only (iterative CC has no single-statement SQL), while its
     # SQL-expressible ~99% keeps the exact composite oracle as the

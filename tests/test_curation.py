@@ -144,3 +144,43 @@ def test_compaction_plan_bin_bounds(spark):
     assert all(v < target + max_small for v in tot.values())
     # cumulative-sum sharding leaves no empty bin below the max bin id
     assert set(tot) == set(range(max(tot) + 1))
+
+
+def test_boilerplate_requires_cross_group_repetition(spark):
+    from jcpg_spark.operators.dedup import boilerplate_texts
+
+    docs = spark.createDataFrame(
+        [
+            # same normalized text under two sources -> boilerplate
+            (1, "All  Rights Reserved ", "web"),
+            (2, "all rights reserved", "books"),
+            (3, "all rights reserved", "web"),
+            # repeated, but only within one source -> NOT boilerplate
+            (4, "chapter one", "books"),
+            (5, "chapter one", "books"),
+            # unique text -> not boilerplate
+            (6, "the actual content", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = boilerplate_texts(docs, min_groups=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["canonical_doc_id"], r["n_groups"], r["n_docs"]) == (1, 2, 3)
+
+
+def test_boilerplate_spans_cross_group_only(spark):
+    from jcpg_spark.operators.dedup import boilerplate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "all rights reserved by the author", "web"),
+            (2, "content all rights reserved by me", "books"),
+            (3, "totally unrelated text goes right here", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r["shingle"]: (r["n_groups"], r["n_docs"]) for r in
+           boilerplate_spans(docs, n=3, min_groups=2).collect()}
+    # the 3-grams shared by docs 1 and 2 (different sources), and only those
+    assert got == {"all rights reserved": (2, 2), "rights reserved by": (2, 2)}

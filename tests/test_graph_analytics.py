@@ -333,3 +333,63 @@ def test_entity_salience_topk_and_tiebreak(spark):
     assert [r["entity"] for r in c10] == [1, 2]
     assert c10[0]["salience"] == c10[1]["salience"] == 2.0
     assert all(len(v) <= 2 for v in by_conv.values())
+
+
+# --- BFS distances -----------------------------------------------------------
+
+
+def _src_df(spark, vs):
+    return spark.createDataFrame([(v,) for v in vs], "v int")
+
+
+def test_bfs_path_graph_layers(spark):
+    # 0-1-2-...-9 from source 0: dist = vertex index, cut at max_hops.
+    edges = _edges_df(spark, [(i, i + 1) for i in range(9)])
+    got = {r["item"]: r["dist"] for r in
+           graph_analytics.bfs_distances(edges, _src_df(spark, [0]), max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_multi_source_takes_min(spark):
+    # sources 0 and 9 on the path: middle vertices get min of the two sides.
+    edges = _edges_df(spark, [(i, i + 1) for i in range(9)])
+    got = {r["item"]: r["dist"] for r in
+           graph_analytics.bfs_distances(edges, _src_df(spark, [0, 9]), max_hops=4).collect()}
+    assert got == {0: 0, 9: 0, 1: 1, 8: 1, 2: 2, 7: 2, 3: 3, 6: 3, 4: 4, 5: 4}
+
+
+def test_bfs_unreached_component_absent(spark):
+    edges = _edges_df(spark, [(0, 1), (1, 2), (10, 11)])
+    got = {r["item"]: r["dist"] for r in
+           graph_analytics.bfs_distances(edges, _src_df(spark, [0]), max_hops=5).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_bfs_cycle_no_revisit_inflation(spark):
+    # 6-cycle from one source: opposite vertex at dist 3, no vertex twice.
+    edges = _edges_df(spark, [(i, (i + 1) % 6) for i in range(6)])
+    df = graph_analytics.bfs_distances(edges, _src_df(spark, [0]), max_hops=6)
+    rows = df.collect()
+    assert len(rows) == len({r["item"] for r in rows}) == 6
+    got = {r["item"]: r["dist"] for r in rows}
+    assert got == {0: 0, 1: 1, 5: 1, 2: 2, 4: 2, 3: 3}
+
+
+# --- component sizes ---------------------------------------------------------
+
+
+def test_component_sizes_two_cliques_and_edge(spark):
+    # K4 on {0..3}, K3 on {10..12}, plus the pair (20, 21).
+    pairs = list(itertools.combinations(range(4), 2)) + \
+        list(itertools.combinations(range(10, 13), 2)) + [(20, 21)]
+    edges = _edges_df(spark, pairs)
+    got = {r["canonical"]: r["size"] for r in
+           graph_analytics.component_sizes(edges).collect()}
+    assert got == {0: 4, 10: 3, 20: 2}
+
+
+def test_component_sizes_chain_single_component(spark):
+    edges = _edges_df(spark, [(i, i + 1) for i in range(99)])
+    got = {r["canonical"]: r["size"] for r in
+           graph_analytics.component_sizes(edges).collect()}
+    assert got == {0: 100}
