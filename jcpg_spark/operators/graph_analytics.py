@@ -213,6 +213,52 @@ def bfs_distances(
     return visited
 
 
+def link_predict_common_neighbors(
+    edges: DataFrame, min_common: int = 1, max_center_degree: int = 1000
+) -> DataFrame:
+    """-> (a, b, n_common), a < b: NON-adjacent vertex pairs scored by their
+    common-neighbor count — the classic link-prediction / KG-completion
+    baseline (a high count suggests a missing edge between entities that
+    share many co-mention partners).
+
+    One wedge self-join generates each candidate once at its center
+    (neighbors v1 < v2 of the same u), a hash-agg counts centers per pair,
+    a left_anti removes pairs already joined by an edge. A center of
+    degree d contributes C(d, 2) wedges, so hub centers are capped
+    (``max_center_degree``) exactly like ``co_mention_edges``'s hub
+    conversations — scores are then a lower bound for pairs whose common
+    neighbors include dropped hubs, the standard accuracy/scale trade
+    stated by the cap. Exact integers; deterministic for any
+    partitioning.
+    """
+    e = edges.select("a", "b")
+    adj = e.select(F.col("a").alias("s"), F.col("b").alias("t")).unionByName(
+        e.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    small = (
+        adj.groupBy("s")
+        .agg(F.count("*").alias("deg"))
+        .where(F.col("deg") <= max_center_degree)
+        .select("s")
+    )
+    from jcpg_spark.caching import swap_persist
+
+    adj = swap_persist(
+        "link_predict.adj", adj.join(small, "s", "left_semi")
+    )
+    wedges = (
+        adj.select("s", F.col("t").alias("x"))
+        .join(adj.select("s", F.col("t").alias("y")), "s")
+        .where(F.col("x") < F.col("y"))
+    )
+    scored = wedges.groupBy(F.col("x").alias("a"), F.col("y").alias("b")).agg(
+        F.count("*").alias("n_common")
+    )
+    return scored.join(e, ["a", "b"], "left_anti").where(
+        F.col("n_common") >= min_common
+    )
+
+
 def component_sizes(edges: DataFrame) -> DataFrame:
     """-> (canonical, size): connected-component sizes of the undirected
     graph — canonical = component-minimum vertex id (the same label

@@ -1827,6 +1827,30 @@ GROUP BY v
 """
 
 
+def q_kg_link_predict(spark, sf_dir):
+    """Link prediction on the co-mention graph: non-adjacent entity pairs
+    scored by common-neighbor count (>= 2) — the KG-completion baseline.
+    Candidates are generated once per wedge center; the oracle mirrors the
+    same wedge self-join + NOT EXISTS, so both sides agree exactly in
+    integers."""
+    edges = _comention_edges(spark, sf_dir, min_weight=2)
+    return graph_analytics.link_predict_common_neighbors(edges, min_common=2)
+
+
+SQL_KG_LINK_PREDICT = f"""
+WITH e AS ({_SQL_COMENTION}),
+adj AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+keep AS (SELECT s FROM adj GROUP BY s HAVING count(*) <= 1000),
+adj2 AS (SELECT adj.s, adj.t FROM adj JOIN keep USING (s)),
+cand AS (SELECT x.t AS a, y.t AS b, count(*) AS n_common
+         FROM adj2 x JOIN adj2 y ON x.s = y.s AND x.t < y.t
+         GROUP BY 1, 2)
+SELECT a, b, n_common FROM cand
+WHERE n_common >= 2
+  AND NOT EXISTS (SELECT 1 FROM e WHERE e.a = cand.a AND e.b = cand.b)
+"""
+
+
 def q_kg_component_sizes(spark, sf_dir):
     """Connected-component sizes of the co-mention graph (canonical =
     component-minimum vertex — the label the engine's union-find / star
@@ -2514,6 +2538,7 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_bfs_distance": (q_kg_bfs_distance, SQL_KG_BFS_DISTANCE),
     "kg_component_sizes": (q_kg_component_sizes, SQL_KG_COMPONENT_SIZES),
     "doc_boilerplate": (q_doc_boilerplate, SQL_DOC_BOILERPLATE),
+    "kg_link_predict": (q_kg_link_predict, SQL_KG_LINK_PREDICT),
     # folded in r4 to make room for kg_export_json: the full build is
     # rows-only (iterative CC has no single-statement SQL), while its
     # SQL-expressible ~99% keeps the exact composite oracle as the

@@ -393,3 +393,35 @@ def test_component_sizes_chain_single_component(spark):
     got = {r["canonical"]: r["size"] for r in
            graph_analytics.component_sizes(edges).collect()}
     assert got == {0: 100}
+
+
+# --- common-neighbors link prediction ----------------------------------------
+
+
+def test_link_predict_path_and_square(spark):
+    # path 0-1-2: (0,2) share neighbor 1. square 10-11-12-13: the two
+    # diagonals each share both opposite corners.
+    edges = _edges_df(spark, [(0, 1), (1, 2),
+                              (10, 11), (11, 12), (12, 13), (10, 13)])
+    got = {(r["a"], r["b"]): r["n_common"] for r in
+           graph_analytics.link_predict_common_neighbors(edges).collect()}
+    assert got == {(0, 2): 1, (10, 12): 2, (11, 13): 2}
+
+
+def test_link_predict_excludes_existing_edges(spark):
+    # triangle: every pair shares a neighbor but all pairs are edges.
+    edges = _edges_df(spark, [(0, 1), (1, 2), (0, 2)])
+    assert graph_analytics.link_predict_common_neighbors(edges).count() == 0
+
+
+def test_link_predict_hub_cap_drops_hub_centers(spark):
+    # star center 0 with 5 leaves: leaves pairwise share only the hub;
+    # capping the center degree below 5 removes every candidate, and the
+    # cap applies to CENTERS only (leaf degrees stay 1).
+    edges = _edges_df(spark, [(0, i) for i in range(1, 6)])
+    full = graph_analytics.link_predict_common_neighbors(edges)
+    assert full.count() == 10  # C(5,2) leaf pairs via the hub
+    capped = graph_analytics.link_predict_common_neighbors(
+        edges, max_center_degree=4
+    )
+    assert capped.count() == 0
