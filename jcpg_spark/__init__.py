@@ -27,18 +27,24 @@ from jcpg_spark.caching import clear_caches
 from jcpg_spark.operators.canonicalize import connected_components
 from jcpg_spark.io import compaction_plan
 from jcpg_spark.operators.bpe import pair_counts as bpe_pair_counts, train as bpe_train
+from jcpg_spark.operators.lm import bigram_lm_scores
 from jcpg_spark.operators.subgraph import graph_diff, induced_subgraph
 from jcpg_spark.operators.dedup import (
+    boilerplate_spans,
+    boilerplate_texts,
     jaccard_pairs_prefix,
     keep_list,
     leakage_safe_split,
 )
 from jcpg_spark.operators.graph_analytics import (
+    bfs_distances,
     co_mention_edges,
+    component_sizes,
     cooccurrence_lift,
     entity_salience,
     kcore,
     khop_counts,
+    link_predict_common_neighbors,
     pagerank,
     triangle_counts,
 )
@@ -59,8 +65,14 @@ __all__ = [
     "bpe_train",
     "graph_diff",
     "induced_subgraph",
+    "bfs_distances",
+    "bigram_lm_scores",
+    "boilerplate_spans",
+    "boilerplate_texts",
     "co_mention_edges",
+    "component_sizes",
     "cooccurrence_lift",
+    "link_predict_common_neighbors",
     "entity_salience",
     "kcore",
     "khop_counts",

@@ -1,0 +1,88 @@
+"""Statistical language-model quality scoring (CCNet-style, self-trained).
+
+The production filter behind CCNet / CC-Net-derived corpora scores every
+document by its perplexity under a small n-gram LM and drops the tail.
+This is the dependency-free form of that operator: the corpus trains its
+OWN add-alpha-smoothed bigram model in one aggregation pass, then every
+document is scored by its mean bigram log-probability — high-scoring docs
+look like the corpus's dominant register, low scores flag gibberish,
+boilerplate-mangled text, or wrong-language content. No external model
+file, no UDF: the whole computation is joins + hash-aggs over exploded
+bigrams.
+
+Scale posture: ONE explode pass over the corpus produces per-doc bigram
+counts (the heaviest shuffle, keyed by (doc, w1, w2)); the model tables
+are vocabulary-sized aggregates of that frame, and scoring joins the
+per-doc counts back to the model on the bigram key — hash joins on
+string pairs, no broadcast assumption (a 100 TB corpus's bigram
+vocabulary can be large). The vocabulary scalar rides along as a 1-row
+broadcast crossJoin (the ``pagerank`` idiom), so nothing collects to the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jcpg_spark.functions.text import words
+
+
+def bigram_lm_scores(
+    docs: DataFrame, text_col: str = "text", alpha: float = 0.5
+) -> DataFrame:
+    """-> (doc_id, lm_score): mean bigram log-probability of each document
+    under the corpus's own add-``alpha`` smoothed bigram model.
+
+    For each document: score = sum_bigrams n(w1,w2) * ln P(w2|w1) / n_bigrams
+    with P(w2|w1) = (c(w1,w2) + alpha) / (c(w1,.) + alpha * V), V = number
+    of distinct successor words in the corpus. Documents with fewer than
+    two word tokens have no bigrams and are absent from the result.
+
+    Determinism: counts are exact integers; the only doubles are one ln and
+    one division per model row plus the per-doc weighted mean — callers
+    needing cross-engine equality round (the driver entry pins 6 dp, the
+    same convention as ``pagerank``).
+    """
+    ws = words(F.col(text_col))
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 2),
+            lambda i: F.struct(
+                F.element_at(ws, (i + 1).cast("int")).alias("w1"),
+                F.element_at(ws, (i + 2).cast("int")).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    b = docs.select("doc_id", F.explode(bigrams).alias("bg")).select(
+        "doc_id", "bg.w1", "bg.w2"
+    )
+    # per-doc bigram multiplicities: the corpus model is a pure rollup of
+    # this frame, so it is computed once and persisted across its three
+    # consumers (model build + the scoring join)
+    from jcpg_spark.caching import swap_persist
+
+    dbc = swap_persist(
+        "bigram_lm.dbc", b.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("n"))
+    )
+    cb = dbc.groupBy("w1", "w2").agg(F.sum("n").alias("cb"))
+    cu = cb.groupBy("w1").agg(F.sum("cb").alias("cu"))
+    v = cb.agg(F.count_distinct("w2").alias("v"))
+    model = (
+        cb.join(cu, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (F.col("cb") + F.lit(alpha))
+                / (F.col("cu") + F.lit(alpha) * F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    return (
+        dbc.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg((F.sum(F.col("n") * F.col("logp")) / F.sum("n")).alias("lm_score"))
+    )

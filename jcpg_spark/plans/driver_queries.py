@@ -35,6 +35,7 @@ from jcpg_spark.operators import (
     dedup,
     flow,
     graph_analytics,
+    lm,
     references,
     similarity,
 )
@@ -1161,6 +1162,33 @@ s AS (SELECT doc_id, source, unnest(list_distinct(CASE WHEN len(ws) >= 5
       FROM w)
 SELECT shingle, count(DISTINCT source) AS n_groups, count(*) AS n_docs
 FROM s GROUP BY shingle HAVING count(DISTINCT source) >= 2
+"""
+
+
+def q_doc_lm_score(spark, sf_dir):
+    """CCNet-style quality score: mean bigram log-probability under the
+    corpus's own add-0.5-smoothed bigram LM (self-trained, no external
+    model). Counts are exact integers; the ln + weighted mean are IEEE
+    doubles pinned at 6 dp like the pagerank entry."""
+    docs = _docs(spark, sf_dir)
+    out = lm.bigram_lm_scores(docs)
+    return out.select("doc_id", F.round("lm_score", 6).alias("lm_score"))
+
+
+SQL_DOC_LM_SCORE = r"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+b AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+          THEN list_transform(generate_series(1, len(ws) - 1), i -> [ws[i], ws[i+1]])
+          ELSE [] END) AS p
+      FROM w),
+dbc AS (SELECT doc_id, p[1] AS w1, p[2] AS w2, count(*) AS n FROM b GROUP BY 1, 2, 3),
+cb AS (SELECT w1, w2, sum(n) AS cb FROM dbc GROUP BY 1, 2),
+cu AS (SELECT w1, sum(cb) AS cu FROM cb GROUP BY 1),
+v AS (SELECT count(DISTINCT w2) AS v FROM cb),
+model AS (SELECT w1, w2, ln((cb + 0.5e0) / (cu + 0.5e0 * v)) AS logp
+          FROM cb JOIN cu USING (w1), v)
+SELECT doc_id, round(sum(n * logp) / sum(n), 6) AS lm_score
+FROM dbc JOIN model USING (w1, w2) GROUP BY doc_id
 """
 
 
@@ -2539,6 +2567,7 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_component_sizes": (q_kg_component_sizes, SQL_KG_COMPONENT_SIZES),
     "doc_boilerplate": (q_doc_boilerplate, SQL_DOC_BOILERPLATE),
     "kg_link_predict": (q_kg_link_predict, SQL_KG_LINK_PREDICT),
+    "doc_lm_score": (q_doc_lm_score, SQL_DOC_LM_SCORE),
     # folded in r4 to make room for kg_export_json: the full build is
     # rows-only (iterative CC has no single-statement SQL), while its
     # SQL-expressible ~99% keeps the exact composite oracle as the

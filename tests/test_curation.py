@@ -184,3 +184,43 @@ def test_boilerplate_spans_cross_group_only(spark):
            boilerplate_spans(docs, n=3, min_groups=2).collect()}
     # the 3-grams shared by docs 1 and 2 (different sources), and only those
     assert got == {"all rights reserved": (2, 2), "rights reserved by": (2, 2)}
+
+
+def test_bigram_lm_scores_closed_form(spark):
+    """Hand-computed add-0.5 bigram model over a 3-doc corpus; the
+    repeated-pattern doc must outscore the one-off word sequence."""
+    import math
+
+    from jcpg_spark.operators.lm import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "c a")],
+        "doc_id long, text string",
+    )
+    # corpus bigrams: (a,b) x3 [doc1 twice, doc2 once], (b,a) x1, (c,a) x1
+    # prefix counts: a->4? no: c(a,.) = 3 [(a,b) x3]; c(b,.) = 1; c(c,.) = 1
+    # V = distinct successors {b, a} = 2
+    def p(cb, cu):
+        return math.log((cb + 0.5) / (cu + 0.5 * 2))
+
+    exp = {
+        1: (2 * p(3, 3) + 1 * p(1, 1)) / 3,  # (a,b) n=2, (b,a) n=1
+        2: p(3, 3),
+        3: p(1, 1),
+    }
+    got = {r["doc_id"]: r["lm_score"] for r in bigram_lm_scores(docs).collect()}
+    assert set(got) == set(exp)
+    for d in exp:
+        assert abs(got[d] - exp[d]) < 1e-12, d
+    assert got[2] > got[3]  # the corpus-dominant bigram scores higher
+
+
+def test_bigram_lm_scores_partitioning_invariant(spark):
+    from jcpg_spark.operators.lm import bigram_lm_scores
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {(r["doc_id"], round(r["lm_score"], 9))
+         for r in bigram_lm_scores(docs.repartition(1)).collect()}
+    b = {(r["doc_id"], round(r["lm_score"], 9))
+         for r in bigram_lm_scores(docs.repartition(13)).collect()}
+    assert a == b
