@@ -27,6 +27,7 @@ from jcpg_spark.caching import clear_caches
 from jcpg_spark.operators.canonicalize import connected_components
 from jcpg_spark.io import compaction_plan
 from jcpg_spark.operators.bpe import pair_counts as bpe_pair_counts, train as bpe_train
+from jcpg_spark.operators.curation import curation_decision
 from jcpg_spark.operators.lm import bigram_lm_scores
 from jcpg_spark.operators.subgraph import graph_diff, induced_subgraph
 from jcpg_spark.operators.dedup import (
@@ -36,6 +37,7 @@ from jcpg_spark.operators.dedup import (
     keep_list,
     leakage_safe_split,
 )
+from jcpg_spark.operators.similarity import class_centroids
 from jcpg_spark.operators.graph_analytics import (
     bfs_distances,
     co_mention_edges,
@@ -61,6 +63,7 @@ __all__ = [
     "keep_list",
     "leakage_safe_split",
     "compaction_plan",
+    "curation_decision",
     "bpe_pair_counts",
     "bpe_train",
     "graph_diff",
@@ -69,6 +72,7 @@ __all__ = [
     "bigram_lm_scores",
     "boilerplate_spans",
     "boilerplate_texts",
+    "class_centroids",
     "co_mention_edges",
     "component_sizes",
     "cooccurrence_lift",

@@ -64,6 +64,32 @@ def cosine_topk(
     )
 
 
+def class_centroids(
+    embeddings: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """-> (label, pos, c): per-label mean embedding in LONG form — c is the
+    average of component ``pos`` (0-based) over the label's vectors.
+
+    The prototype-embedding primitive (class centroids for nearest-
+    centroid classification, contrastive anchor means, drift monitoring).
+    Long form is deliberate: each output cell is ONE scalar double, so an
+    exact cross-engine oracle compares rounded scalars instead of
+    stringified float arrays; ``F.array_agg`` consumers can pivot back
+    with one ``collect_list`` over ``pos`` order.
+
+    One posexplode (dim x rows, map-side) + one hash-agg on (label, pos) —
+    partial aggregation makes the shuffle carry at most
+    |labels| x dim x partitions rows at any corpus size.
+    """
+    e = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    )
+    return e.groupBy("label", "pos").agg(
+        F.avg(F.col("x").cast("double")).alias("c")
+    )
+
+
 def _plane_signs(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     """Deterministic {-1,+1} hyperplane matrix, computed ONCE on the driver
     (sha256 of (seed, plane, dim) — partitioning-independent by

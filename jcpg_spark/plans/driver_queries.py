@@ -1165,6 +1165,62 @@ FROM s GROUP BY shingle HAVING count(DISTINCT source) >= 2
 """
 
 
+def q_emb_class_centroids(spark, sf_dir):
+    """Per-label mean embedding (long form — one scalar per (label, pos)
+    so the oracle compares rounded doubles, not stringified arrays).
+    avg() is the one summation-order-sensitive double; 6 dp pins it per
+    the pagerank convention."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.class_centroids(emb)
+    return out.select("label", "pos", F.round("c", 6).alias("c"))
+
+
+SQL_EMB_CLASS_CENTROIDS = """
+SELECT label, pos, round(avg(x), 6) AS c
+FROM (SELECT label,
+             unnest(generate_series(0, len(embedding) - 1)) AS pos,
+             unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+      FROM embeddings)
+GROUP BY label, pos
+"""
+
+
+def q_doc_curation_decision(spark, sf_dir):
+    """The shipped C4/Gopher-style filter chain as one auditable verdict:
+    first-failing rule recorded per doc (too_short / word_too_long /
+    repetitive / lang_unknown / ok). Pure map-side column algebra — rides
+    any scan without adding an exchange."""
+    from jcpg_spark.operators.curation import curation_decision
+
+    return curation_decision(_docs(spark, sf_dir))
+
+
+SQL_DOC_CURATION_DECISION = r"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws,
+                  lower(text) AS lt
+           FROM documents),
+s AS (SELECT doc_id, len(ws) AS n_words,
+             list_max(list_transform(ws, x -> len(x))) AS mwl,
+             CASE WHEN len(ws) >= 2
+                  THEN 1e0 - len(list_distinct(list_transform(generate_series(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1]))) / CAST(len(ws) - 1 AS DOUBLE)
+                  ELSE 0e0 END AS dup2,
+             len(regexp_extract_all(lt, '\b(?:the|and|of|is|to|in|that)\b')) AS en,
+             len(regexp_extract_all(lt, '\b(?:el|la|los|las|de|que|y|es)\b')) AS es,
+             len(regexp_extract_all(lt, '\b(?:der|die|das|und|ist|nicht|ein)\b')) AS de,
+             len(regexp_extract_all(lt, '\b(?:le|les|et|est|une|dans|pour)\b')) AS fr
+      FROM w),
+r AS (SELECT doc_id, n_words,
+             CASE WHEN n_words < 10 THEN 'too_short'
+                  WHEN mwl > 30 THEN 'word_too_long'
+                  WHEN dup2 > 0.2e0 THEN 'repetitive'
+                  WHEN greatest(en, es, de, fr) < 2 THEN 'lang_unknown'
+                  ELSE 'ok' END AS reason
+      FROM s)
+SELECT doc_id, n_words, reason, reason = 'ok' AS keep FROM r
+"""
+
+
 def q_doc_lm_score(spark, sf_dir):
     """CCNet-style quality score: mean bigram log-probability under the
     corpus's own add-0.5-smoothed bigram LM (self-trained, no external
@@ -2568,6 +2624,8 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "doc_boilerplate": (q_doc_boilerplate, SQL_DOC_BOILERPLATE),
     "kg_link_predict": (q_kg_link_predict, SQL_KG_LINK_PREDICT),
     "doc_lm_score": (q_doc_lm_score, SQL_DOC_LM_SCORE),
+    "doc_curation_decision": (q_doc_curation_decision, SQL_DOC_CURATION_DECISION),
+    "emb_class_centroids": (q_emb_class_centroids, SQL_EMB_CLASS_CENTROIDS),
     # folded in r4 to make room for kg_export_json: the full build is
     # rows-only (iterative CC has no single-statement SQL), while its
     # SQL-expressible ~99% keeps the exact composite oracle as the

@@ -224,3 +224,44 @@ def test_bigram_lm_scores_partitioning_invariant(spark):
     b = {(r["doc_id"], round(r["lm_score"], 9))
          for r in bigram_lm_scores(docs.repartition(13)).collect()}
     assert a == b
+
+
+def test_curation_decision_rule_precedence(spark):
+    from jcpg_spark.operators.curation import curation_decision
+
+    long_ok = ("the quick brown fox jumps over one lazy dog and that "
+               "is of course fine to read in the park today")
+    docs = spark.createDataFrame(
+        [
+            (1, "too few words"),                                   # too_short
+            (2, "the " + "x" * 40 + " " + long_ok),                 # word_too_long
+            (3, "the cat sat " * 20),                               # repetitive
+            (4, "zz yy xx ww vv uu tt ss rr qq pp oo nn"),          # lang_unknown
+            (5, long_ok),                                           # ok
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["reason"], r["keep"]) for r in
+           curation_decision(docs).collect()}
+    assert got == {
+        1: ("too_short", False),
+        2: ("word_too_long", False),
+        3: ("repetitive", False),
+        4: ("lang_unknown", False),
+        5: ("ok", True),
+    }
+
+
+def test_class_centroids_closed_form(spark):
+    from jcpg_spark.operators.similarity import class_centroids
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [3.0, 2.0], 0),
+            (3, [10.0, -4.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {(r["label"], r["pos"]): r["c"] for r in class_centroids(emb).collect()}
+    assert got == {(0, 0): 2.0, (0, 1): 1.0, (1, 0): 10.0, (1, 1): -4.0}
