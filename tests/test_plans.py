@@ -168,6 +168,44 @@ def test_graph_kernels_no_cartesian(spark):
         assert "CartesianProduct" not in _plan(df)
 
 
+def test_r4_late_kernels_plan_shapes(spark):
+    """Plan gates for the round-4 late kernels: the curation verdict is
+    pure map-side (ZERO exchanges — it must ride a scan for free),
+    class_centroids is one partial-agg shuffle, and the BFS / link-predict
+    / LM kernels stay on equi-join paths (no cartesian — the join
+    STRATEGY on the bigram key is legitimately Spark's size-based cost
+    choice, so it is not pinned)."""
+    from jcpg_spark.operators import graph_analytics
+    from jcpg_spark.operators.curation import curation_decision
+    from jcpg_spark.operators.lm import bigram_lm_scores
+    from jcpg_spark.operators.similarity import class_centroids
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat and the dog sat too"),
+         (2, "a b c d e f g h i j k l m n")],
+        "doc_id long, text string",
+    )
+    assert _plan(curation_decision(docs)).count("Exchange") == 0
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0], 0), (2, [3.0, 4.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    cplan = _plan(class_centroids(emb))
+    assert cplan.count("Exchange") == 1 and cplan.count("HashAggregate") == 2
+
+    assert "CartesianProduct" not in _plan(bigram_lm_scores(docs))
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3), (3, 4)], "a int, b int")
+    src = spark.createDataFrame([(1,)], "v int")
+    for df in (
+        graph_analytics.bfs_distances(edges, src, max_hops=2),
+        graph_analytics.link_predict_common_neighbors(edges),
+        graph_analytics.component_sizes(edges),
+    ):
+        assert "CartesianProduct" not in _plan(df)
+
+
 def test_prefix_join_candidates_are_ids_only(spark, docs_parquet=None):
     """The prefix-filter candidate self-join must shuffle only (doc_id,
     n_sh, tok) — the full shingle arrays ('arr', 'ordered') join in AFTER
