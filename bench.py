@@ -192,12 +192,25 @@ def load_hist_floors() -> tuple[float | None, float | None]:
                 except ValueError:
                     continue
                 s = d.get("scaling", {})
+                sess_probes = [
+                    r["probe_p50"]
+                    for r in s.get("runs", [])
+                    if not r.get("contaminated") and r.get("probe_p50")
+                ]
+                probes += sess_probes
+                # A session's calibration anchors the floor only if that
+                # session went on to certify at least one clean run. A
+                # calibration from a window in which NOTHING certified has
+                # no evidence behind it — and on this host it can be
+                # turbo-inflated: background load holds the CPU governor at
+                # high clock, so a short probe measured during a
+                # contaminated window runs FASTER than on a truly idle box
+                # (observed 2026-08-18: 0.0379 under deliberate pytest
+                # saturation vs 0.0552-0.0614 idle), which would pin the
+                # floor below what any honest idle window can reach.
                 c = s.get("gates", {}).get("probe_calib_sec")
-                if c:
+                if c and sess_probes:
                     calibs.append(c)
-                for r in s.get("runs", []):
-                    if not r.get("contaminated") and r.get("probe_p50"):
-                        probes.append(r["probe_p50"])
     except OSError:
         pass
     return (min(probes) if probes else None, min(calibs) if calibs else None)
