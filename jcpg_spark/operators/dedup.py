@@ -576,3 +576,121 @@ def leakage_safe_split(
         .otherwise("train")
     )
     return kl.select("doc_id", "canonical_doc_id", split.alias("split"))
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    k: int = 16,
+    iters: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embedding
+    space with the IVF k-means quantizer, then within each cluster prune
+    groups of semantically near-identical vectors (pairwise cosine >=
+    ``threshold``), keeping per duplicate group the member LEAST similar
+    to its cluster centroid — the paper's keep-low-centroid-similarity
+    rule, which preserves the diverse boundary examples and drops the
+    redundant core. -> (vec_id, centroid, canonical_id, keep).
+
+    Composition: ``similarity.kmeans_centroids`` (or caller-supplied
+    ``centroids``) -> ``similarity.ivf_assign`` (JVM literal-array argmin,
+    no shuffle) -> within-cluster pair join -> union-find duplicate groups
+    (``canonicalize.connected_components``) -> per-group argmin on
+    (centroid_cos, id).
+
+    Scale posture: the pair join is keyed by centroid, so the quadratic
+    cost is O(sum_c |c|^2) = O(N^2/K) under balanced clusters — K is the
+    dial, grown with N exactly as the paper scales its clustering (their
+    LAION runs use K in the tens of thousands); ``max_cluster`` fences the
+    degenerate-cluster blowup the way ``max_bucket`` fences hot LSH cells
+    (an over-cap cluster is skipped and reported keep=true rather than
+    going quadratic). Vectors are unit-normalized ONCE before the join so
+    the verify is a single dot product; the duplicate-group mapping is
+    dup-pair-sized and broadcasts back (``keep_list``'s argument) — the
+    corpus side sees one exchange on centroid and nothing else.
+
+    Determinism: assignment is the deterministic argmin of ``ivf_assign``;
+    the keep rule totals-orders on (round(cos_to_centroid, 9), id), so
+    results are partitioning-invariant given the same centroid list.
+    """
+    from jcpg_spark.operators.canonicalize import connected_components
+    from jcpg_spark.operators.similarity import (
+        _centroid_arr,
+        _dot,
+        _norm,
+        _unit,
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    u = _unit(embeddings, id_col, vec_col, "vec_id", "uv")
+    assigned = (
+        ivf_assign(u, centroids, id_col="vec_id", vec_col="uv")
+        .withColumnRenamed("vec", "uv")
+    )
+    carr = _centroid_arr(centroids)
+    cvec = F.element_at(carr, F.col("centroid") + 1)
+    withsim = assigned.select(
+        "vec_id",
+        "centroid",
+        "uv",
+        (_dot(F.col("uv"), cvec) / _norm(cvec)).alias("centroid_cos"),
+    )
+    from jcpg_spark.caching import swap_persist
+
+    withsim = swap_persist("semantic_dedup.assigned", withsim)
+    pool = withsim
+    if max_cluster is not None:
+        sizes = withsim.groupBy("centroid").agg(F.count("*").alias("_cn"))
+        pool = withsim.join(
+            F.broadcast(sizes.filter(F.col("_cn") <= max_cluster)).drop("_cn"),
+            "centroid",
+        )
+    a = pool.select(
+        "centroid",
+        F.col("vec_id").alias("id_a"),
+        F.col("uv").alias("va"),
+    )
+    b = pool.select(
+        "centroid",
+        F.col("vec_id").alias("id_b"),
+        F.col("uv").alias("vb"),
+    )
+    pairs = (
+        a.join(b, "centroid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(_dot(F.col("va"), F.col("vb")) >= threshold)
+        .select("id_a", "id_b")
+    )
+    mapping, _rounds, _converged = connected_components(
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    )
+    grouped = withsim.join(
+        F.broadcast(mapping.select(F.col("entity").alias("vec_id"), "canonical_id")),
+        "vec_id",
+        "left",
+    ).withColumn("gid", F.coalesce(F.col("canonical_id"), F.col("vec_id")))
+    # keep = the group member least similar to its centroid; min_by over a
+    # (rounded cos, id) struct — a total order, so partitioning-invariant
+    key = F.struct(
+        F.round(F.col("centroid_cos"), 9).alias("c"), F.col("vec_id").alias("i")
+    )
+    keeper = grouped.groupBy("gid").agg(F.min_by("vec_id", key).alias("keep_id"))
+    return (
+        grouped.join(F.broadcast(keeper), "gid")
+        .select(
+            "vec_id",
+            "centroid",
+            F.col("gid").alias("canonical_id"),
+            (F.col("vec_id") == F.col("keep_id")).alias("keep"),
+        )
+    )

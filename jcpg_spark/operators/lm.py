@@ -44,28 +44,12 @@ def bigram_lm_scores(
     needing cross-engine equality round (the driver entry pins 6 dp, the
     same convention as ``pagerank``).
     """
-    ws = words(F.col(text_col))
-    bigrams = F.when(
-        F.size(ws) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(ws) - 2),
-            lambda i: F.struct(
-                F.element_at(ws, (i + 1).cast("int")).alias("w1"),
-                F.element_at(ws, (i + 2).cast("int")).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    b = docs.select("doc_id", F.explode(bigrams).alias("bg")).select(
-        "doc_id", "bg.w1", "bg.w2"
-    )
     # per-doc bigram multiplicities: the corpus model is a pure rollup of
     # this frame, so it is computed once and persisted across its three
     # consumers (model build + the scoring join)
     from jcpg_spark.caching import swap_persist
 
-    dbc = swap_persist(
-        "bigram_lm.dbc", b.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("n"))
-    )
+    dbc = swap_persist("bigram_lm.dbc", _doc_bigram_counts(docs, text_col))
     cb = dbc.groupBy("w1", "w2").agg(F.sum("n").alias("cb"))
     cu = cb.groupBy("w1").agg(F.sum("cb").alias("cu"))
     v = cb.agg(F.count_distinct("w2").alias("v"))
@@ -85,4 +69,100 @@ def bigram_lm_scores(
         dbc.join(model, ["w1", "w2"])
         .groupBy("doc_id")
         .agg((F.sum(F.col("n") * F.col("logp")) / F.sum("n")).alias("lm_score"))
+    )
+
+
+def _doc_bigram_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, w1, w2, n): per-document bigram multiplicities — the one
+    explode pass both model training and scoring are rollups of."""
+    ws = words(F.col(text_col))
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 2),
+            lambda i: F.struct(
+                F.element_at(ws, (i + 1).cast("int")).alias("w1"),
+                F.element_at(ws, (i + 2).cast("int")).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    b = docs.select("doc_id", F.explode(bigrams).alias("bg")).select(
+        "doc_id", "bg.w1", "bg.w2"
+    )
+    return b.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("n"))
+
+
+def dsir_weights(
+    docs: DataFrame,
+    is_target,
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): every document is scored
+    by its mean per-bigram log-likelihood RATIO between a model of the
+    target domain (the ``is_target`` subset of this corpus) and a model of
+    the raw corpus — high weight means "looks like the target domain,
+    unlike the generic pool", and sampling proportional to the weight
+    tilts a pretraining mixture toward the target without an external
+    classifier. -> (doc_id, dsir_weight).
+
+    Both models are add-``alpha`` smoothed bigram LMs trained in the same
+    aggregation pass family as :func:`bigram_lm_scores`; the raw model is
+    trained on the whole corpus, so every scored bigram has a raw-model
+    row, while target-model probabilities for unseen bigrams fall back to
+    the smoothed floor via left joins:
+    ``P_t(w2|w1) = (c_t(w1,w2) + alpha) / (c_t(w1,.) + alpha * V_t)``
+    with missing counts read as zero (an unseen conditioning word scores
+    ``1 / V_t``).
+
+    Scale posture: identical to ``bigram_lm_scores`` — one corpus explode
+    shuffle keyed by (doc, w1, w2), vocabulary-sized model rollups, hash
+    joins on the bigram key (no broadcast assumption on the model), and
+    the two vocabulary scalars ride as 1-row broadcast crossJoins. The
+    target subset adds one boolean column to the count pass, not a second
+    scan of the text.
+
+    Determinism: counts are exact integers; per-row doubles are two ln
+    calls and two divisions — callers needing cross-engine equality round
+    (the driver entry pins 6 dp, the ``doc_lm_score`` convention).
+    """
+    from jcpg_spark.caching import swap_persist
+
+    flagged = docs.withColumn("_is_t", is_target)
+    dbc = swap_persist(
+        "dsir.dbc",
+        _doc_bigram_counts(flagged, text_col).join(
+            flagged.select("doc_id", "_is_t"), "doc_id"
+        ),
+    )
+    raw_cb = dbc.groupBy("w1", "w2").agg(F.sum("n").alias("cb_r"))
+    raw_cu = raw_cb.groupBy("w1").agg(F.sum("cb_r").alias("cu_r"))
+    raw_v = raw_cb.agg(F.count_distinct("w2").alias("v_r"))
+    tgt = dbc.filter(F.col("_is_t"))
+    tgt_cb = tgt.groupBy("w1", "w2").agg(F.sum("n").alias("cb_t"))
+    tgt_cu = tgt_cb.groupBy("w1").agg(F.sum("cb_t").alias("cu_t"))
+    tgt_v = tgt_cb.agg(F.count_distinct("w2").alias("v_t"))
+    a = F.lit(float(alpha))
+    scored = (
+        dbc.join(raw_cb, ["w1", "w2"])
+        .join(raw_cu, "w1")
+        .join(tgt_cb, ["w1", "w2"], "left")
+        .join(tgt_cu, "w1", "left")
+        .crossJoin(F.broadcast(raw_v))
+        .crossJoin(F.broadcast(tgt_v))
+        .select(
+            "doc_id",
+            "n",
+            (
+                F.log(
+                    (F.coalesce(F.col("cb_t"), F.lit(0)) + a)
+                    / (F.coalesce(F.col("cu_t"), F.lit(0)) + a * F.col("v_t"))
+                )
+                - F.log((F.col("cb_r") + a) / (F.col("cu_r") + a * F.col("v_r")))
+            ).alias("llr"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        (F.sum(F.col("n") * F.col("llr")) / F.sum("n")).alias("dsir_weight")
     )

@@ -1248,6 +1248,62 @@ FROM dbc JOIN model USING (w1, w2) GROUP BY doc_id
 """
 
 
+def q_emb_semantic_dedup(spark, sf_dir):
+    """SemDeDup semantic dedup over the embeddings table: trained-quantizer
+    clusters, within-cluster cosine >= 0.4 duplicate groups, keep = member
+    least similar to its centroid. The trained k-means centroids make the
+    assignment non-SQL-expressible (rows-only here); exactness is pinned in
+    pytest against a pure-python implementation of the identical algorithm
+    (tests/test_dedup_similarity.py::test_semantic_dedup_matches_pure_python...)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from jcpg_spark.operators.similarity import kmeans_centroids
+
+    cents = kmeans_centroids(emb, k=8, iters=2)
+    return dedup.semantic_dedup(emb, centroids=cents, threshold=0.4)
+
+
+def q_doc_dsir_weight(spark, sf_dir):
+    """DSIR importance weight (Xie et al. 2023): mean per-bigram
+    log-likelihood ratio between an add-0.5 bigram LM of the target domain
+    (here lang='en' — the dominant register) and one of the raw corpus.
+    Sampling proportional to the weight tilts a pretraining mixture toward
+    the target without an external classifier. Integer counts; the two ln
+    + weighted mean pinned at 6 dp (doc_lm_score convention)."""
+    docs = _docs(spark, sf_dir)
+    out = lm.dsir_weights(docs, F.col("lang") == "en")
+    return out.select("doc_id", F.round("dsir_weight", 6).alias("dsir_weight"))
+
+
+SQL_DOC_DSIR_WEIGHT = r"""
+WITH w AS (SELECT doc_id, lang = 'en' AS is_t,
+                  regexp_extract_all(lower(text), '[a-z]+') AS ws
+           FROM documents),
+b AS (SELECT doc_id, is_t, unnest(CASE WHEN len(ws) >= 2
+          THEN list_transform(generate_series(1, len(ws) - 1), i -> [ws[i], ws[i+1]])
+          ELSE [] END) AS p
+      FROM w),
+dbc AS (SELECT doc_id, is_t, p[1] AS w1, p[2] AS w2, count(*) AS n
+        FROM b GROUP BY 1, 2, 3, 4),
+cbr AS (SELECT w1, w2, sum(n) AS cb_r FROM dbc GROUP BY 1, 2),
+cur AS (SELECT w1, sum(cb_r) AS cu_r FROM cbr GROUP BY 1),
+vr AS (SELECT count(DISTINCT w2) AS v_r FROM cbr),
+cbt AS (SELECT w1, w2, sum(n) AS cb_t FROM dbc WHERE is_t GROUP BY 1, 2),
+cut AS (SELECT w1, sum(cb_t) AS cu_t FROM cbt GROUP BY 1),
+vt AS (SELECT count(DISTINCT w2) AS v_t FROM cbt),
+scored AS (
+  SELECT dbc.doc_id, dbc.n,
+         ln((coalesce(cbt.cb_t, 0) + 0.5e0) / (coalesce(cut.cu_t, 0) + 0.5e0 * v_t))
+         - ln((cbr.cb_r + 0.5e0) / (cur.cu_r + 0.5e0 * v_r)) AS llr
+  FROM dbc
+  JOIN cbr ON dbc.w1 = cbr.w1 AND dbc.w2 = cbr.w2
+  JOIN cur ON dbc.w1 = cur.w1
+  LEFT JOIN cbt ON dbc.w1 = cbt.w1 AND dbc.w2 = cbt.w2
+  LEFT JOIN cut ON dbc.w1 = cut.w1, vr, vt)
+SELECT doc_id, round(sum(n * llr) / sum(n), 6) AS dsir_weight
+FROM scored GROUP BY doc_id
+"""
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact Jaccard pairs at t=0.4 via AllPairs/PPJoin prefix filtering
     (the shipped default since r4 — ~2x faster than the inverted-index
@@ -2624,6 +2680,11 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "doc_boilerplate": (q_doc_boilerplate, SQL_DOC_BOILERPLATE),
     "kg_link_predict": (q_kg_link_predict, SQL_KG_LINK_PREDICT),
     "doc_lm_score": (q_doc_lm_score, SQL_DOC_LM_SCORE),
+    # DSIR importance resampling weights (target = lang-en register)
+    "doc_dsir_weight": (q_doc_dsir_weight, SQL_DOC_DSIR_WEIGHT),
+    # SemDeDup cluster-then-prune semantic dedup: trained centroids are not
+    # SQL-expressible, so rows-only here; exact vs pure-python in pytest.
+    "emb_semantic_dedup": (q_emb_semantic_dedup, None),
     "doc_curation_decision": (q_doc_curation_decision, SQL_DOC_CURATION_DECISION),
     "emb_class_centroids": (q_emb_class_centroids, SQL_EMB_CLASS_CENTROIDS),
     # folded in r4 to make room for kg_export_json: the full build is

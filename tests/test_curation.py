@@ -265,3 +265,57 @@ def test_class_centroids_closed_form(spark):
     )
     got = {(r["label"], r["pos"]): r["c"] for r in class_centroids(emb).collect()}
     assert got == {(0, 0): 2.0, (0, 1): 1.0, (1, 0): 10.0, (1, 1): -4.0}
+
+
+def test_dsir_weights_closed_form(spark):
+    """Hand-computed DSIR log-likelihood ratio on a 3-doc corpus where the
+    target register repeats (a,b): the target-looking doc must carry the
+    highest weight, and a bigram unseen by the target model must score the
+    smoothed floor (coalesced zero counts), not drop out."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from jcpg_spark.operators.lm import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b", "en"), (2, "a b", "en"), (3, "c a b a", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    # raw bigrams: (a,b) x4 [d1 x2, d2, d3], (b,a) x2 [d1, d3], (c,a) x1 [d3]
+    #   cu_r: a->4, b->2, c->1; V_r = |{b, a}| = 2
+    # target (en) bigrams: (a,b) x3, (b,a) x1; cu_t: a->3, b->1; V_t = 2
+    def lp(cb, cu, v):
+        return math.log((cb + 0.5) / (cu + 0.5 * v))
+
+    llr = {
+        ("a", "b"): lp(3, 3, 2) - lp(4, 4, 2),
+        ("b", "a"): lp(1, 1, 2) - lp(2, 2, 2),
+        ("c", "a"): lp(0, 0, 2) - lp(1, 1, 2),  # unseen by target: floor
+    }
+    exp = {
+        1: (2 * llr[("a", "b")] + llr[("b", "a")]) / 3,
+        2: llr[("a", "b")],
+        3: (llr[("a", "b")] + llr[("b", "a")] + llr[("c", "a")]) / 3,
+    }
+    got = {r["doc_id"]: r["dsir_weight"] for r in
+           dsir_weights(docs, F.col("lang") == "en").collect()}
+    assert set(got) == set(exp)
+    for d in exp:
+        assert abs(got[d] - exp[d]) < 1e-12, d
+    # the doc containing the target-unseen bigram is pulled below the pure
+    # target-register docs
+    assert got[3] < got[2]
+
+
+def test_dsir_weights_partitioning_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from jcpg_spark.operators.lm import dsir_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {(r["doc_id"], round(r["dsir_weight"], 9))
+         for r in dsir_weights(docs.repartition(1), F.col("lang") == "en").collect()}
+    b = {(r["doc_id"], round(r["dsir_weight"], 9))
+         for r in dsir_weights(docs.repartition(13), F.col("lang") == "en").collect()}
+    assert a == b

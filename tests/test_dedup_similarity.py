@@ -310,3 +310,115 @@ def test_jaccard_prefix_equality_on_random_corpus(spark):
         want = sorted(tuple(r) for r in dedup.jaccard_pairs(df, n=3, threshold=t).collect())
         got = sorted(tuple(r) for r in dedup.jaccard_pairs_prefix(df, n=3, threshold=t).collect())
         assert got == want, f"threshold {t}"
+
+
+def test_semantic_dedup_closed_form(spark):
+    """Two well-separated clusters with fixed centroids: near-identical
+    in-cluster vectors collapse to one keeper (the member LEAST similar to
+    its centroid), cross-cluster lookalikes never pair, and singletons
+    keep themselves."""
+    from jcpg_spark.operators.dedup import semantic_dedup
+
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    rows = [
+        # cluster 0: ids 1,2 near-dups (cos ~1); id 2 slightly off-axis ->
+        # less similar to the centroid -> the keeper
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.98, 0.199, 0.0]),
+        # cluster 0 singleton far from both (cos to id1 = cos 45 < 0.9)
+        (3, [0.7, 0.0, 0.7]),
+        # cluster 1: ids 4,5 near-dups; id 4 off-axis -> keeper
+        (4, [0.199, 0.98, 0.0]),
+        (5, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["centroid"], r["canonical_id"], r["keep"])
+        for r in semantic_dedup(df, centroids=cents, threshold=0.9).collect()
+    }
+    assert got[1] == (0, 1, False)
+    assert got[2] == (0, 1, True)  # least centroid-similar member kept
+    assert got[3] == (0, 3, True)  # singleton keeps itself
+    assert got[4] == (1, 4, True)
+    assert got[5] == (1, 4, False)
+
+
+def test_semantic_dedup_matches_pure_python_on_real_embeddings(spark):
+    """Trained-quantizer run on the sf0.001 embeddings table must equal a
+    pure-python implementation of the identical algorithm (same centroids,
+    same threshold, same keep rule)."""
+    import math
+
+    from jcpg_spark.operators.dedup import semantic_dedup
+    from jcpg_spark.operators.similarity import kmeans_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = kmeans_centroids(emb, k=8, iters=2)
+    got = {
+        r["vec_id"]: (r["centroid"], r["canonical_id"], r["keep"])
+        for r in semantic_dedup(emb, centroids=cents, threshold=0.4).collect()
+    }
+
+    vecs = {
+        r["vec_id"]: list(map(float, r["embedding"]))
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+
+    def unit(v):
+        nrm = math.sqrt(sum(x * x for x in v))
+        return [x / nrm for x in v]
+
+    uv = {i: unit(v) for i, v in vecs.items()}
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    def assign(u):
+        sims = [
+            cos(u, c) / math.sqrt(sum(x * x for x in c)) for _cid, c in cents
+        ]
+        return max(range(len(sims)), key=lambda i: (sims[i], -i)), max(sims)
+
+    centroid, csim = {}, {}
+    for i, u in uv.items():
+        centroid[i], csim[i] = assign(u)
+
+    # within-cluster pairs above threshold -> union-find
+    parent = {i: i for i in uv}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(uv)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            if centroid[a] == centroid[b] and cos(uv[a], uv[b]) >= 0.4:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    groups = {}
+    for i in ids:
+        groups.setdefault(find(i), []).append(i)
+    for gid, members in groups.items():
+        keeper = min(members, key=lambda i: (round(csim[i], 9), i))
+        for i in members:
+            want[i] = (centroid[i], gid, i == keeper)
+    assert got == want
+    # fixture sanity: at least one real duplicate group collapsed
+    assert any(not keep for (_c, _g, keep) in want.values())
+
+
+def test_semantic_dedup_partitioning_invariant(spark):
+    from jcpg_spark.operators.dedup import semantic_dedup
+    from jcpg_spark.operators.similarity import kmeans_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = kmeans_centroids(emb, k=8, iters=2)
+    a = {tuple(r) for r in semantic_dedup(emb.repartition(1), centroids=cents).collect()}
+    b = {tuple(r) for r in semantic_dedup(emb.repartition(13), centroids=cents).collect()}
+    assert a == b

@@ -260,3 +260,32 @@ def test_compaction_plan_is_one_window_no_join(spark):
     plan = _plan(jio.compaction_plan(files, 500, partition_cols=("part",)))
     assert "Join" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_dsir_and_semantic_dedup_plan_shapes(spark):
+    """The DSIR scorer stays on equi-join paths like the bigram LM (the
+    1-row vocabulary scalars ride as broadcast nested loops by design,
+    never a CartesianProduct); semantic dedup's pair stage is an equi-join
+    keyed by centroid — no cartesian anywhere despite being the
+    "all pairs within cluster" operator."""
+    from pyspark.sql import functions as F
+
+    from jcpg_spark.operators.dedup import semantic_dedup
+    from jcpg_spark.operators.lm import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat", "en"), (2, "a b c d e f", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    assert "CartesianProduct" not in _plan(
+        dsir_weights(docs, F.col("lang") == "en")
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    assert "CartesianProduct" not in _plan(
+        semantic_dedup(emb, centroids=cents, max_cluster=100)
+    )
