@@ -79,6 +79,17 @@ STEAL_MAX = float(os.environ.get("SPARK_GRAFT_STEAL_MAX", "0.025"))
 # cluster at 0.0596-0.0696 (19 of 22 under 0.0596*1.18=0.0703) while every
 # probe observed alongside an inflated wall is >= 0.0705.
 PROBE_REL_MAX = float(os.environ.get("SPARK_GRAFT_PROBE_REL_MAX", "1.18"))
+# DRAM-bandwidth canary gate (v4.3): the bw probe (hostnoise bw work,
+# a memory-streaming loop) moves FIRST under memory-bandwidth neighbors —
+# exactly the contamination mode the cpu probe missed live (2026-08-19:
+# local[4] walls of 95.5-95.8s certified with probe_p50 0.0565-0.0613
+# while their bw_p50 read 0.0100-0.0123 vs the clean window's
+# 0.0087-0.0092; the one genuinely cleaner window produced 72.71s at bw
+# 0.0101). Threshold 1.25 keeps that session's accepted minima and
+# discards its +26..+46% bw windows. The floor takes min(committed
+# anchor, history, every bw observed this session), so a host with
+# intrinsically slower DRAM self-anchors instead of discarding everything.
+BW_REL_MAX = float(os.environ.get("SPARK_GRAFT_BW_REL_MAX", "1.25"))
 # A session calibration more than this factor above the historical clean
 # calibration means the session STARTED contaminated (the r3 driver run
 # calibrated at 0.0769 vs history's 0.0552-0.0605); such a calibration is
@@ -170,18 +181,22 @@ def hist_context(lo_d: float | None, hi_d: float | None,
     return None
 
 
-def load_hist_floors() -> tuple[float | None, float | None]:
-    """(probe_floor, calib_floor): min certified-clean run probe_p50 and min
-    idle calibration over the committed anchor file plus every session in
-    .bench/history.jsonl. The committed anchor survives a wiped .bench/;
-    history keeps the floor current as cleaner windows are observed."""
+def load_hist_floors() -> tuple[float | None, float | None, float | None]:
+    """(probe_floor, calib_floor, bw_floor): min certified-clean run
+    probe_p50 / bw_p50 and min idle calibration over the committed anchor
+    file plus every session in .bench/history.jsonl. The committed anchor
+    survives a wiped .bench/; history keeps the floors current as cleaner
+    windows are observed."""
     probes: list[float] = []
     calibs: list[float] = []
+    bws: list[float] = []
     try:
         with open(ANCHOR_PATH) as f:
             a = json.load(f)
         probes.append(float(a["probe_floor"]))
         calibs.append(float(a["calib_floor"]))
+        if a.get("bw_floor"):
+            bws.append(float(a["bw_floor"]))
     except (OSError, KeyError, ValueError):
         pass
     try:
@@ -198,6 +213,11 @@ def load_hist_floors() -> tuple[float | None, float | None]:
                     if not r.get("contaminated") and r.get("probe_p50")
                 ]
                 probes += sess_probes
+                bws += [
+                    r["bw_p50"]
+                    for r in s.get("runs", [])
+                    if not r.get("contaminated") and r.get("bw_p50")
+                ]
                 # A session's calibration anchors the floor only if that
                 # session went on to certify at least one clean run. A
                 # calibration from a window in which NOTHING certified has
@@ -213,7 +233,8 @@ def load_hist_floors() -> tuple[float | None, float | None]:
                     calibs.append(c)
     except OSError:
         pass
-    return (min(probes) if probes else None, min(calibs) if calibs else None)
+    return (min(probes) if probes else None, min(calibs) if calibs else None,
+            min(bws) if bws else None)
 
 
 def log(*a):
@@ -282,7 +303,7 @@ def main() -> None:
     # main session's idle 32-thread JVM off the box during measurement
     spark.stop()
 
-    hist_probe_floor, hist_calib_floor = load_hist_floors()
+    hist_probe_floor, hist_calib_floor, hist_bw_floor = load_hist_floors()
     probe_calib = calibrate_probe()
     calib_ok = hist_calib_floor is None or probe_calib <= hist_calib_floor * CALIB_REL_MAX
     log(
@@ -368,9 +389,23 @@ def main() -> None:
             floors += [r["noise"]["probe_p50"] for r in rs if r["noise"].get("n_probes")]
         return min(floors) if floors else probe_calib * 1.05
 
+    def bw_floor() -> float | None:
+        # same cross-level cross-session anchoring as probe_floor, for the
+        # DRAM-bandwidth canary; None when neither anchor nor session has
+        # a bw observation (gate then inert).
+        floors = [hist_bw_floor] if hist_bw_floor else []
+        for rs in runs.values():
+            floors += [
+                r["noise"]["bw_p50"]
+                for r in rs
+                if r["noise"].get("n_probes") and r["noise"].get("bw_p50")
+            ]
+        return min(floors) if floors else None
+
     def reclassify() -> None:
-        # the shared floor moves as cleaner runs land; re-grade all runs
+        # the shared floors move as cleaner runs land; re-grade all runs
         floor = probe_floor()
+        bw_fl = bw_floor()
         for rs in runs.values():
             for r in rs:
                 noise = r["noise"]
@@ -380,6 +415,10 @@ def main() -> None:
                         why = f"steal_frac={noise['steal_frac']}"
                     elif noise["probe_p50"] > floor * PROBE_REL_MAX:
                         why = f"probe_p50={noise['probe_p50']} vs floor {round(floor, 4)}"
+                    elif (bw_fl and noise.get("bw_p50")
+                          and noise["bw_p50"] > bw_fl * BW_REL_MAX):
+                        why = (f"bw_p50={noise['bw_p50']} vs bw floor "
+                               f"{round(bw_fl, 4)}")
                 r["contaminated"] = why
 
     def clean(cpus: int) -> list[dict]:
@@ -671,7 +710,10 @@ def main() -> None:
                       "calib_ok": calib_ok,
                       "hist_probe_floor": hist_probe_floor,
                       "hist_calib_floor": hist_calib_floor,
-                      "probe_floor": round(probe_floor(), 4)},
+                      "probe_floor": round(probe_floor(), 4),
+                      "bw_rel_max": BW_REL_MAX,
+                      "hist_bw_floor": hist_bw_floor,
+                      "bw_floor": round(bw_floor(), 4) if bw_floor() else None},
             "runs": run_log,
         },
     }

@@ -546,3 +546,233 @@ def pagerank(
         if (i + 1) % _CHECKPOINT_EVERY == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(F.col("v").alias("item"), F.col("r").alias("pagerank"))
+
+
+def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """-> (item, hub, authority): K rounds of Kleinberg's HITS on a
+    DIRECTED edge list (s, t) — authority_k(v) = sum of hub_{k-1} over
+    in-neighbors, hub_k(v) = sum of authority_k over out-neighbors, each
+    vector L1-normalized per round (sum-normalization keeps the recurrence
+    division-by-a-scalar only — no sqrt — which is what lets an unrolled
+    SQL oracle mirror the expression tree exactly; the RANKING is the same
+    as the classic L2 convention since normalization is per-vector).
+
+    PageRank (above) scores the symmetrized graph; HITS keeps direction
+    and separates the two roles a directed KG actually has — a hub turn
+    invokes many authoritative tools, an authoritative entity is the
+    target of many well-connected sources. Vertices with no out-edges
+    have hub 0 (resp. no in-edges -> authority 0) but stay in the output.
+
+    Plan shape per round: authorities = one join keying hub messages by
+    source + one hash-agg on the destination; hubs = the mirror; each
+    normalization total rides as a 1-row broadcast crossJoin (the
+    ``pagerank`` idiom — nothing collects to the driver). The adjacency
+    is persisted once across all 2K joins; lineage is cut every
+    ``_CHECKPOINT_EVERY`` rounds like ``pagerank``.
+
+    Determinism: same contract as ``pagerank`` — IEEE doubles whose only
+    cross-engine/partitioning variance is summation order; callers round
+    (the driver entry pins 6 dp).
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    from jcpg_spark.caching import swap_persist
+
+    adj = swap_persist(
+        "hits.adj", edges.select(F.col("s").cast("long"), F.col("t").cast("long"))
+    )
+    verts = swap_persist(
+        "hits.verts",
+        adj.select(F.col("s").alias("v"))
+        .unionByName(adj.select(F.col("t").alias("v")))
+        .distinct(),
+    )
+    hub = verts.select("v", F.lit(1.0).alias("h"))
+    auth = None
+    for i in range(iters):
+        asum = (
+            adj.join(hub.select(F.col("v").alias("s"), "h"), "s")
+            .groupBy("t")
+            .agg(F.sum("h").alias("a_raw"))
+        )
+        atot = asum.agg(F.sum("a_raw").alias("a_tot"))
+        auth = (
+            verts.join(asum, verts["v"] == asum["t"], "left")
+            .crossJoin(F.broadcast(atot))
+            .select(
+                "v",
+                (F.coalesce(F.col("a_raw"), F.lit(0.0)) / F.col("a_tot")).alias("a"),
+            )
+        )
+        hsum = (
+            adj.join(auth.select(F.col("v").alias("t"), "a"), "t")
+            .groupBy("s")
+            .agg(F.sum("a").alias("h_raw"))
+        )
+        htot = hsum.agg(F.sum("h_raw").alias("h_tot"))
+        hub = (
+            verts.join(hsum, verts["v"] == hsum["s"], "left")
+            .crossJoin(F.broadcast(htot))
+            .select(
+                "v",
+                (F.coalesce(F.col("h_raw"), F.lit(0.0)) / F.col("h_tot")).alias("h"),
+            )
+        )
+        if (i + 1) % _CHECKPOINT_EVERY == 0 and i + 1 < iters:
+            hub = hub.localCheckpoint(eager=False)
+            auth = auth.localCheckpoint(eager=False)
+    return (
+        hub.join(auth, "v")
+        .select(F.col("v").alias("item"), F.col("h").alias("hub"), F.col("a").alias("authority"))
+    )
+
+
+def fastrp(
+    edges: DataFrame,
+    dim: int = 16,
+    weights: tuple[float, ...] = (1.0, 1.0),
+    seed: int = 42,
+) -> DataFrame:
+    """-> (item, emb array<double>): FastRP node embeddings (Chen et al.
+    2019, "Fast and Accurate Network Embeddings via Very Sparse Random
+    Projection") over the symmetrized graph — the degree-normalized
+    adjacency is applied ``len(weights)`` times to a very sparse random
+    projection matrix and the weighted sum of the propagated states is the
+    embedding (emb = sum_k weights[k] * (D^-1 A)^k R), L2-normalized per
+    node. The embedding then feeds the engine's own vector operators
+    (``similarity.cosine_topk``, ``dedup.semantic_dedup``) — node2vec-class
+    structural similarity without a training loop.
+
+    The projection R is DETERMINISTIC: entry (v, j) derives from
+    xxhash64(v, j, seed) mapped to {+sqrt(3), -sqrt(3), 0} with
+    probability {1/6, 1/6, 2/3} (Achlioptas sparse projection) — pure JVM
+    column expressions, no RNG state, so any executor recomputes the same
+    R and results are partitioning-invariant up to floating summation
+    order (callers round; the pytest gate pins 9 dp).
+
+    Plan shape: one shuffle per propagation round — states go to LONG form
+    (item, pos, val) via posexplode, messages val/deg join the adjacency
+    on the source and hash-agg on (dest, pos) with map-side partials, and
+    the round's state reassembles via the sorted-collect_list idiom
+    (``kmeans_centroids``'s exact-reassembly trick). The adjacency +
+    degree frame persists across rounds; nothing ever collects to the
+    driver. dim rides inside arrays, so the shuffle width is dim doubles
+    per vertex — at 10^12 edges this is the standard scalable embedding
+    (GraphX/GDS ship exactly this algorithm for that reason).
+    """
+    if not weights:
+        raise ValueError("need at least one propagation weight")
+    import math
+
+    from jcpg_spark.caching import swap_persist
+
+    e = edges.select(F.col("a").cast("long"), F.col("b").cast("long"))
+    adj = swap_persist(
+        "fastrp.adj",
+        e.select(F.col("a").alias("s"), F.col("b").alias("t"))
+        .unionByName(e.select(F.col("b").alias("s"), F.col("a").alias("t")))
+        .distinct(),
+    )
+    deg = adj.groupBy("s").agg(F.count("*").alias("deg"))
+    adj_deg = swap_persist("fastrp.adj_deg", adj.join(deg, "s"))
+    verts = deg.select(F.col("s").alias("v"))
+
+    sq3 = math.sqrt(3.0)
+    proj_entry = lambda j: (
+        F.when(F.pmod(F.xxhash64(F.col("v"), F.lit(j), F.lit(seed)), F.lit(6)) == 0, F.lit(sq3))
+        .when(F.pmod(F.xxhash64(F.col("v"), F.lit(j), F.lit(seed)), F.lit(6)) == 1, F.lit(-sq3))
+        .otherwise(F.lit(0.0))
+    )
+    state = verts.select("v", F.array(*[proj_entry(j) for j in range(dim)]).alias("x"))
+    emb = None
+    for wk in weights:
+        long = state.select(
+            F.col("v").alias("s"), F.posexplode(F.col("x")).alias("pos", "val")
+        )
+        propagated = (
+            adj_deg.join(long, "s")
+            .groupBy("t", "pos")
+            .agg(F.sum(F.col("val") / F.col("deg")).alias("m"))
+            .groupBy("t")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("x")
+            )
+            .select(F.col("t").alias("v"), "x")
+        )
+        state = propagated
+        contrib = state.select(
+            "v", F.transform(F.col("x"), lambda x: x * F.lit(float(wk))).alias("c")
+        )
+        if emb is None:
+            emb = contrib.withColumnRenamed("c", "e")
+        else:
+            emb = (
+                emb.join(contrib, "v", "full")
+                .select(
+                    "v",
+                    F.zip_with(
+                        F.coalesce(
+                            F.col("e"), F.array_repeat(F.lit(0.0), dim)
+                        ),
+                        F.coalesce(
+                            F.col("c"), F.array_repeat(F.lit(0.0), dim)
+                        ),
+                        lambda x, y: x + y,
+                    ).alias("e"),
+                )
+            )
+    nrm = F.sqrt(F.aggregate(F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x))
+    return emb.select(
+        F.col("v").alias("item"),
+        F.when(
+            nrm > 0, F.transform(F.col("e"), lambda x: x / nrm)
+        ).otherwise(F.col("e")).alias("emb"),
+    )
+
+
+def link_predict_resource_allocation(
+    edges: DataFrame,
+    min_score: float = 0.0,
+    min_common: int = 1,
+    max_center_degree: int = 1000,
+) -> DataFrame:
+    """-> (a, b, n_common, ra_score), a < b: non-adjacent pairs scored by
+    the Resource-Allocation index (Zhou et al. 2009) — sum over common
+    neighbors z of 1/deg(z). The degree-discounted refinement of
+    ``link_predict_common_neighbors``: a shared low-degree neighbor is
+    strong evidence for a missing edge, a shared hub is weak — RA
+    outperforms raw counts and Adamic-Adar on most real graphs and needs
+    no transcendental (one IEEE division per wedge), so the oracle can
+    mirror it exactly at 6 dp.
+
+    Identical plan shape to the count version (each candidate generated
+    once at its wedge center, center degree rides the adjacency so the
+    wedge join needs no third join, hub centers capped); scores for pairs
+    whose common neighbors include dropped hubs are a lower bound, the
+    same stated trade as the count version.
+    """
+    e = edges.select("a", "b")
+    adj = e.select(F.col("a").alias("s"), F.col("b").alias("t")).unionByName(
+        e.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    deg = adj.groupBy("s").agg(F.count("*").alias("deg"))
+    from jcpg_spark.caching import swap_persist
+
+    adj = swap_persist(
+        "link_predict_ra.adj",
+        adj.join(deg.where(F.col("deg") <= max_center_degree), "s"),
+    )
+    wedges = (
+        adj.select("s", "deg", F.col("t").alias("x"))
+        .join(adj.select("s", F.col("t").alias("y")), "s")
+        .where(F.col("x") < F.col("y"))
+    )
+    scored = wedges.groupBy(F.col("x").alias("a"), F.col("y").alias("b")).agg(
+        F.count("*").alias("n_common"),
+        F.sum(F.lit(1.0) / F.col("deg")).alias("ra_score"),
+    )
+    return scored.join(e, ["a", "b"], "left_anti").where(
+        (F.col("n_common") >= min_common) & (F.col("ra_score") >= min_score)
+    )

@@ -343,3 +343,144 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
     )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Product-quantization training (Jegou et al. 2011): split the vector
+    into ``m`` contiguous subspaces and train an independent ``k``-word
+    codebook per subspace with the existing distributed Lloyd trainer.
+    Returns ``m`` codebooks, each ``kmeans_centroids``-shaped.
+
+    Each subspace train is a full ``kmeans_centroids`` run over the SLICED
+    column (``F.slice`` — a JVM projection, no UDF, no extra shuffle
+    beyond the trainer's own per-round aggregation); only m*k sub-vectors
+    ever reach the driver. The codebook payload is m*k*(dim/m) floats —
+    constant in N — which is the whole point: a 100 TB vector corpus
+    compresses to m log2(k)-bit codes per vector for in-memory ANN.
+    """
+    dim = len(embeddings.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books = []
+    for s in range(m):
+        sliced = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias("subvec"),
+        )
+        books.append(
+            kmeans_centroids(sliced, k=k, iters=iters, id_col="vec_id", vec_col="subvec")
+        )
+    return books
+
+
+def _pq_dist_exprs(vec_col: str, s: int, sub: int, book) -> list:
+    """One scalar L2-distance expression per codeword of subspace ``s`` —
+    deliberately HOF-free (plain element_at + literal arithmetic): nested
+    transform/aggregate lambdas across MULTIPLE columns of one projection
+    collide on lambda-variable ids in this Spark version (observed live:
+    two ADC tables in one select cross-contaminating entries), and the
+    unrolled form is also the faster one under whole-stage codegen for
+    the small sub-dims PQ uses. L2 on raw subvectors (the PQ convention;
+    cosine is recovered by unit-normalizing inputs before train/encode)."""
+    base = s * sub
+    out = []
+    for _cid, w in book:
+        terms = None
+        for d in range(sub):
+            diff = F.element_at(F.col(vec_col), base + d + 1) - F.lit(float(w[d]))
+            t = diff * diff
+            terms = t if terms is None else terms + t
+        out.append(terms)
+    return out
+
+
+def _pq_subspace_code(vec_col: str, s: int, sub: int, book) -> "Column":
+    """Code (argmin L2 distance) of subspace ``s`` against its codebook —
+    literal-array JVM argmin like ``ivf_assign`` (first minimum wins on
+    exact ties via array_position)."""
+    d2s = F.array(*_pq_dist_exprs(vec_col, s, sub, book))
+    return (F.array_position(d2s, F.array_min(d2s)).cast("int") - 1).alias(f"c{s}")
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (vec_id, codes array<int>): each vector compressed to its
+    ``m`` nearest-codeword indices — map-side column algebra only (the
+    codebooks inline as literal arrays exactly like ``ivf_assign``), so
+    encoding a 10^12-row corpus adds ZERO exchanges to the scan that
+    produces it. Deterministic: argmin over a fixed list with
+    array_position tie-break (first minimum wins on exact ties)."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    m = len(books)
+    sub = dim // m
+    cols = [_pq_subspace_code(vec_col, s, sub, books[s]) for s in range(m)]
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), F.array(*cols).alias("codes")
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    exact, every candidate's distance is the sum over subspaces of the
+    query->codeword distance its code names. -> (query_id, neighbor_id,
+    rank, adc_dist) ascending by approximate L2.
+
+    The per-query distance TABLE (m x k doubles) is computed on the
+    (small, broadcast) query side; the corpus side contributes only its
+    codes — scoring is ``element_at(table[s], code_s)`` summed over m,
+    pure JVM arithmetic on an 8-int payload instead of a dim-double
+    vector. That asymmetry is the production ANN memory story: the
+    billion-vector side never materializes floats at all.
+    """
+    from pyspark.sql import Window
+
+    dim = len(queries.select(vec_col).first()[0])
+    m = len(books)
+    sub = dim // m
+    # per-query distance tables, one array<double> of length k per
+    # subspace — HOF-free scalar arithmetic (see _pq_dist_exprs)
+    tables = queries.select(
+        F.col(id_col).alias("query_id"),
+        *[
+            F.array(*_pq_dist_exprs(vec_col, s, sub, books[s])).alias(f"t{s}")
+            for s in range(m)
+        ],
+    )
+    scored = codes.crossJoin(F.broadcast(tables)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adc = sum(
+        F.element_at(F.col(f"t{s}"), F.element_at(F.col("codes"), s + 1) + 1)
+        for s in range(m)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("adc", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("adc", 6).alias("adc_dist"),
+        )
+    )

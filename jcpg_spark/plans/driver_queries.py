@@ -1991,6 +1991,32 @@ WHERE n_common >= 2
 """
 
 
+def q_kg_link_predict_ra(spark, sf_dir):
+    """Resource-Allocation link prediction (degree-discounted common
+    neighbors: sum 1/deg(z) over shared z) — one IEEE division per wedge,
+    so the oracle mirrors the expression exactly; 6 dp absorbs summation
+    order (pagerank convention)."""
+    edges = _comention_edges(spark, sf_dir, min_weight=2)
+    out = graph_analytics.link_predict_resource_allocation(edges, min_common=2)
+    return out.select("a", "b", "n_common", F.round("ra_score", 6).alias("ra_score"))
+
+
+SQL_KG_LINK_PREDICT_RA = f"""
+WITH e AS ({_SQL_COMENTION}),
+adj AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT s, count(*) AS deg FROM adj GROUP BY s),
+adj2 AS (SELECT adj.s, adj.t, deg.deg FROM adj JOIN deg USING (s)
+         WHERE deg.deg <= 1000),
+cand AS (SELECT x.t AS a, y.t AS b, count(*) AS n_common,
+                sum(1e0 / x.deg) AS ra
+         FROM adj2 x JOIN adj2 y ON x.s = y.s AND x.t < y.t
+         GROUP BY 1, 2)
+SELECT a, b, n_common, round(ra, 6) AS ra_score FROM cand
+WHERE n_common >= 2
+  AND NOT EXISTS (SELECT 1 FROM e WHERE e.a = cand.a AND e.b = cand.b)
+"""
+
+
 def q_kg_component_sizes(spark, sf_dir):
     """Connected-component sizes of the co-mention graph (canonical =
     component-minimum vertex — the label the engine's union-find / star
@@ -2047,6 +2073,97 @@ r0 AS (SELECT s AS v, 1e0 / n AS r FROM deg, nv),
 {_pagerank_iter_sql(2)},
 {_pagerank_iter_sql(3)}
 SELECT v AS item, round(r, 6) AS pagerank FROM r3
+"""
+
+
+def _navigation_edges(spark, sf_dir):
+    """Directed entity navigation graph: s -> t when a user's event on
+    item s is immediately followed (by ts, item-id tie-break — a total
+    order, so both engines see the same successor) by an event on item t.
+    Distinct edges, self-loops dropped — the directed counterpart of the
+    co-mention projection."""
+    ev = _ev(spark, sf_dir).select(
+        "user_id", F.round("value").cast("int").alias("item"), "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "item")
+    seq = ev.select("item", F.lead("item").over(w).alias("nxt"))
+    return (
+        seq.filter(F.col("nxt").isNotNull() & (F.col("nxt") != F.col("item")))
+        .select(F.col("item").alias("s"), F.col("nxt").alias("t"))
+        .distinct()
+    )
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (train m=8 codebooks, encode corpus to
+    8 codes/vector, ADC top-5): the memory-compressed ANN path — the
+    billion-vector side never materializes floats. Trained codebooks are
+    not static SQL (rows-only); exactness gates in pytest: codes vs a
+    numpy twin, and ADC == exact L2 when the corpus lies on the codebook
+    grid (test_dedup_similarity.py::test_pq_*)."""
+    from jcpg_spark.operators.similarity import (
+        _unit,
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    u = _unit(emb, "vec_id", "embedding", "vec_id", "embedding")
+    books = pq_codebooks(u, m=8, k=16, iters=2)
+    codes = pq_encode(u, books)
+    queries = u.orderBy("vec_id").limit(5)
+    return pq_topk(codes, queries, books, k=5)
+
+
+def q_kg_fastrp(spark, sf_dir):
+    """FastRP structural node embeddings on the co-mention graph (dim 16,
+    two propagation rounds). xxhash64 (the deterministic projection) has
+    no DuckDB twin, so rows-only here; the propagation math is pinned in
+    pytest against a numpy twin consuming the engine's own projection
+    (test_graph_analytics.py::test_fastrp_propagation_matches_numpy_twin)."""
+    edges = _comention_edges(spark, sf_dir, min_weight=2)
+    return graph_analytics.fastrp(edges, dim=16)
+
+
+def q_kg_hits(spark, sf_dir):
+    """HITS hubs/authorities on the directed navigation graph (2 rounds,
+    L1-normalized). PageRank scores the symmetrized co-mention graph; this
+    keeps direction — hubs lead into authoritative entities. The oracle
+    unrolls the identical recurrence as CTEs; rounding at 6 dp absorbs
+    summation order, the pagerank convention."""
+    edges = _navigation_edges(spark, sf_dir)
+    out = graph_analytics.hits(edges, iters=2)
+    return out.select(
+        "item", F.round("hub", 6).alias("hub"), F.round("authority", 6).alias("authority")
+    )
+
+
+def _hits_iter_sql(k: int) -> str:
+    return f"""a{k}r AS (SELECT e.t AS v, sum(p.h) AS a_raw
+        FROM e JOIN h{k - 1} p ON p.v = e.s GROUP BY e.t),
+a{k}t AS (SELECT sum(a_raw) AS tot FROM a{k}r),
+a{k} AS (SELECT verts.v, coalesce(a{k}r.a_raw, 0e0) / a{k}t.tot AS a
+         FROM verts LEFT JOIN a{k}r USING (v), a{k}t),
+h{k}r AS (SELECT e.s AS v, sum(q.a) AS h_raw
+        FROM e JOIN a{k} q ON q.v = e.t GROUP BY e.s),
+h{k}t AS (SELECT sum(h_raw) AS tot FROM h{k}r),
+h{k} AS (SELECT verts.v, coalesce(h{k}r.h_raw, 0e0) / h{k}t.tot AS h
+         FROM verts LEFT JOIN h{k}r USING (v), h{k}t)"""
+
+
+SQL_KG_HITS = f"""
+WITH ev AS (SELECT user_id, CAST(round(value) AS INT) AS item, ts FROM events),
+seq AS (SELECT item, lead(item) OVER (PARTITION BY user_id ORDER BY ts, item) AS nxt
+        FROM ev),
+e AS (SELECT DISTINCT item AS s, nxt AS t FROM seq
+      WHERE nxt IS NOT NULL AND nxt <> item),
+verts AS (SELECT s AS v FROM e UNION SELECT t FROM e),
+h0 AS (SELECT v, 1e0 AS h FROM verts),
+{_hits_iter_sql(1)},
+{_hits_iter_sql(2)}
+SELECT h2.v AS item, round(h2.h, 6) AS hub, round(a2.a, 6) AS authority
+FROM h2 JOIN a2 ON a2.v = h2.v
 """
 
 
@@ -2679,12 +2796,22 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_component_sizes": (q_kg_component_sizes, SQL_KG_COMPONENT_SIZES),
     "doc_boilerplate": (q_doc_boilerplate, SQL_DOC_BOILERPLATE),
     "kg_link_predict": (q_kg_link_predict, SQL_KG_LINK_PREDICT),
+    # degree-discounted (Resource-Allocation) link prediction
+    "kg_link_predict_ra": (q_kg_link_predict_ra, SQL_KG_LINK_PREDICT_RA),
     "doc_lm_score": (q_doc_lm_score, SQL_DOC_LM_SCORE),
     # DSIR importance resampling weights (target = lang-en register)
     "doc_dsir_weight": (q_doc_dsir_weight, SQL_DOC_DSIR_WEIGHT),
     # SemDeDup cluster-then-prune semantic dedup: trained centroids are not
     # SQL-expressible, so rows-only here; exact vs pure-python in pytest.
     "emb_semantic_dedup": (q_emb_semantic_dedup, None),
+    # HITS hubs/authorities on the directed navigation graph
+    "kg_hits": (q_kg_hits, SQL_KG_HITS),
+    # FastRP structural embeddings (deterministic sparse projection):
+    # xxhash64 has no DuckDB twin -> rows-only; numpy twin gate in pytest.
+    "kg_fastrp": (q_kg_fastrp, None),
+    # product-quantization ANN (trained codebooks -> rows-only; exactness
+    # gates in pytest: numpy-twin codes + on-grid ADC == exact L2)
+    "ann_pq_topk": (q_ann_pq_topk, None),
     "doc_curation_decision": (q_doc_curation_decision, SQL_DOC_CURATION_DECISION),
     "emb_class_centroids": (q_emb_class_centroids, SQL_EMB_CLASS_CENTROIDS),
     # folded in r4 to make room for kg_export_json: the full build is

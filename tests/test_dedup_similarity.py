@@ -422,3 +422,92 @@ def test_semantic_dedup_partitioning_invariant(spark):
     a = {tuple(r) for r in semantic_dedup(emb.repartition(1), centroids=cents).collect()}
     b = {tuple(r) for r in semantic_dedup(emb.repartition(13), centroids=cents).collect()}
     assert a == b
+
+
+def test_pq_encode_matches_numpy_twin_and_is_in_range(spark):
+    """PQ codes = per-subspace L2 argmin against the trained codebooks;
+    the numpy twin consumes the same codebooks, so codes must agree
+    exactly (first-minimum tie-break on both sides)."""
+    import numpy as np
+
+    from jcpg_spark.operators.similarity import pq_codebooks, pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_codebooks(emb, m=4, k=8, iters=2)
+    got = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, books).collect()}
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=float)
+            for r in emb.collect()}
+    dim = len(next(iter(vecs.values())))
+    sub = dim // 4
+    for vid, v in vecs.items():
+        want = []
+        for s in range(4):
+            sv = v[s * sub:(s + 1) * sub]
+            d2 = [float(((sv - np.array(c)) ** 2).sum()) for _cid, c in books[s]]
+            want.append(int(np.argmin(d2)))
+        assert got[vid] == want, vid
+    assert all(0 <= c < 8 for cs in got.values() for c in cs)
+
+
+def test_pq_adc_exact_when_corpus_is_codewords(spark):
+    """If every corpus vector IS a concatenation of codewords, ADC
+    distance equals the true L2 distance and the PQ top-k equals the
+    exact ranking."""
+    import itertools
+
+    from jcpg_spark.operators.similarity import pq_encode, pq_topk
+
+    # 2 subspaces x 2 dims, codebooks with 3 words each
+    books = [
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 2.0])],
+        [(0, [0.0, 0.0]), (1, [3.0, 0.0]), (2, [0.0, 1.0])],
+    ]
+    corpus = []
+    for i, (c0, c1) in enumerate(itertools.product(range(3), range(3))):
+        corpus.append((i, books[0][c0][1] + books[1][c1][1]))
+    emb = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(100, [0.1, 0.0, 0.0, 0.0])],
+                              "vec_id long, embedding array<double>")
+    codes = pq_encode(emb, books)
+    got = [(r["neighbor_id"], r["adc_dist"]) for r in
+           pq_topk(codes, q, books, k=9).orderBy("rank").collect()]
+
+    def l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    want = sorted(
+        ((i, round(l2(v, [0.1, 0.0, 0.0, 0.0]), 6)) for i, v in corpus),
+        key=lambda t: (t[1], t[0]),
+    )
+    assert got == want
+
+
+def test_pq_topk_beats_random_on_real_embeddings(spark):
+    """Recall sanity on the sf0.001 table: PQ(m=16,k=16) top-5 overlap
+    with the exact cosine top-5 must far exceed the random-5-of-500
+    baseline (~0.01). The synthetic embeddings are near-uniform on the
+    sphere — the hardest case for ANY quantizer (neighbor cosine gaps are
+    tiny), so measured recall ~0.32 is the data's ceiling speaking, not
+    the operator's: the codeword-exactness test above proves the ADC
+    machinery is exact, and deterministic inputs make this measurement
+    stable."""
+    from jcpg_spark.operators.similarity import (
+        _unit,
+        cosine_topk,
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    u = _unit(emb, "vec_id", "embedding", "vec_id", "embedding")
+    queries = u.orderBy("vec_id").limit(5)
+    books = pq_codebooks(u, m=16, k=16, iters=3)
+    codes = pq_encode(u, books)
+    approx = pq_topk(codes, queries, books, k=5)
+    exact = cosine_topk(emb, emb.orderBy("vec_id").limit(5), k=5)
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.2, recall

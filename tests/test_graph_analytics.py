@@ -425,3 +425,170 @@ def test_link_predict_hub_cap_drops_hub_centers(spark):
         edges, max_center_degree=4
     )
     assert capped.count() == 0
+
+
+def _naive_hits(dedges, iters):
+    """Pure-python L1-normalized HITS over a directed edge set."""
+    verts = sorted({v for e in dedges for v in e})
+    hub = {v: 1.0 for v in verts}
+    auth = {v: 0.0 for v in verts}
+    for _ in range(iters):
+        auth = {v: sum(hub[s] for (s, t) in dedges if t == v) for v in verts}
+        tot = sum(auth.values())
+        auth = {v: x / tot for v, x in auth.items()}
+        hub = {v: sum(auth[t] for (s, t) in dedges if s == v) for v in verts}
+        tot = sum(hub.values())
+        hub = {v: x / tot for v, x in hub.items()}
+    return hub, auth
+
+
+def _dedges_df(spark, pairs):
+    return spark.createDataFrame(sorted(set(pairs)), "s int, t int")
+
+
+def test_hits_star_hub_and_authority(spark):
+    """Directed in-star: the center is the sole authority (1.0), the
+    spokes are equal hubs, and a vertex with no out-edges has hub 0."""
+    pairs = [(1, 9), (2, 9), (3, 9)]
+    got = {r["item"]: (r["hub"], r["authority"]) for r in
+           graph_analytics.hits(_dedges_df(spark, pairs), iters=2).collect()}
+    assert got[9] == (0.0, 1.0)
+    for v in (1, 2, 3):
+        h, a = got[v]
+        assert abs(h - 1 / 3) < 1e-12 and a == 0.0
+
+
+def test_hits_matches_naive_on_random_digraph(spark):
+    rng = random.Random(7)
+    pairs = {(rng.randrange(12), rng.randrange(12)) for _ in range(40)}
+    pairs = {(s, t) for s, t in pairs if s != t}
+    hub, auth = _naive_hits(pairs, 3)
+    got = {r["item"]: (r["hub"], r["authority"]) for r in
+           graph_analytics.hits(_dedges_df(spark, pairs), iters=3).collect()}
+    assert set(got) == set(hub)
+    for v in hub:
+        assert abs(got[v][0] - hub[v]) < 1e-9, v
+        assert abs(got[v][1] - auth[v]) < 1e-9, v
+
+
+def test_hits_partitioning_invariant(spark):
+    rng = random.Random(11)
+    pairs = {(rng.randrange(20), rng.randrange(20)) for _ in range(80)}
+    pairs = {(s, t) for s, t in pairs if s != t}
+    df = _dedges_df(spark, pairs)
+    a = {(r["item"], round(r["hub"], 9), round(r["authority"], 9))
+         for r in graph_analytics.hits(df.repartition(1), iters=2).collect()}
+    b = {(r["item"], round(r["hub"], 9), round(r["authority"], 9))
+         for r in graph_analytics.hits(df.repartition(7), iters=2).collect()}
+    assert a == b
+
+
+def test_fastrp_propagation_matches_numpy_twin(spark):
+    """FastRP's propagation/weighting/normalization must equal a numpy
+    twin that consumes the SAME deterministic projection (collected from
+    the engine by running with weights=(1,) and inverting the single
+    normalized-adjacency application is fiddly, so the twin recomputes
+    from the projection read out at state 0 via a 1-weight, 0-sum trick:
+    here we simply re-derive R by joining the engine's own hash exprs)."""
+    import numpy as np
+
+    rng = random.Random(3)
+    pairs = {(rng.randrange(10), rng.randrange(10)) for _ in range(25)}
+    pairs = {(a, b) for a, b in pairs if a != b}
+    df = _edges_df(spark, pairs)
+
+    # engine result
+    got = {r["item"]: np.array(r["emb"]) for r in
+           graph_analytics.fastrp(df, dim=8, weights=(0.5, 2.0)).collect()}
+
+    # read the engine's deterministic projection directly (same exprs)
+    import math
+    verts = sorted({v for e in pairs for v in e} )
+    vdf = spark.createDataFrame([(v,) for v in verts], "v long")
+    sq3 = math.sqrt(3.0)
+    proj = vdf.select(
+        "v",
+        F.array(*[
+            F.when(F.pmod(F.xxhash64(F.col("v"), F.lit(j), F.lit(42)), F.lit(6)) == 0, F.lit(sq3))
+            .when(F.pmod(F.xxhash64(F.col("v"), F.lit(j), F.lit(42)), F.lit(6)) == 1, F.lit(-sq3))
+            .otherwise(F.lit(0.0))
+            for j in range(8)
+        ]).alias("r"),
+    )
+    R = {r["v"]: np.array(r["r"]) for r in proj.collect()}
+
+    # numpy twin: emb = 0.5 * A_norm R + 2.0 * A_norm^2 R, then L2 norm
+    sym = {(a, b) for a, b in pairs} | {(b, a) for a, b in pairs}
+    deg = {v: sum(1 for (s, _t) in sym if s == v) for v in verts}
+    idx = {v: i for i, v in enumerate(verts)}
+    A = np.zeros((len(verts), len(verts)))
+    for s, t in sym:
+        A[idx[t], idx[s]] += 1.0 / deg[s]  # message s -> t, normalized by deg(s)
+    X0 = np.stack([R[v] for v in verts])
+    X1 = A @ X0
+    X2 = A @ X1
+    E = 0.5 * X1 + 2.0 * X2
+    for v in verts:
+        e = E[idx[v]]
+        n = np.linalg.norm(e)
+        want = e / n if n > 0 else e
+        assert np.allclose(got[v], want, atol=1e-9), v
+
+
+def test_fastrp_deterministic_and_partitioning_invariant(spark):
+    rng = random.Random(5)
+    pairs = {(rng.randrange(15), rng.randrange(15)) for _ in range(40)}
+    pairs = {(a, b) for a, b in pairs if a != b}
+    df = _edges_df(spark, pairs)
+    def run(d):
+        return {r["item"]: tuple(round(x, 9) for x in r["emb"]) for r in
+                graph_analytics.fastrp(d, dim=8).collect()}
+    assert run(df.repartition(1)) == run(df.repartition(7))
+
+
+def test_fastrp_unit_norm_and_schema(spark):
+    df = _edges_df(spark, [(1, 2), (2, 3)])
+    rows = graph_analytics.fastrp(df, dim=4).collect()
+    assert {r["item"] for r in rows} == {1, 2, 3}
+    for r in rows:
+        s = sum(x * x for x in r["emb"])
+        assert abs(s - 1.0) < 1e-9 or s == 0.0
+
+
+def test_link_predict_ra_closed_forms(spark):
+    """Path 1-2-3: candidate (1,3) scored 1/deg(2) = 1/2. Square with one
+    diagonal absent: (2,4) has two degree-2 common neighbors -> 1.0."""
+    ga = graph_analytics
+    got = {(r["a"], r["b"]): (r["n_common"], r["ra_score"]) for r in
+           ga.link_predict_resource_allocation(_edges_df(spark, [(1, 2), (2, 3)])).collect()}
+    assert got == {(1, 3): (1, 0.5)}
+
+    sq = _edges_df(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    got = {(r["a"], r["b"]): (r["n_common"], r["ra_score"]) for r in
+           ga.link_predict_resource_allocation(sq).collect()}
+    assert got == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
+
+
+def test_link_predict_ra_counts_match_common_neighbors(spark):
+    rng = random.Random(13)
+    pairs = {(rng.randrange(15), rng.randrange(15)) for _ in range(45)}
+    pairs = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    df = _edges_df(spark, pairs)
+    cn = {(r["a"], r["b"]): r["n_common"] for r in
+          graph_analytics.link_predict_common_neighbors(df).collect()}
+    ra = {(r["a"], r["b"]): r["n_common"] for r in
+          graph_analytics.link_predict_resource_allocation(df).collect()}
+    assert cn == ra and cn  # same candidates + counts, non-trivial fixture
+
+
+def test_link_predict_ra_hub_discount_orders_pairs(spark):
+    """Two candidate pairs with one common neighbor each: the pair whose
+    neighbor is low-degree must outscore the pair sharing a hub."""
+    # hub 10 connects 1..4; leaf 20 connects only 5,6
+    pairs = [(1, 10), (2, 10), (3, 10), (4, 10), (5, 20), (6, 20)]
+    got = {(r["a"], r["b"]): r["ra_score"] for r in
+           graph_analytics.link_predict_resource_allocation(
+               _edges_df(spark, pairs)).collect()}
+    assert got[(5, 6)] == 0.5
+    assert all(abs(v - 0.25) < 1e-12 for k, v in got.items() if k != (5, 6))
+    assert got[(5, 6)] > got[(1, 2)]
