@@ -694,3 +694,93 @@ def semantic_dedup(
             (F.col("vec_id") == F.col("keep_id")).alias("keep"),
         )
     )
+
+
+def scrub_boilerplate_spans(
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    group_col: str = "source",
+    min_groups: int = 2,
+) -> DataFrame:
+    """-> (doc_id, clean_text, n_removed): rewrite each document with its
+    cross-source boilerplate SPANS excised — every word position covered
+    by any n-gram that ``boilerplate_spans`` flags (recurring across >=
+    ``min_groups`` distinct sources) is dropped, and the survivors rejoin
+    in order. The RefinedWeb/C4 scrubbing step that actually EDITS the
+    corpus, where ``boilerplate_spans`` only reports: detection and
+    removal ship as one composition.
+
+    Output text is the normalized token stream (lowercased ``words()``
+    rejoined with single spaces) — the form a training pipeline feeds the
+    tokenizer anyway; position indices make removal exact under overlap
+    (two flagged n-grams sharing words drop the union of their spans,
+    counted once). Documents shorter than ``n`` words pass through whole;
+    a fully-boilerplate document comes back as the empty string with
+    ``n_removed`` = its word count, not as a dropped row.
+
+    Scale posture: one posexplode of word positions (the same weight as
+    the shingle pass), the hot-span set is vocabulary-sized and meets the
+    per-doc n-grams on the span hash, covered positions explode n rows
+    per flagged n-gram (bounded by n * flagged occurrences, not by corpus
+    size), and the rebuild is one hash-agg with the sorted-collect_list
+    reassembly idiom. No UDF anywhere.
+    """
+    ws = words(F.col(text_col))
+    base = docs.select("doc_id", ws.alias("ws"))
+    from jcpg_spark.caching import swap_persist
+
+    pos_words = swap_persist(
+        "scrub.pos_words",
+        base.select("doc_id", F.posexplode(F.col("ws")).alias("pos", "w")),
+    )
+    grams = base.select(
+        "doc_id",
+        F.when(
+            F.size(F.col("ws")) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(F.col("ws")) - n),
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.concat_ws(
+                        " ",
+                        *[F.element_at(F.col("ws"), (i + k + 1).cast("int")) for k in range(n)],
+                    ).alias("g"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<i:int,g:string>>")).alias("gs"),
+    ).select("doc_id", F.explode(F.col("gs")).alias("ig")).select(
+        "doc_id", F.col("ig.i").alias("i"), F.col("ig.g").alias("g")
+    )
+    hot = boilerplate_spans(
+        docs, n=n, text_col=text_col, group_col=group_col, min_groups=min_groups
+    ).select(F.col("shingle").alias("g"))
+    covered = (
+        grams.join(hot, "g", "left_semi")
+        .select("doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + n - 1)).alias("pos"))
+        .distinct()
+    )
+    kept = pos_words.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = pos_words.groupBy("doc_id").agg(F.count("*").alias("n_words"))
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (
+                F.coalesce(F.col("n_words"), F.lit(0))
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).cast("int").alias("n_removed"),
+        )
+    )

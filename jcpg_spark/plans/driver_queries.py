@@ -1165,6 +1165,50 @@ FROM s GROUP BY shingle HAVING count(DISTINCT source) >= 2
 """
 
 
+def q_doc_scrub_spans(spark, sf_dir):
+    """RefinedWeb/C4-style span SCRUBBING: rewrite every document with its
+    cross-source boilerplate 5-gram spans excised (detection =
+    doc_boilerplate's flagged set; removal = positional union of covered
+    words, survivors rejoin in order). Clean text is the normalized token
+    stream; integers + strings only, so the oracle is exact."""
+    return dedup.scrub_boilerplate_spans(_docs(spark, sf_dir), n=5)
+
+
+SQL_DOC_SCRUB_SPANS = r"""
+WITH w AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS ws
+           FROM documents),
+pw AS (SELECT doc_id, unnest(ws) AS wd,
+              unnest(generate_series(0, len(ws) - 1)) AS pos
+       FROM w WHERE len(ws) >= 1),
+g AS (SELECT doc_id, i - 1 AS i,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS shingle
+      FROM w, unnest(generate_series(1, len(ws) - 4)) AS t(i)
+      WHERE len(ws) >= 5),
+hot AS (SELECT shingle
+        FROM (SELECT doc_id, source, unnest(list_distinct(CASE WHEN len(ws) >= 5
+                  THEN list_transform(generate_series(1, len(ws) - 4),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])
+                  ELSE [] END)) AS shingle
+              FROM w) s
+        GROUP BY shingle HAVING count(DISTINCT source) >= 2),
+covered AS (SELECT DISTINCT g.doc_id, g.i + d AS pos
+            FROM g JOIN hot USING (shingle), unnest(generate_series(0, 4)) AS u(d)),
+kept AS (SELECT pw.doc_id, pw.pos, pw.wd
+         FROM pw LEFT JOIN covered c ON c.doc_id = pw.doc_id AND c.pos = pw.pos
+         WHERE c.doc_id IS NULL),
+rebuilt AS (SELECT doc_id, string_agg(wd, ' ' ORDER BY pos) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+totals AS (SELECT doc_id, count(*) AS n_words FROM pw GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(coalesce(t.n_words, 0) - coalesce(r.n_kept, 0) AS INT) AS n_removed
+FROM documents d
+LEFT JOIN totals t ON t.doc_id = d.doc_id
+LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+"""
+
+
 def q_emb_class_centroids(spark, sf_dir):
     """Per-label mean embedding (long form — one scalar per (label, pos)
     so the oracle compares rounded doubles, not stringified arrays).
@@ -2795,6 +2839,8 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_bfs_distance": (q_kg_bfs_distance, SQL_KG_BFS_DISTANCE),
     "kg_component_sizes": (q_kg_component_sizes, SQL_KG_COMPONENT_SIZES),
     "doc_boilerplate": (q_doc_boilerplate, SQL_DOC_BOILERPLATE),
+    # span REMOVAL composition (detection -> positional excision)
+    "doc_scrub_spans": (q_doc_scrub_spans, SQL_DOC_SCRUB_SPANS),
     "kg_link_predict": (q_kg_link_predict, SQL_KG_LINK_PREDICT),
     # degree-discounted (Resource-Allocation) link prediction
     "kg_link_predict_ra": (q_kg_link_predict_ra, SQL_KG_LINK_PREDICT_RA),

@@ -319,3 +319,49 @@ def test_dsir_weights_partitioning_invariant(spark):
     b = {(r["doc_id"], round(r["dsir_weight"], 9))
          for r in dsir_weights(docs.repartition(13), F.col("lang") == "en").collect()}
     assert a == b
+
+
+def test_scrub_boilerplate_spans_closed_form(spark):
+    """Docs from two sources sharing a 5-gram license span: the span is
+    excised from both (positional union under overlap), the unique tails
+    survive in order, sub-5-word docs pass through whole, and a doc that
+    is pure boilerplate comes back as the empty string."""
+    from jcpg_spark.operators.dedup import scrub_boilerplate_spans
+
+    lic = "all rights reserved by law"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{lic} alpha beta", "s1"),
+            (2, f"gamma {lic} delta", "s2"),
+            (3, lic, "s3"),
+            (4, "tiny doc", "s4"),
+            (5, "completely unrelated words here now", "s5"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r["doc_id"]: (r["clean_text"], r["n_removed"]) for r in
+           scrub_boilerplate_spans(docs, n=5).collect()}
+    assert got[1] == ("alpha beta", 5)
+    assert got[2] == ("gamma delta", 5)
+    assert got[3] == ("", 5)
+    assert got[4] == ("tiny doc", 0)
+    assert got[5] == ("completely unrelated words here now", 0)
+
+
+def test_scrub_boilerplate_spans_overlap_union(spark):
+    """Two flagged overlapping 5-grams (a 6-word shared span) remove the
+    6-position union once, not 10 positions."""
+    from jcpg_spark.operators.dedup import scrub_boilerplate_spans
+
+    span6 = "one two three four five six"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{span6} keepme", "s1"),
+            (2, f"{span6} other", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r["doc_id"]: (r["clean_text"], r["n_removed"]) for r in
+           scrub_boilerplate_spans(docs, n=5).collect()}
+    assert got[1] == ("keepme", 6)
+    assert got[2] == ("other", 6)

@@ -119,3 +119,80 @@ def test_fan_out_widens_narrow_scan_only(spark, tmp_path):
     assert tio.fan_out(already) is already
 
     assert tio.fan_out(df, min_partitions=7).rdd.getNumPartitions() == 7
+
+
+def test_snapshot_append_time_travel_rollback_expire(spark, tmp_path):
+    """Iceberg-parity snapshot lifecycle on the io seam: replace -> append
+    (O(new) commit) -> time-travel reads -> rollback (pointer swap) ->
+    expire (unreferenced dirs deleted, survivors intact)."""
+    import os
+
+    from jcpg_spark import io as tio
+
+    base = str(tmp_path)
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    m1 = tio.write_table(df1, base, "t")
+    assert (m1["snapshot_id"], m1["rows"]) == (1, 2)
+
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    m2 = tio.write_table(df2, base, "t", mode="append")
+    assert (m2["snapshot_id"], m2["rows"]) == (2, 3)
+    assert m2["data_dirs"] == ["snap-1", "snap-2"]
+
+    df3 = spark.createDataFrame([(9, "z")], "id long, v string")
+    m3 = tio.write_table(df3, base, "t")  # replace
+    assert (m3["snapshot_id"], m3["rows"]) == (3, 1)
+
+    def ids(snapshot=None):
+        return sorted(
+            r["id"] for r in tio.read_table(spark, base, "t", snapshot=snapshot).collect()
+        )
+
+    assert ids() == [9]
+    assert ids(snapshot=1) == [1, 2]
+    assert ids(snapshot=2) == [1, 2, 3]
+    log = tio.snapshots(base, "t")
+    assert [(e["id"], e["op"], e["parent"]) for e in log] == [
+        (1, "replace", None), (2, "append", 1), (3, "replace", 2)]
+
+    # rollback: current view = snapshot 2; log intact; data untouched
+    tio.rollback(base, "t", 2)
+    assert ids() == [1, 2, 3]
+    assert tio.read_manifest(base, "t")["rows"] == 3
+    assert len(tio.snapshots(base, "t")) == 3
+
+    # expire all but the last 2 entries + current: snapshot 3's dir
+    # survives (logged), snapshot 1's dir survives (referenced by current
+    # snapshot 2) — nothing is actually deletable here
+    assert tio.expire_snapshots(base, "t", keep_last=2) == [1]
+    assert ids() == [1, 2, 3]
+
+    # move current forward again: the new id must NOT collide with the
+    # logged snapshot 3 (rollback left current=2; naive current+1 would
+    # overwrite snap-3's data) — it allocates past the log maximum
+    df4 = spark.createDataFrame([(7, "q")], "id long, v string")
+    m4 = tio.write_table(df4, base, "t")  # replace
+    assert m4["snapshot_id"] == 4
+    expired = tio.expire_snapshots(base, "t", keep_last=1)
+    assert set(expired) == {2, 3}
+    assert ids() == [7]
+    path = tio.table_path(base, "t")
+    gone = [d for d in ("snap-1", "snap-2", "snap-3") if os.path.exists(os.path.join(path, d))]
+    assert gone == [], gone
+    assert os.path.exists(os.path.join(path, "snap-4"))
+
+
+def test_snapshot_reader_isolation_during_overwrite(spark, tmp_path):
+    """A DataFrame resolved against the old snapshot still reads the old
+    data after a new replace commit — the atomic-pointer property the
+    in-place overwrite could not give."""
+    from jcpg_spark import io as tio
+
+    base = str(tmp_path)
+    tio.write_table(
+        spark.createDataFrame([(1,)], "id long"), base, "t2")
+    old_reader = tio.read_table(spark, base, "t2", snapshot=1)
+    tio.write_table(
+        spark.createDataFrame([(2,)], "id long"), base, "t2")
+    assert [r["id"] for r in old_reader.collect()] == [1]
+    assert [r["id"] for r in tio.read_table(spark, base, "t2").collect()] == [2]
