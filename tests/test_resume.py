@@ -196,3 +196,52 @@ def test_snapshot_reader_isolation_during_overwrite(spark, tmp_path):
         spark.createDataFrame([(2,)], "id long"), base, "t2")
     assert [r["id"] for r in old_reader.collect()] == [1]
     assert [r["id"] for r in tio.read_table(spark, base, "t2").collect()] == [2]
+
+
+def test_append_conversations_equals_full_build(spark, dictionary, tmp_path):
+    """Incremental ingest contract: run_pipeline on the first batch +
+    append_conversations on the second == build_graph over the full
+    corpus, row-identical — including same_as merges that span the two
+    batches (the canonicalization is re-solved, not appended)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from jcpg_spark.pipeline import build_graph
+    from jcpg_spark.plans.materialize import (
+        append_conversations,
+        read_graph_edges,
+        run_pipeline,
+    )
+    from jcpg_spark.synth import synth_transcripts
+
+    t_all = synth_transcripts(spark, 16, skew=False).persist()
+    convs = sorted(r["conv_id"] for r in t_all.select("conv_id").distinct().collect())
+    first = convs[:10]
+    t_a = t_all.filter(F.col("conv_id").isin(first))
+    t_b = t_all.filter(~F.col("conv_id").isin(first))
+    out = str(tmp_path / "inc")
+
+    run_pipeline(spark, t_a, dictionary, out)
+    s = append_conversations(spark, t_b, dictionary, out)
+    assert "edges" in s.stages_computed and "alias_mapping" in s.stages_computed
+
+    got = sorted(tuple(r) for r in read_graph_edges(spark, out).collect())
+    want = sorted(tuple(r) for r in build_graph(spark, t_all, dictionary).edges.collect())
+    assert got == want and want
+
+    # appended snapshots really are appends: edges table has 2 snapshots,
+    # the second op is append
+    from jcpg_spark import io as tio
+
+    log = tio.snapshots(out, "edges")
+    assert [e["op"] for e in log] == ["replace", "append"]
+
+    # the full-corpus edge view also matches after a re-read via time
+    # travel to snapshot 1 + the second batch alone (sanity on data_dirs)
+    n1 = tio.read_table(spark, out, "edges", snapshot=1).count()
+    n2 = tio.read_table(spark, out, "edges").count()
+    assert n1 < n2
+
+    # re-ingest guard: same batch again must refuse
+    with _pytest.raises(ValueError, match="overlaps"):
+        append_conversations(spark, t_b, dictionary, out)
