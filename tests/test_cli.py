@@ -46,4 +46,12 @@ def test_cli_cpm_scoped_subgraph_and_parquet_mode(spark, tmp_path):
     # test_resume.py) — here just the CLI wiring
     out2 = str(tmp_path / "stage")
     assert main(["--cpg", "-f", "parquet", "-o", out2, "--master", "local[4]", "synth:2"]) == 0
-    assert spark.read.parquet(out2 + "/edges").filter(F.col("pred") == "flow.next").count() > 0
+    # tables live behind the snapshot pointer since the io v2 layout
+    # (snap-<id>/ dirs + atomic manifest) — read through the io seam,
+    # exactly as an Iceberg table is read through its catalog
+    from jcpg_spark import io as tio
+
+    assert tio.is_committed(out2, "edges")
+    assert (
+        tio.read_table(spark, out2, "edges").filter(F.col("pred") == "flow.next").count() > 0
+    )
