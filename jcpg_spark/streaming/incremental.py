@@ -409,3 +409,24 @@ def streaming_canonicalize(
         .start()
     )
     return canon, q
+
+
+def streaming_curation(stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """Ingest-side curation verdicts: the batch ``curation_decision``
+    filter chain (C4/Gopher rules: too_short / word_too_long / repetitive
+    / lang_unknown / ok) applied to a stream. The chain is pure map-side
+    column algebra — no state, no watermark, no aggregation — so the SAME
+    expression tree runs on the stream as on the batch table and the two
+    are equal row-for-row by construction (pytest-gated batch-equivalence
+    like every streaming layer here). At ingest this is the cheapest
+    possible placement: documents are scored before they ever land, and
+    the drop decision rides the write."""
+    from jcpg_spark.operators.curation import curation_decision
+
+    df = stream.withColumnRenamed(text_col, "text") if text_col != "text" else stream
+    if "doc_id" not in df.columns:
+        # transcript streams: the per-turn document id is the turn key
+        df = df.withColumn(
+            "doc_id", F.concat_ws(":", F.col("conv_id"), F.col("turn_idx"))
+        )
+    return curation_decision(df)

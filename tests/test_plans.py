@@ -289,3 +289,20 @@ def test_dsir_and_semantic_dedup_plan_shapes(spark):
     assert "CartesianProduct" not in _plan(
         semantic_dedup(emb, centroids=cents, max_cluster=100)
     )
+
+
+def test_hits_and_fastrp_plan_shapes(spark):
+    """Both iterative graph kernels stay on equi-join/hash-agg paths: the
+    1-row normalization/vertex-count scalars ride as broadcast nested
+    loops by design, never a CartesianProduct; fastrp's projection is
+    map-side column algebra (its per-round exchange is the (dest, pos)
+    hash-agg, not a sort)."""
+    from jcpg_spark.operators.graph_analytics import fastrp, hits
+
+    d = spark.createDataFrame([(1, 2), (2, 3)], "s int, t int")
+    hplan = _plan(hits(d, iters=2))
+    assert "CartesianProduct" not in hplan
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "a int, b int")
+    fplan = _plan(fastrp(e, dim=4))
+    assert "CartesianProduct" not in fplan

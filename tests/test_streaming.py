@@ -212,3 +212,38 @@ def test_streaming_dedup_exact_first_seen_per_fingerprint(spark, tmp_path):
     assert len(fps) == len(set(fps)) == 3  # hello-world, unique-one, unique-two
     texts = {r["text"].lower().replace("  ", " ") for r in got}
     assert texts == {"hello world", "unique one", "unique two"}
+
+
+def test_streaming_curation_equals_batch(spark, tmp_path):
+    """The ingest-side curation verdicts must equal the batch filter chain
+    row-for-row (the chain is stateless column algebra, so streamed
+    micro-batches cannot change it)."""
+    import datetime as dt
+
+    from jcpg_spark.operators.curation import curation_decision
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    long_ok = ("the quick brown fox jumps over one lazy dog and that "
+               "is of course fine to read in the park today")
+    rows = [
+        ("c1", 0, "user", long_ok, None, base),
+        ("c1", 1, "assistant", "too short", None, base),
+        ("c2", 0, "user", "word " + "x" * 40 + " " + long_ok, None, base),
+        ("c2", 1, "user", ("spam ham " * 30).strip(), None, base),
+    ]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    d = str(tmp_path / "cur")
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(schema).parquet(d)
+    inc.run_to_memory(inc.streaming_curation(stream), "cur_out")
+    got = {(r["doc_id"], r["reason"], r["keep"])
+           for r in spark.sql("SELECT * FROM cur_out").collect()}
+    batch = spark.read.parquet(d).withColumn(
+        "doc_id", F.concat_ws(":", F.col("conv_id"), F.col("turn_idx")))
+    want = {(r["doc_id"], r["reason"], r["keep"])
+            for r in curation_decision(batch).collect()}
+    assert got == want
+    reasons = {r[0]: r[1] for r in got}
+    assert reasons["c1:0"] == "ok" and reasons["c1:1"] == "too_short"
+    assert reasons["c2:0"] == "word_too_long" and reasons["c2:1"] == "repetitive"
