@@ -28,7 +28,7 @@ from jcpg_spark.operators.canonicalize import connected_components
 from jcpg_spark.io import compaction_plan
 from jcpg_spark.operators.bpe import pair_counts as bpe_pair_counts, train as bpe_train
 from jcpg_spark.operators.curation import curation_decision
-from jcpg_spark.operators.lm import bigram_lm_scores
+from jcpg_spark.operators.lm import bigram_lm_scores, dsir_weights
 from jcpg_spark.operators.subgraph import graph_diff, induced_subgraph
 from jcpg_spark.operators.dedup import (
     boilerplate_spans,
@@ -36,19 +36,34 @@ from jcpg_spark.operators.dedup import (
     jaccard_pairs_prefix,
     keep_list,
     leakage_safe_split,
+    scrub_boilerplate_spans,
+    semantic_dedup,
 )
-from jcpg_spark.operators.similarity import class_centroids
+from jcpg_spark.operators.similarity import (
+    class_centroids,
+    pq_codebooks,
+    pq_encode,
+    pq_topk,
+)
 from jcpg_spark.operators.graph_analytics import (
     bfs_distances,
     co_mention_edges,
     component_sizes,
     cooccurrence_lift,
     entity_salience,
+    fastrp,
+    hits,
     kcore,
     khop_counts,
     link_predict_common_neighbors,
+    link_predict_resource_allocation,
     pagerank,
     triangle_counts,
+)
+from jcpg_spark.plans.materialize import (
+    append_conversations,
+    read_graph_edges,
+    run_pipeline,
 )
 
 __all__ = [
@@ -82,5 +97,17 @@ __all__ = [
     "khop_counts",
     "pagerank",
     "triangle_counts",
+    "dsir_weights",
+    "semantic_dedup",
+    "scrub_boilerplate_spans",
+    "pq_codebooks",
+    "pq_encode",
+    "pq_topk",
+    "fastrp",
+    "hits",
+    "link_predict_resource_allocation",
+    "append_conversations",
+    "read_graph_edges",
+    "run_pipeline",
 ]
 __version__ = "0.1.0"
