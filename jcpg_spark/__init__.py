@@ -29,6 +29,7 @@ from jcpg_spark.io import compaction_plan
 from jcpg_spark.operators.bpe import pair_counts as bpe_pair_counts, train as bpe_train
 from jcpg_spark.operators.curation import curation_decision
 from jcpg_spark.operators.lm import bigram_lm_scores, dsir_weights
+from jcpg_spark.operators.linking import link_asof
 from jcpg_spark.operators.subgraph import graph_diff, induced_subgraph
 from jcpg_spark.operators.dedup import (
     boilerplate_spans,
@@ -109,5 +110,6 @@ __all__ = [
     "append_conversations",
     "read_graph_edges",
     "run_pipeline",
+    "link_asof",
 ]
 __version__ = "0.1.0"

@@ -168,3 +168,59 @@ def namespace_nodes(linked_mentions: DataFrame) -> DataFrame:
             F.lit(None).cast("map<string,string>").alias("props"),
         )
     )
+
+
+def link_asof(
+    mentions: DataFrame,
+    versioned_dictionary: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """SCD-2 entity linking: resolve each mention against the dictionary
+    VERSION valid at the mention's own timestamp. -> mention columns +
+    (canonical, score, valid_from).
+
+    A production gazetteer is a slowly-changing dimension — entities are
+    renamed, re-namespaced, re-weighted — and linking a 10^12-turn corpus
+    against "the current dictionary" silently rewrites history (the
+    classic SCD-2 mistake). ``versioned_dictionary`` carries one row per
+    (surface, version): (surface, canonical, prior, valid_from,
+    valid_to); a mention at time t takes the version with
+    valid_from <= t < valid_to, ranked by (prior desc, canonical) within
+    the valid window — the same total-order rule as ``link_mentions``.
+
+    Plan: ONE broadcast hash join on surface (the dimension stays
+    dimension-sized even versioned: |surfaces| x |versions|), with the
+    validity range as a post-join filter — Spark keeps the equi-key
+    broadcast strategy and evaluates the range residual map-side, so the
+    corpus side sees zero shuffles. min_by picks the in-window best
+    candidate without a window sort. Mentions with NO valid version at
+    their timestamp are dropped (same contract as unresolvable mentions
+    in ``link_mentions``).
+    """
+    cand = versioned_dictionary.select(
+        "surface",
+        F.col("canonical").alias("_cand_canonical"),
+        F.col("prior").cast("double").alias("_cand_prior"),
+        F.col("valid_from").alias("_vf"),
+        F.col("valid_to").alias("_vt"),
+    )
+    joined = mentions.join(F.broadcast(cand), "surface").where(
+        (F.col(ts_col) >= F.col("_vf")) & (F.col(ts_col) < F.col("_vt"))
+    )
+    keys = [c for c in mentions.columns]
+    best = joined.groupBy(*keys).agg(
+        F.min_by(
+            F.struct(
+                F.col("_cand_canonical").alias("canonical"),
+                F.col("_cand_prior").alias("score"),
+                F.col("_vf").alias("valid_from"),
+            ),
+            F.struct((-F.col("_cand_prior")).alias("s"), F.col("_cand_canonical")),
+        ).alias("best")
+    )
+    return best.select(
+        *keys,
+        F.col("best.canonical").alias("canonical"),
+        F.col("best.score").alias("score"),
+        F.col("best.valid_from").alias("valid_from"),
+    )

@@ -2061,6 +2061,75 @@ WHERE n_common >= 2
 """
 
 
+def q_j1_link_asof(spark, sf_dir):
+    """SCD-2 as-of entity linking: every event-mention resolves against the
+    dictionary VERSION valid at its own timestamp (two validity windows
+    split at 2024-01-16, two ranked candidate variants per surface per
+    window — priors constructed so the argmax is never tied). The classic
+    slowly-changing-dimension join a versioned production gazetteer
+    needs; one broadcast equi-join on surface with a map-side range
+    residual."""
+    from jcpg_spark.operators import linking
+
+    ev = _ev(spark, sf_dir)
+    mentions = ev.select(
+        "event_id",
+        F.round("value").cast("int").cast("string").alias("surface"),
+        "ts",
+    )
+    items = ev.select(F.round("value").cast("int").alias("item")).distinct()
+    LO, MID, HI = "1970-01-01", "2024-01-16", "2100-01-01"
+
+    def version(suffix, prior, vf, vt):
+        return items.select(
+            F.col("item").cast("string").alias("surface"),
+            F.concat(F.lit("e"), F.col("item").cast("string"), F.lit(suffix)).alias(
+                "canonical"
+            ),
+            prior.cast("double").alias("prior"),
+            F.lit(vf).cast("timestamp").alias("valid_from"),
+            F.lit(vt).cast("timestamp").alias("valid_to"),
+        )
+
+    vd = (
+        version("_a", F.pmod(F.col("item"), F.lit(7)), LO, MID)
+        .unionByName(version("_b", F.pmod(F.col("item") + 3, F.lit(7)), LO, MID))
+        .unionByName(version("_a2", F.pmod(F.col("item") * 2, F.lit(7)), MID, HI))
+        .unionByName(version("_b2", F.pmod(F.col("item") * 2 + 5, F.lit(7)), MID, HI))
+    )
+    out = linking.link_asof(mentions, vd)
+    return out.select("event_id", "surface", "canonical", "score", "valid_from")
+
+
+SQL_J1_LINK_ASOF = """
+WITH m AS (SELECT event_id, CAST(CAST(round(value) AS INT) AS VARCHAR) AS surface, ts
+           FROM events),
+items AS (SELECT DISTINCT CAST(round(value) AS INT) AS item FROM events),
+vd AS (
+  SELECT CAST(item AS VARCHAR) AS surface, 'e' || item || '_a' AS canonical,
+         CAST(item % 7 AS DOUBLE) AS prior,
+         TIMESTAMP '1970-01-01' AS vf, TIMESTAMP '2024-01-16' AS vt FROM items
+  UNION ALL
+  SELECT CAST(item AS VARCHAR), 'e' || item || '_b',
+         CAST((item + 3) % 7 AS DOUBLE),
+         TIMESTAMP '1970-01-01', TIMESTAMP '2024-01-16' FROM items
+  UNION ALL
+  SELECT CAST(item AS VARCHAR), 'e' || item || '_a2',
+         CAST((item * 2) % 7 AS DOUBLE),
+         TIMESTAMP '2024-01-16', TIMESTAMP '2100-01-01' FROM items
+  UNION ALL
+  SELECT CAST(item AS VARCHAR), 'e' || item || '_b2',
+         CAST((item * 2 + 5) % 7 AS DOUBLE),
+         TIMESTAMP '2024-01-16', TIMESTAMP '2100-01-01' FROM items),
+ranked AS (
+  SELECT m.event_id, m.surface, vd.canonical, vd.prior AS score, vd.vf AS valid_from,
+         row_number() OVER (PARTITION BY m.event_id, m.surface, m.ts
+                            ORDER BY vd.prior DESC, vd.canonical) AS rn
+  FROM m JOIN vd ON vd.surface = m.surface AND m.ts >= vd.vf AND m.ts < vd.vt)
+SELECT event_id, surface, canonical, score, valid_from FROM ranked WHERE rn = 1
+"""
+
+
 def q_kg_component_sizes(spark, sf_dir):
     """Connected-component sizes of the co-mention graph (canonical =
     component-minimum vertex — the label the engine's union-find / star
@@ -2844,6 +2913,8 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_link_predict": (q_kg_link_predict, SQL_KG_LINK_PREDICT),
     # degree-discounted (Resource-Allocation) link prediction
     "kg_link_predict_ra": (q_kg_link_predict_ra, SQL_KG_LINK_PREDICT_RA),
+    # SCD-2 as-of linking against a versioned dictionary
+    "j1_link_asof": (q_j1_link_asof, SQL_J1_LINK_ASOF),
     "doc_lm_score": (q_doc_lm_score, SQL_DOC_LM_SCORE),
     # DSIR importance resampling weights (target = lang-en register)
     "doc_dsir_weight": (q_doc_dsir_weight, SQL_DOC_DSIR_WEIGHT),

@@ -460,3 +460,54 @@ def test_def_use_rollup_matches_bruteforce(spark, dictionary):
         want[k] = (";".join(sorted(d)) if d else None, ";".join(sorted(u)) if u else None)
     want = {k: v for k, v in want.items() if v != (None, None)}
     assert got == want
+
+
+def test_link_asof_versioned_dictionary(spark):
+    """SCD-2 linking: the same surface resolves to DIFFERENT canonicals on
+    either side of a dictionary version boundary; ties break on canonical
+    asc; a mention with no valid version at its ts is dropped."""
+    import datetime as dt
+
+    from jcpg_spark.operators.linking import link_asof
+
+    t = lambda d: dt.datetime(2024, 1, d, 12, 0, 0)
+    mentions = spark.createDataFrame(
+        [(1, "api", t(5)), (2, "api", t(20)), (3, "api", t(2)), (4, "ghost", t(5))],
+        "mention_id long, surface string, ts timestamp",
+    )
+    vd = spark.createDataFrame(
+        [
+            # window 1: two candidates, clear winner
+            ("api", "e:api_v1", 2.0, t(1), t(10)),
+            ("api", "e:api_alt", 1.0, t(1), t(10)),
+            # window 2: TIED priors -> canonical-asc tie-break
+            ("api", "e:api_v2b", 5.0, t(10), t(30)),
+            ("api", "e:api_v2a", 5.0, t(10), t(30)),
+            # ghost's only version ended before the mention
+            ("ghost", "e:ghost", 9.0, t(1), t(3)),
+        ],
+        "surface string, canonical string, prior double, valid_from timestamp, valid_to timestamp",
+    )
+    got = {r["mention_id"]: (r["canonical"], r["score"]) for r in
+           link_asof(mentions, vd).collect()}
+    assert got == {
+        1: ("e:api_v1", 2.0),
+        2: ("e:api_v2a", 5.0),  # tie -> lexicographically first canonical
+        3: ("e:api_v1", 2.0),
+    }
+
+
+def test_link_asof_is_broadcast_join(spark):
+    import datetime as dt
+
+    from jcpg_spark.operators.linking import link_asof
+
+    t0 = dt.datetime(2024, 1, 1)
+    mentions = spark.createDataFrame(
+        [(1, "x", t0)], "mention_id long, surface string, ts timestamp")
+    vd = spark.createDataFrame(
+        [("x", "e:x", 1.0, dt.datetime(2023, 1, 1), dt.datetime(2025, 1, 1))],
+        "surface string, canonical string, prior double, valid_from timestamp, valid_to timestamp")
+    plan = link_asof(mentions, vd)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
