@@ -60,6 +60,7 @@ from jcpg_spark.operators.graph_analytics import (
     link_predict_resource_allocation,
     pagerank,
     triangle_counts,
+    vertex_features,
 )
 from jcpg_spark.plans.materialize import (
     append_conversations,
@@ -111,5 +112,6 @@ __all__ = [
     "read_graph_edges",
     "run_pipeline",
     "link_asof",
+    "vertex_features",
 ]
 __version__ = "0.1.0"

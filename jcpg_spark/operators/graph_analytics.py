@@ -776,3 +776,31 @@ def link_predict_resource_allocation(
     return scored.join(e, ["a", "b"], "left_anti").where(
         (F.col("n_common") >= min_common) & (F.col("ra_score") >= min_score)
     )
+
+
+def vertex_features(edges: DataFrame) -> DataFrame:
+    """-> (item, degree, n_tri, clustering): per-vertex structural feature
+    table — degree, triangle participation, and local clustering
+    coefficient C(v) = 2*tri(v) / (deg(v)*(deg(v)-1)) (0 for degree < 2).
+    The standard node-feature frame an entity-ML stage consumes alongside
+    ``fastrp`` embeddings; composes the existing degree-oriented
+    ``triangle_counts`` kernel with one degree hash-agg and a left join —
+    integers plus one IEEE division, so the oracle mirrors it exactly.
+    """
+    e = edges.select("a", "b")
+    deg = (
+        e.select(F.col("a").alias("v")).unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v").agg(F.count("*").alias("degree"))
+    )
+    tri = triangle_counts(edges).select(F.col("item").alias("v"), "n_tri")
+    cc = F.when(
+        F.col("degree") >= 2,
+        F.lit(2.0) * F.coalesce(F.col("n_tri"), F.lit(0))
+        / (F.col("degree") * (F.col("degree") - 1)),
+    ).otherwise(F.lit(0.0))
+    return deg.join(tri, "v", "left").select(
+        F.col("v").alias("item"),
+        "degree",
+        F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri"),
+        cc.alias("clustering"),
+    )

@@ -2061,6 +2061,39 @@ WHERE n_common >= 2
 """
 
 
+def q_kg_vertex_features(spark, sf_dir):
+    """Per-entity structural feature table on the co-mention graph:
+    degree, triangle participation, local clustering coefficient.
+    Integers + one division; 6 dp pins the division (pagerank
+    convention), the oracle's triangle term is the orientation-free
+    naive count."""
+    edges = _comention_edges(spark, sf_dir, min_weight=2)
+    out = graph_analytics.vertex_features(edges)
+    return out.select(
+        "item", "degree", "n_tri", F.round("clustering", 6).alias("clustering")
+    )
+
+
+SQL_KG_VERTEX_FEATURES = f"""
+WITH e AS ({_SQL_COMENTION}),
+deg AS (SELECT v, count(*) AS degree
+        FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+tri3 AS (SELECT e1.a, e1.b, e2.b AS c
+         FROM e e1
+         JOIN e e2 ON e2.a = e1.b
+         JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+tri AS (SELECT v, count(*) AS n_tri
+        FROM (SELECT a AS v FROM tri3 UNION ALL SELECT b FROM tri3
+              UNION ALL SELECT c FROM tri3) GROUP BY v)
+SELECT deg.v AS item, deg.degree,
+       coalesce(tri.n_tri, 0) AS n_tri,
+       round(CASE WHEN deg.degree >= 2
+             THEN 2e0 * coalesce(tri.n_tri, 0) / (deg.degree * (deg.degree - 1))
+             ELSE 0e0 END, 6) AS clustering
+FROM deg LEFT JOIN tri ON tri.v = deg.v
+"""
+
+
 def q_j1_link_asof(spark, sf_dir):
     """SCD-2 as-of entity linking: every event-mention resolves against the
     dictionary VERSION valid at its own timestamp (two validity windows
@@ -2915,6 +2948,8 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_link_predict_ra": (q_kg_link_predict_ra, SQL_KG_LINK_PREDICT_RA),
     # SCD-2 as-of linking against a versioned dictionary
     "j1_link_asof": (q_j1_link_asof, SQL_J1_LINK_ASOF),
+    # per-entity structural features (degree/triangles/clustering)
+    "kg_vertex_features": (q_kg_vertex_features, SQL_KG_VERTEX_FEATURES),
     "doc_lm_score": (q_doc_lm_score, SQL_DOC_LM_SCORE),
     # DSIR importance resampling weights (target = lang-en register)
     "doc_dsir_weight": (q_doc_dsir_weight, SQL_DOC_DSIR_WEIGHT),

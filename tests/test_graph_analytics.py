@@ -592,3 +592,25 @@ def test_link_predict_ra_hub_discount_orders_pairs(spark):
     assert got[(5, 6)] == 0.5
     assert all(abs(v - 0.25) < 1e-12 for k, v in got.items() if k != (5, 6))
     assert got[(5, 6)] > got[(1, 2)]
+
+
+def test_vertex_features_closed_forms(spark):
+    """K4: every vertex degree 3, 3 triangles each, clustering 1.0. Path:
+    no triangles, clustering 0, endpoints degree 1."""
+    k4 = _edges_df(spark, list(itertools.combinations(range(4), 2)))
+    got = {r["item"]: (r["degree"], r["n_tri"], r["clustering"]) for r in
+           graph_analytics.vertex_features(k4).collect()}
+    assert got == {v: (3, 3, 1.0) for v in range(4)}
+
+    path = _edges_df(spark, [(1, 2), (2, 3), (3, 4)])
+    got = {r["item"]: (r["degree"], r["n_tri"], r["clustering"]) for r in
+           graph_analytics.vertex_features(path).collect()}
+    assert got == {1: (1, 0, 0.0), 2: (2, 0, 0.0), 3: (2, 0, 0.0), 4: (1, 0, 0.0)}
+
+    # triangle with a tail: vertex 3 has degree 3, 1 triangle -> C = 1/3
+    tri_tail = _edges_df(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    got = {r["item"]: (r["degree"], r["n_tri"], round(r["clustering"], 9)) for r in
+           graph_analytics.vertex_features(tri_tail).collect()}
+    assert got[3] == (3, 1, round(1 / 3, 9))
+    assert got[4] == (1, 0, 0.0)
+    assert got[1] == (2, 1, 1.0)
