@@ -60,3 +60,62 @@ def curation_decision(
         reason.alias("reason"),
         (reason == "ok").alias("keep"),
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    target_frac_ppm: int = 250_000,
+    group_col: str = "lang",
+) -> DataFrame:
+    """-> (doc_id, grp, rate, u): deterministic temperature-flattened
+    corpus mix at alpha = 1/2 — the T5/mT5/PaLM "temperature sampling"
+    step that keeps low-resource groups from drowning under the head
+    group. Where ``dsir_weights`` re-weights toward a TARGET register,
+    this rebalances the group marginal itself: group g with n_g docs gets
+    expected sample share proportional to sqrt(n_g), i.e. acceptance rate
+    r_g = min(1, T * w_g / (sum_w * n_g)) with w_g = floor(sqrt(n_g)*1e6)
+    and T = floor(N * target_frac_ppm / 1e6) total sampled docs.
+
+    Every quantity the inclusion test touches is either an exact integer
+    (w_g, sum_w, T, n_g — the float-sum ordering problem is designed out
+    by scaling sqrt to an integer weight BEFORE summing) or a single
+    correctly-rounded IEEE op on exact integers (the rate division; the
+    md5-derived uniform is a 13-hex-digit / 2^52 power-of-two division,
+    the ``doc_weighted_sample`` idiom) — so any engine selects the
+    IDENTICAL sample, reproducible across reruns and partitionings.
+
+    Scale posture: the group table is dimension-sized (one row per
+    language/source), its totals ride a broadcast crossJoin, and the
+    per-doc decision is a broadcast join + map-side filter — one scan of
+    the corpus, no data-sized shuffle anywhere.
+    """
+    grp = F.col(group_col).alias("grp")
+    counts = docs.groupBy(grp).agg(F.count("*").alias("n_g"))
+    weighted = counts.select(
+        "grp",
+        "n_g",
+        F.floor(F.sqrt(F.col("n_g").cast("double")) * F.lit(1e6)).cast("long").alias("w"),
+    )
+    totals = weighted.agg(
+        F.sum("n_g").alias("n_total"), F.sum("w").alias("sum_w")
+    )
+    t_docs = F.floor(
+        (F.col("n_total") * F.lit(target_frac_ppm)).cast("double") / F.lit(1e6)
+    ).cast("long")
+    rates = weighted.crossJoin(F.broadcast(totals)).select(
+        "grp",
+        F.least(
+            F.lit(1.0),
+            (F.col("w") * t_docs).cast("double")
+            / (F.col("sum_w") * F.col("n_g")).cast("double"),
+        ).alias("rate"),
+    )
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
+        "double"
+    ) / F.lit(float(16**13))
+    return (
+        docs.select("doc_id", grp, u.alias("u"))
+        .join(F.broadcast(rates), "grp")
+        .where(F.col("u") < F.col("rate"))
+        .select("doc_id", "grp", F.round("rate", 6).alias("rate"), F.round("u", 6).alias("u"))
+    )

@@ -2345,6 +2345,38 @@ FROM t WHERE u < n_chars * 5e-5
 """
 
 
+def q_doc_temperature_mix(spark, sf_dir):
+    """Temperature-flattened (alpha=1/2) language mix: acceptance rate per
+    lang group proportional to sqrt(n_g)/n_g, capped at 1 — the T5/PaLM
+    low-resource-upsampling step. Rates are exact-integer arithmetic plus
+    one correctly-rounded division (sqrt weights integer-scaled BEFORE the
+    sum, so no float-sum ordering), and the uniform is the md5/2^52 idiom:
+    both engines pick the identical sample."""
+    from jcpg_spark.operators.curation import temperature_mix
+
+    return temperature_mix(_docs(spark, sf_dir))
+
+
+SQL_DOC_TEMPERATURE_MIX = """
+WITH c AS (SELECT lang AS grp, count(*) AS n_g FROM documents GROUP BY 1),
+w AS (SELECT grp, n_g,
+             CAST(floor(sqrt(CAST(n_g AS DOUBLE)) * 1000000e0) AS BIGINT) AS w
+      FROM c),
+t AS (SELECT sum(n_g) AS n_total, sum(w) AS sum_w FROM w),
+r AS (SELECT grp,
+             least(1e0, CAST(w * CAST(floor(CAST(n_total * 250000 AS DOUBLE)
+                                            / 1000000e0) AS BIGINT) AS DOUBLE)
+                        / CAST(sum_w * n_g AS DOUBLE)) AS rate
+      FROM w, t),
+d AS (SELECT doc_id, lang AS grp,
+             CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                  AS DOUBLE) / 4503599627370496e0 AS u
+      FROM documents)
+SELECT doc_id, grp, round(rate, 6) AS rate, round(u, 6) AS u
+FROM d JOIN r USING (grp) WHERE u < rate
+"""
+
+
 def q_kg_pagerank_weighted(spark, sf_dir):
     """Weighted PageRank on the co-mention graph: messages scale with the
     co-mention count w (rank/strength * w, strength = sum of incident w).
@@ -2919,6 +2951,9 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_labelprop": (q_kg_labelprop, SQL_KG_LABELPROP),
     "kg_pagerank_weighted": (q_kg_pagerank_weighted, SQL_KG_PAGERANK_WEIGHTED),
     "doc_weighted_sample": (q_doc_weighted_sample, SQL_DOC_WEIGHTED_SAMPLE),
+    # temperature-flattened (alpha=1/2) language mixing — the group-marginal
+    # rebalancing complement to doc_dsir_weight's register re-weighting.
+    "doc_temperature_mix": (q_doc_temperature_mix, SQL_DOC_TEMPERATURE_MIX),
     # the shipped dedup composition (pairs -> clusters -> keep); the CC
     # step gets an exact recursive-CTE oracle at test scale.
     "dedup_keep_list": (q_dedup_keep_list, SQL_DEDUP_KEEP_LIST),

@@ -365,3 +365,39 @@ def test_scrub_boilerplate_spans_overlap_union(spark):
            scrub_boilerplate_spans(docs, n=5).collect()}
     assert got[1] == ("keepme", 6)
     assert got[2] == ("other", 6)
+
+
+def test_temperature_mix_flattens_and_caps(spark):
+    """alpha=1/2 semantics: expected share proportional to sqrt(n_g) —
+    minority groups keep a HIGHER fraction than the head group; rates
+    never exceed 1; output is a subset keyed by the doc_id uniform; and
+    the whole decision is partitioning-invariant (deterministic hash)."""
+    from jcpg_spark.operators.curation import temperature_mix
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = temperature_mix(docs)
+    rates = {r["grp"]: r["rate"] for r in out.select("grp", "rate").distinct().collect()}
+    counts = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(rates) <= set(counts)
+    assert all(0.0 < v <= 1.0 for v in rates.values())
+    # tilt direction: the biggest group gets the smallest acceptance rate,
+    # and rates order inversely with group size (r_g proportional to 1/sqrt(n_g))
+    by_size = sorted(rates, key=lambda g: counts[g])
+    assert rates[by_size[0]] == max(rates.values())
+    assert rates[by_size[-1]] == min(rates.values())
+    for small, big in zip(by_size, by_size[1:]):
+        if counts[small] < counts[big]:
+            assert rates[small] >= rates[big]
+    # kept set is identical under a different partitioning
+    out2 = temperature_mix(docs.repartition(7, "lang"))
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in out2.select("doc_id").collect()}
+    assert ids == ids2
+    # expected-count accounting: sum over groups of rate*n_g is within
+    # rounding slack of the integer target T = floor(N * 0.25)
+    n_total = sum(counts.values())
+    expect = sum(rates[g] * counts[g] for g in rates)
+    target = n_total * 250_000 // 1_000_000
+    # capped groups can only LOWER the realized total vs T
+    assert expect <= target + len(rates)
+    assert expect > 0.5 * target
