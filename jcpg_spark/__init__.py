@@ -27,7 +27,11 @@ from jcpg_spark.caching import clear_caches
 from jcpg_spark.operators.canonicalize import connected_components
 from jcpg_spark.io import compaction_plan
 from jcpg_spark.operators.bpe import pair_counts as bpe_pair_counts, train as bpe_train
-from jcpg_spark.operators.curation import curation_decision, temperature_mix
+from jcpg_spark.operators.curation import (
+    corpus_build,
+    curation_decision,
+    temperature_mix,
+)
 from jcpg_spark.operators.lm import bigram_lm_scores, dsir_weights
 from jcpg_spark.operators.linking import link_asof
 from jcpg_spark.operators.subgraph import graph_diff, induced_subgraph
@@ -80,6 +84,7 @@ __all__ = [
     "keep_list",
     "leakage_safe_split",
     "compaction_plan",
+    "corpus_build",
     "curation_decision",
     "temperature_mix",
     "bpe_pair_counts",

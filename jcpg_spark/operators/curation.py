@@ -17,7 +17,33 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from jcpg_spark.functions.text import dup_ngram_fraction, predict_language, words
+from jcpg_spark.functions.text import (
+    dup_ngram_fraction,
+    normalize_text,
+    predict_language,
+    words,
+)
+
+
+def curation_reason(
+    text: Column,
+    min_words: int = 10,
+    max_word_len: int = 30,
+    max_dup_fraction: float = 0.2,
+) -> Column:
+    """First-failing-rule verdict as a pure Column expression, so composed
+    pipelines (``corpus_build``) can evaluate it map-side in the same scan
+    as their other per-row columns — no decision join, no extra exchange."""
+    ws = words(text)
+    n_words = F.size(ws)
+    mwl = F.array_max(F.transform(ws, lambda w: F.length(w)))
+    return (
+        F.when(n_words < min_words, "too_short")
+        .when(mwl > max_word_len, "word_too_long")
+        .when(dup_ngram_fraction(text) > max_dup_fraction, "repetitive")
+        .when(predict_language(text) == "und", "lang_unknown")
+        .otherwise("ok")
+    )
 
 
 def curation_decision(
@@ -44,19 +70,15 @@ def curation_decision(
     verdict — is identical on any engine, with no rounding-boundary
     ambiguity.
     """
-    ws = words(F.col(text_col))
-    n_words = F.size(ws)
-    mwl = F.array_max(F.transform(ws, lambda w: F.length(w)))
-    reason = (
-        F.when(n_words < min_words, "too_short")
-        .when(mwl > max_word_len, "word_too_long")
-        .when(dup_ngram_fraction(F.col(text_col)) > max_dup_fraction, "repetitive")
-        .when(predict_language(F.col(text_col)) == "und", "lang_unknown")
-        .otherwise("ok")
+    reason = curation_reason(
+        F.col(text_col),
+        min_words=min_words,
+        max_word_len=max_word_len,
+        max_dup_fraction=max_dup_fraction,
     )
     return docs.select(
         "doc_id",
-        n_words.alias("n_words"),
+        F.size(words(F.col(text_col))).alias("n_words"),
         reason.alias("reason"),
         (reason == "ok").alias("keep"),
     )
@@ -89,6 +111,36 @@ def temperature_mix(
     per-doc decision is a broadcast join + map-side filter — one scan of
     the corpus, no data-sized shuffle anywhere.
     """
+    rates = temperature_rates(docs, target_frac_ppm=target_frac_ppm, group_col=group_col)
+    u = doc_uniform()
+    return (
+        docs.select("doc_id", F.col(group_col).alias("grp"), u.alias("u"))
+        .join(F.broadcast(rates), "grp")
+        .where(F.col("u") < F.col("rate"))
+        .select("doc_id", "grp", F.round("rate", 6).alias("rate"), F.round("u", 6).alias("u"))
+    )
+
+
+def doc_uniform(id_col: str = "doc_id") -> Column:
+    """Deterministic uniform in [0, 1): 13 md5 hex digits / 2^52 — an exact
+    power-of-two division of an exact integer, so the value (and any
+    threshold comparison on it) is identical on every engine, rerun, and
+    partitioning (the ``doc_weighted_sample`` idiom)."""
+    return F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10).cast(
+        "double"
+    ) / F.lit(float(16**13))
+
+
+def temperature_rates(
+    docs: DataFrame,
+    target_frac_ppm: int = 250_000,
+    group_col: str = "lang",
+) -> DataFrame:
+    """-> (grp, rate): the alpha=1/2 acceptance-rate table over ``docs``'s
+    group marginal — min(1, T*w_g/(sum_w*n_g)), w_g = floor(sqrt(n_g)*1e6),
+    T = floor(N*target_frac_ppm/1e6). Dimension-sized; every inclusion-
+    relevant quantity is an exact integer or one correctly-rounded IEEE op
+    on exact integers (see ``temperature_mix``)."""
     grp = F.col(group_col).alias("grp")
     counts = docs.groupBy(grp).agg(F.count("*").alias("n_g"))
     weighted = counts.select(
@@ -102,7 +154,7 @@ def temperature_mix(
     t_docs = F.floor(
         (F.col("n_total") * F.lit(target_frac_ppm)).cast("double") / F.lit(1e6)
     ).cast("long")
-    rates = weighted.crossJoin(F.broadcast(totals)).select(
+    return weighted.crossJoin(F.broadcast(totals)).select(
         "grp",
         F.least(
             F.lit(1.0),
@@ -110,12 +162,89 @@ def temperature_mix(
             / (F.col("sum_w") * F.col("n_g")).cast("double"),
         ).alias("rate"),
     )
-    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
-        "double"
-    ) / F.lit(float(16**13))
-    return (
-        docs.select("doc_id", grp, u.alias("u"))
-        .join(F.broadcast(rates), "grp")
-        .where(F.col("u") < F.col("rate"))
-        .select("doc_id", "grp", F.round("rate", 6).alias("rate"), F.round("u", 6).alias("u"))
+
+
+def corpus_build(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    target_frac_ppm: int = 250_000,
+    decontam_n: int = 4,
+) -> DataFrame:
+    """-> (doc_id, grp, stage): the full training-corpus curation funnel as
+    ONE composition — every input doc gets its exact disposition, in rule
+    order:
+
+      ``filtered:<reason>`` — failed the C4/Gopher chain (first failing
+                              rule recorded: too_short / word_too_long /
+                              repetitive / lang_unknown)
+      ``duplicate``         — curated, but not the canonical (min doc_id)
+                              of its normalized-text duplicate group
+      ``contaminated``      — canonical, but shares >= 1 word
+                              ``decontam_n``-gram with ``eval_docs``
+                              (benchmark leakage)
+      ``not_sampled``       — survived everything, lost the alpha=1/2
+                              temperature-mix draw
+      ``kept``              — in the final training corpus.
+
+    This is the ledger a corpus card / data audit actually needs: the
+    funnel is ``groupBy(stage).count()`` and the shipped corpus is
+    ``where(stage = 'kept')`` — one operator call instead of five hand-
+    wired stages with ad-hoc joins, with every per-stage semantics
+    identical to the standalone operators (``curation_decision``,
+    ``exact_duplicates``, ``decontaminate.contamination``,
+    ``temperature_mix``).
+
+    Scale posture — the document TEXT never crosses an exchange: one scan
+    computes reason, the 16-byte normalized-text hash, and the md5 uniform
+    map-side; dedup is a groupBy + join on that hash (24-byte rows);
+    decontamination re-derives shingles map-side and broadcasts the
+    (benchmark-sized) eval shingle set, so only (hash, id) pairs shuffle;
+    contamination verdicts and the dimension-sized rate table join back by
+    id. Mix rates are computed over the POST-filter survivor marginal (the
+    distribution the sampler actually draws from), matching how a real
+    pipeline rebalances after cleaning.
+    """
+    from jcpg_spark.operators.decontaminate import contamination
+
+    base = docs.select(
+        "doc_id",
+        F.col(group_col).alias("grp"),
+        F.col(text_col).alias("text"),
+        curation_reason(F.col(text_col)).alias("reason"),
+        F.md5(normalize_text(F.col(text_col))).alias("norm_h"),
+        doc_uniform().alias("u"),
     )
+    curated = base.where(F.col("reason") == "ok")
+    canon = curated.groupBy("norm_h").agg(F.min("doc_id").alias("canonical_id"))
+    dd = curated.select("doc_id", "grp", "norm_h", "u").join(canon, "norm_h")
+    contaminated = (
+        contamination(curated, eval_docs, n=decontam_n, text_col="text")
+        .select("doc_id", F.lit(True).alias("is_contaminated"))
+    )
+    marked = (
+        dd.join(contaminated, "doc_id", "left")
+        .select(
+            "doc_id",
+            "grp",
+            "u",
+            (F.col("doc_id") == F.col("canonical_id")).alias("is_canon"),
+            F.coalesce(F.col("is_contaminated"), F.lit(False)).alias("is_cont"),
+        )
+    )
+    survivors = marked.where(F.col("is_canon") & ~F.col("is_cont"))
+    rates = temperature_rates(survivors, target_frac_ppm=target_frac_ppm, group_col="grp")
+    staged = marked.join(F.broadcast(rates), "grp", "left").select(
+        "doc_id",
+        "grp",
+        F.when(~F.col("is_canon"), "duplicate")
+        .when(F.col("is_cont"), "contaminated")
+        .when(F.col("u") < F.col("rate"), "kept")
+        .otherwise("not_sampled")
+        .alias("stage"),
+    )
+    filtered = base.where(F.col("reason") != "ok").select(
+        "doc_id", "grp", F.concat(F.lit("filtered:"), F.col("reason")).alias("stage")
+    )
+    return staged.unionByName(filtered)

@@ -2377,6 +2377,92 @@ FROM d JOIN r USING (grp) WHERE u < rate
 """
 
 
+def q_corpus_build(spark, sf_dir):
+    """The full curation funnel as one call: C4/Gopher filter -> exact
+    dedup (min-id canonical) -> benchmark decontamination (4-gram overlap
+    with the md5-'f' eval slice) -> alpha=1/2 temperature mix over the
+    survivor marginal. Output is the per-document disposition ledger
+    (doc_id, grp, stage); the corpus card's funnel is groupBy(stage) and
+    the shipped corpus is stage='kept'. Every stage's semantics equals the
+    standalone operator's; text never crosses an exchange."""
+    from jcpg_spark.operators.curation import corpus_build
+
+    d = _docs(spark, sf_dir)
+    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "f"
+    return corpus_build(d.where(~is_eval), d.where(is_eval))
+
+
+SQL_CORPUS_BUILD = r"""
+WITH b0 AS (SELECT doc_id, lang, text,
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' AS is_eval
+            FROM documents),
+w AS (SELECT doc_id, lang, text,
+             regexp_extract_all(lower(text), '[a-z]+') AS ws, lower(text) AS lt
+      FROM b0 WHERE NOT is_eval),
+s AS (SELECT doc_id, lang, text, ws, len(ws) AS n_words,
+             list_max(list_transform(ws, x -> len(x))) AS mwl,
+             CASE WHEN len(ws) >= 2
+                  THEN 1e0 - len(list_distinct(list_transform(generate_series(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1]))) / CAST(len(ws) - 1 AS DOUBLE)
+                  ELSE 0e0 END AS dup2,
+             len(regexp_extract_all(lt, '\b(?:the|and|of|is|to|in|that)\b')) AS en,
+             len(regexp_extract_all(lt, '\b(?:el|la|los|las|de|que|y|es)\b')) AS es,
+             len(regexp_extract_all(lt, '\b(?:der|die|das|und|ist|nicht|ein)\b')) AS de,
+             len(regexp_extract_all(lt, '\b(?:le|les|et|est|une|dans|pour)\b')) AS fr
+      FROM w),
+r AS (SELECT doc_id, lang, text, ws,
+             CASE WHEN n_words < 10 THEN 'too_short'
+                  WHEN mwl > 30 THEN 'word_too_long'
+                  WHEN dup2 > 0.2e0 THEN 'repetitive'
+                  WHEN greatest(en, es, de, fr) < 2 THEN 'lang_unknown'
+                  ELSE 'ok' END AS reason
+      FROM s),
+cur AS (SELECT doc_id, lang, text, ws,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS norm_h,
+               CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                    AS DOUBLE) / 4503599627370496e0 AS u
+        FROM r WHERE reason = 'ok'),
+canon AS (SELECT norm_h, min(doc_id) AS canonical_id FROM cur GROUP BY norm_h),
+tsh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 4
+            THEN list_transform(generate_series(1, len(ws) - 3),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+            ELSE [] END)) AS shingle
+        FROM cur),
+esh AS (SELECT DISTINCT unnest(CASE WHEN len(ws) >= 4
+            THEN list_transform(generate_series(1, len(ws) - 3),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+            ELSE [] END) AS shingle
+        FROM (SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws
+              FROM b0 WHERE is_eval)),
+cont AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN esh e USING (shingle)),
+marked AS (SELECT c.doc_id, c.lang AS grp, c.u,
+                  c.doc_id = cn.canonical_id AS is_canon,
+                  ct.doc_id IS NOT NULL AS is_cont
+           FROM cur c JOIN canon cn USING (norm_h)
+           LEFT JOIN cont ct USING (doc_id)),
+surv AS (SELECT grp, count(*) AS n_g FROM marked
+         WHERE is_canon AND NOT is_cont GROUP BY grp),
+w2 AS (SELECT grp, n_g,
+              CAST(floor(sqrt(CAST(n_g AS DOUBLE)) * 1000000e0) AS BIGINT) AS w
+       FROM surv),
+t2 AS (SELECT sum(n_g) AS n_total, sum(w) AS sum_w FROM w2),
+r2 AS (SELECT grp,
+              least(1e0, CAST(w * CAST(floor(CAST(n_total * 250000 AS DOUBLE)
+                                             / 1000000e0) AS BIGINT) AS DOUBLE)
+                         / CAST(sum_w * n_g AS DOUBLE)) AS rate
+       FROM w2, t2)
+SELECT m.doc_id, m.grp,
+       CASE WHEN NOT m.is_canon THEN 'duplicate'
+            WHEN m.is_cont THEN 'contaminated'
+            WHEN m.u < r2.rate THEN 'kept'
+            ELSE 'not_sampled' END AS stage
+FROM marked m LEFT JOIN r2 USING (grp)
+UNION ALL
+SELECT doc_id, lang AS grp, 'filtered:' || reason AS stage
+FROM r WHERE reason <> 'ok'
+"""
+
+
 def q_kg_pagerank_weighted(spark, sf_dir):
     """Weighted PageRank on the co-mention graph: messages scale with the
     co-mention count w (rank/strength * w, strength = sum of incident w).
@@ -2954,6 +3040,9 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     # temperature-flattened (alpha=1/2) language mixing — the group-marginal
     # rebalancing complement to doc_dsir_weight's register re-weighting.
     "doc_temperature_mix": (q_doc_temperature_mix, SQL_DOC_TEMPERATURE_MIX),
+    # the capstone composition: filter -> dedup -> decontaminate -> mix as
+    # one per-document disposition ledger, exact end-to-end.
+    "corpus_build": (q_corpus_build, SQL_CORPUS_BUILD),
     # the shipped dedup composition (pairs -> clusters -> keep); the CC
     # step gets an exact recursive-CTE oracle at test scale.
     "dedup_keep_list": (q_dedup_keep_list, SQL_DEDUP_KEEP_LIST),

@@ -401,3 +401,99 @@ def test_temperature_mix_flattens_and_caps(spark):
     # capped groups can only LOWER the realized total vs T
     assert expect <= target + len(rates)
     assert expect > 0.5 * target
+
+
+def test_corpus_build_funnel_consistent_with_standalone_ops(spark):
+    """The one-call funnel must agree stage-by-stage with the standalone
+    operators it composes: filtered == curation_decision's drops,
+    duplicate == non-canonical curated docs, contaminated == contamination
+    hits among canonicals, kept == temperature_mix over the survivors.
+    Also: the ledger covers every train doc exactly once."""
+    from jcpg_spark.operators.curation import (
+        corpus_build,
+        curation_decision,
+        temperature_mix,
+    )
+    from jcpg_spark.operators.decontaminate import contamination
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "f"
+    train, evald = docs.where(~is_eval), docs.where(is_eval)
+
+    ledger = corpus_build(train, evald)
+    rows = {r["doc_id"]: r["stage"] for r in ledger.collect()}
+    assert len(rows) == train.count()  # total coverage, one row per doc
+
+    verdict = {r["doc_id"]: r["reason"] for r in curation_decision(train).collect()}
+    assert {d for d, s in rows.items() if s.startswith("filtered:")} == {
+        d for d, v in verdict.items() if v != "ok"
+    }
+    for d, s in rows.items():
+        if s.startswith("filtered:"):
+            assert s == f"filtered:{verdict[d]}"
+
+    curated = train.where(
+        F.col("doc_id").isin([d for d, v in verdict.items() if v == "ok"])
+    )
+    from jcpg_spark.functions.text import normalize_text
+
+    canon = {
+        r["m"]
+        for r in curated.select(normalize_text(F.col("text")).alias("n"), "doc_id")
+        .groupBy("n").agg(F.min("doc_id").alias("m")).collect()
+    }
+    assert {d for d, s in rows.items() if s == "duplicate"} == {
+        d for d, v in verdict.items() if v == "ok" and d not in canon
+    }
+
+    cont = {r["doc_id"] for r in contamination(curated, evald, n=4).collect()}
+    assert {d for d, s in rows.items() if s == "contaminated"} == canon & cont
+
+    survivors = curated.where(
+        F.col("doc_id").isin(list(canon - cont))
+    )
+    kept = {r["doc_id"] for r in temperature_mix(survivors).select("doc_id").collect()}
+    assert {d for d, s in rows.items() if s == "kept"} == kept
+    assert {d for d, s in rows.items() if s == "not_sampled"} == (canon - cont) - kept
+
+    # partitioning invariance of the whole ledger
+    ledger2 = corpus_build(train.repartition(7, "lang"), evald.repartition(3))
+    rows2 = {r["doc_id"]: r["stage"] for r in ledger2.collect()}
+    assert rows == rows2
+
+
+def test_corpus_build_every_stage_fires_on_fixture(spark):
+    """Handcrafted corpus where each disposition branch provably fires:
+    every filter reason, a normalized-whitespace duplicate, an eval-4-gram
+    contamination hit, and a mix split into kept + not_sampled."""
+    from jcpg_spark.operators.curation import corpus_build
+
+    filler = "the cat and the dog is in the house that runs fast"
+    train = [
+        (1, "en", filler),                                  # canonical survivor
+        (2, "en", "  the cat and  the dog is in the house that runs   fast "),  # dup of 1
+        (3, "en", "the cat"),                               # filtered:too_short
+        (4, "en", "the dog is in the house and it has " + "a" * 40),  # word_too_long
+        (5, "en", "the cat " * 6),                          # filtered:repetitive
+        (6, "en", "zz qq ww rr tt yy uu ii oo pp kk jj"),   # filtered:lang_unknown
+        (8, "en", "the dog is in that house with purple monkey dishwasher xylophone sounds"),  # contaminated
+    ] + [
+        (100 + i, "en" if i % 2 else "es",
+         ("the bird and the fish is in the water that swims here alone no " if i % 2
+          else "el gato y la casa de que los pajaros es aqui mismo hoy bien ") + f"num{i} extra")
+        for i in range(12)
+    ]
+    evald = [(7, "purple monkey dishwasher xylophone noise from the benchmark slice here")]
+    tdf = spark.createDataFrame(train, ["doc_id", "lang", "text"])
+    edf = spark.createDataFrame(evald, ["doc_id", "text"])
+    out = {r["doc_id"]: r["stage"] for r in corpus_build(tdf, edf, target_frac_ppm=500_000).collect()}
+    assert out[2] == "duplicate"
+    assert out[3] == "filtered:too_short"
+    assert out[4] == "filtered:word_too_long"
+    assert out[5] == "filtered:repetitive"
+    assert out[6] == "filtered:lang_unknown"
+    assert out[8] == "contaminated"
+    survivors = {1, *range(100, 112)}
+    assert {d for d, s in out.items() if s in ("kept", "not_sampled")} == survivors
+    stages = set(out.values())
+    assert "kept" in stages and "not_sampled" in stages

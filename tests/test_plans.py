@@ -306,3 +306,35 @@ def test_hits_and_fastrp_plan_shapes(spark):
     e = spark.createDataFrame([(1, 2), (2, 3)], "a int, b int")
     fplan = _plan(fastrp(e, dim=4))
     assert "CartesianProduct" not in fplan
+
+
+def test_corpus_build_text_never_crosses_an_exchange(spark):
+    """The funnel's 100 TB contract: the document text column is consumed
+    map-side (reason, norm hash, shingles, uniform) and only (hash, id,
+    label) tuples shuffle. Gate: no shuffle Exchange's immediate child
+    outputs the text attribute; and no cartesian anywhere (the 1-row
+    totals crossJoin must stay a broadcast nested loop)."""
+    from jcpg_spark.operators.curation import corpus_build
+
+    train = spark.createDataFrame(
+        [(i, "en" if i % 2 else "es",
+          f"the cat and the dog is in the house that runs fast num{i}")
+         for i in range(10)],
+        "doc_id long, lang string, text string",
+    )
+    evald = spark.createDataFrame(
+        [(100, "purple monkey dishwasher xylophone noise here")],
+        "doc_id long, text string",
+    )
+    plan = _plan(corpus_build(train, evald))
+    assert "CartesianProduct" not in plan
+    import re
+
+    # a bare `text#N` output attribute (list-delimited) means the column
+    # itself crosses; `lower(text#N)`-style argument references are the
+    # map-side CONSUMPTION the design wants and don't match.
+    bare_text = re.compile(r"[\[,] ?text#\d+[,\]]")
+    lines = [ln for ln in plan.split("\n") if ln.strip()]
+    for i, ln in enumerate(lines):
+        if "Exchange hashpartitioning" in ln and i + 1 < len(lines):
+            assert not bare_text.search(lines[i + 1]), lines[i + 1]
