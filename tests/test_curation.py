@@ -497,3 +497,28 @@ def test_corpus_build_every_stage_fires_on_fixture(spark):
     assert {d for d, s in out.items() if s in ("kept", "not_sampled")} == survivors
     stages = set(out.values())
     assert "kept" in stages and "not_sampled" in stages
+
+
+def test_corpus_build_edge_inputs(spark):
+    """Degenerate inputs must not crash or mislabel: an empty train side
+    yields an empty ledger; a train side where every doc fails the filter
+    yields only filtered:* rows (the mix stage sees zero survivors and
+    must not divide by zero or drop rows); an empty eval side means no
+    contamination stage fires but everything else proceeds."""
+    from jcpg_spark.operators.curation import corpus_build
+
+    schema = "doc_id long, lang string, text string"
+    empty = spark.createDataFrame([], schema)
+    evald = spark.createDataFrame([(9, "purple monkey dishwasher xylophone")],
+                                  "doc_id long, text string")
+    assert corpus_build(empty, evald).count() == 0
+
+    all_bad = spark.createDataFrame([(1, "en", "too short"), (2, "es", "x y")], schema)
+    out = {r["doc_id"]: r["stage"] for r in corpus_build(all_bad, evald).collect()}
+    assert out == {1: "filtered:too_short", 2: "filtered:too_short"}
+
+    ok_doc = "the cat and the dog is in the house that runs fast"
+    train = spark.createDataFrame([(1, "en", ok_doc)], schema)
+    no_eval = spark.createDataFrame([], "doc_id long, text string")
+    out2 = {r["doc_id"]: r["stage"] for r in corpus_build(train, no_eval).collect()}
+    assert set(out2.values()) <= {"kept", "not_sampled"}
