@@ -38,6 +38,7 @@ from jcpg_spark.operators.subgraph import graph_diff, induced_subgraph
 from jcpg_spark.operators.dedup import (
     boilerplate_spans,
     boilerplate_texts,
+    duplicate_spans,
     jaccard_pairs_prefix,
     keep_list,
     leakage_safe_split,
@@ -95,6 +96,7 @@ __all__ = [
     "bigram_lm_scores",
     "boilerplate_spans",
     "boilerplate_texts",
+    "duplicate_spans",
     "class_centroids",
     "co_mention_edges",
     "component_sizes",

@@ -784,3 +784,91 @@ def scrub_boilerplate_spans(
             ).cast("int").alias("n_removed"),
         )
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 16,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (doc_id, span_start, span_end, span_len): maximal word-position
+    intervals in which every length-``k`` word window occurs >=
+    ``min_count`` times across the ENTIRE corpus (occurrences, not distinct
+    documents — a verbatim repeat inside one document is a duplicate too).
+    This is the ExactSubstr unit of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), re-expressed hash-first
+    instead of via their monolithic suffix array: a shared substring of
+    word length L >= k shows up as L-k+1 consecutive duplicated k-grams,
+    so maximal duplicated regions are exactly the interval union of
+    [p, p+k-1] over duplicated k-gram start positions p (positions merge
+    while the gap between consecutive duplicated starts is <= k).
+
+    Where ``boilerplate_spans`` asks "which n-gram strings recur across
+    sources" (vocabulary-sized answer), this asks "which REGIONS of which
+    documents are verbatim repeats" (corpus-addressed answer) — the form a
+    scrubber or a span-level dedup policy consumes.
+
+    Scale posture: the k-gram keys are 8-byte xxhash64 longs computed
+    map-side (gram strings never cross a shuffle), global occurrence
+    counting is one hash-agg with map-side partials, duplicated positions
+    come back via one semi-join on the long key, and the interval merge is
+    the sessionize idiom (lag + running sum over a per-document window)
+    ending in one hash-agg. No UDF, no self-join, no pair table — hub
+    k-grams cost one counter cell each, so no df-cap is needed (contrast
+    jaccard_pairs, whose candidate join is quadratic per shingle bucket).
+    Collision odds are the usual ~|grams|^2 / 2^64 of the hashed-key
+    convention documented on word_shingles.
+
+    Reference analog: region detection over an ordered token stream is the
+    corpus-side twin of the DDG's reaching-definition interval logic
+    (JavacpgDDGBuilder.java:102-117); in the training-data pipeline it
+    feeds span removal the way boilerplate_spans feeds
+    scrub_boilerplate_spans.
+    """
+    from pyspark.sql import Window
+
+    from jcpg_spark.caching import swap_persist
+
+    ws = words(F.col(text_col))
+    grams = docs.select(
+        "doc_id",
+        F.when(
+            F.size(ws) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - k),
+                lambda i: F.xxhash64(
+                    F.concat_ws(
+                        " ",
+                        *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(k)],
+                    )
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("hs"),
+    ).select("doc_id", F.posexplode("hs").alias("pos", "h"))
+    # two consumers (the global count and the semi-join) read the same
+    # one-pass gram table; keyed persist per the caching convention
+    grams = swap_persist("duplicate_spans.grams", grams)
+    hot = (
+        grams.groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .select("h")
+    )
+    dup = grams.join(hot, "h", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seg = dup.withColumn(
+        "brk", F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0)
+    ).withColumn("seg", F.sum("brk").over(w))
+    return (
+        seg.groupBy("doc_id", "seg")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + k - 1).alias("e"))
+        .select(
+            "doc_id",
+            F.col("s").cast("int").alias("span_start"),
+            F.col("e").cast("int").alias("span_end"),
+            (F.col("e") - F.col("s") + 1).cast("int").alias("span_len"),
+        )
+    )

@@ -2828,6 +2828,40 @@ FROM anchors a JOIN rn t ON t.bkt = a.bkt AND t.rn = a.tgt
 """
 
 
+def q_doc_dup_spans(spark, sf_dir):
+    """ExactSubstr-style duplicated-region extraction (Lee et al. 2022):
+    maximal word-position intervals whose every 8-word window occurs >= 2
+    times corpus-wide (occurrences, not documents). Spark side keys the
+    count on xxhash64 longs; the oracle groups on the gram STRING itself,
+    so a value match certifies both the hashing and the interval merge
+    (any hash collision would shift a span boundary)."""
+    return dedup.duplicate_spans(_docs(spark, sf_dir), k=8, min_count=2)
+
+
+SQL_DOC_DUP_SPANS = r"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+           FROM documents),
+g AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+             array_to_string(ws[i : i + 7], ' ') AS gram
+      FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+      WHERE len(ws) >= 8),
+hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+dup AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM hot)),
+brk AS (SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                    THEN 1 ELSE 0 END AS b
+        FROM dup),
+seg AS (SELECT doc_id, pos,
+               sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+        FROM brk)
+SELECT doc_id,
+       CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + 7 AS INT) AS span_end,
+       CAST(max(pos) + 8 - min(pos) AS INT) AS span_len
+FROM seg GROUP BY doc_id, seg
+"""
+
+
 def q_kg_graph_diff(spark, sf_dir):
     """Snapshot delta after a deletion purge: rebuild the co-mention graph
     without every 10th user's conversations and diff edge sets keyed on
@@ -3088,6 +3122,9 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     # product-quantization ANN (trained codebooks -> rows-only; exactness
     # gates in pytest: numpy-twin codes + on-grid ADC == exact L2)
     "ann_pq_topk": (q_ann_pq_topk, None),
+    # ExactSubstr duplicated-region extraction (hash-keyed k-gram coverage
+    # union; the string-keyed oracle certifies hashing + interval merge)
+    "doc_dup_spans": (q_doc_dup_spans, SQL_DOC_DUP_SPANS),
     "doc_curation_decision": (q_doc_curation_decision, SQL_DOC_CURATION_DECISION),
     "emb_class_centroids": (q_emb_class_centroids, SQL_EMB_CLASS_CENTROIDS),
     # folded in r4 to make room for kg_export_json: the full build is

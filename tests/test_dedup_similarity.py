@@ -511,3 +511,77 @@ def test_pq_topk_beats_random_on_real_embeddings(spark):
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     recall = len(a & e) / len(e)
     assert recall >= 0.2, recall
+
+
+# --- duplicate_spans (ExactSubstr, Lee et al. 2022) -----------------------
+
+
+def _spans(df):
+    return {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in df.collect()
+    }
+
+
+def test_duplicate_spans_closed_forms(spark):
+    from jcpg_spark.operators.dedup import duplicate_spans
+
+    common = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    long_shared = common + " iota kappa"  # 10 words -> 3 overlapping 8-grams
+    docs = spark.createDataFrame(
+        [
+            # shares `long_shared` with doc 2 at offset 2 / offset 0
+            (1, "pre one " + long_shared + " tail unique words here"),
+            (2, long_shared + " completely different ending tokens"),
+            # unique text, >= 8 words, must produce NO spans
+            (3, "nine distinct tokens that appear nowhere else at all"),
+            # shorter than k words: no grams, no crash
+            (4, "too short"),
+        ],
+        "doc_id int, text string",
+    )
+    got = _spans(duplicate_spans(docs, k=8, min_count=2))
+    # overlapping duplicated 8-grams merge to ONE maximal span of len 10
+    assert got == {(1, 2, 11, 10), (2, 0, 9, 10)}
+
+
+def test_duplicate_spans_within_doc_repeat_counts(spark):
+    from jcpg_spark.operators.dedup import duplicate_spans
+
+    rep = "one two three four five six seven eight"  # 8 words
+    # the 8-gram occurs twice in the SAME document (positions 0 and 10);
+    # occurrence counting (not distinct-doc counting) must flag both, and
+    # the gap (10 > k=8) must keep them as two separate spans
+    docs = spark.createDataFrame(
+        [(1, rep + " mid1 mid2 " + rep)],
+        "doc_id int, text string",
+    )
+    got = _spans(duplicate_spans(docs, k=8, min_count=2))
+    assert got == {(1, 0, 7, 8), (1, 10, 17, 8)}
+
+
+def test_duplicate_spans_two_regions_and_min_count(spark):
+    from jcpg_spark.operators.dedup import duplicate_spans
+
+    r1 = "aa bb cc dd ee ff gg hh"
+    r2 = "pp qq rr ss tt uu vv ww"
+    # 9 unique words > k (alphabetic: words() strips digits, so "g1".."g9"
+    # would all collapse to "g" and form a real within-doc duplicate run)
+    gap = "ga gb gc gd ge gf gg gh gi"
+    docs = spark.createDataFrame(
+        [
+            (1, r1 + " " + gap + " " + r2),
+            (2, r1 + " other filler tokens entirely distinct"),
+            (3, r2 + " more unrelated trailing content words"),
+        ],
+        "doc_id int, text string",
+    )
+    got = _spans(duplicate_spans(docs, k=8, min_count=2))
+    assert got == {
+        (1, 0, 7, 8),
+        (1, 17, 24, 8),
+        (2, 0, 7, 8),
+        (3, 0, 7, 8),
+    }
+    # min_count above the occurrence count -> nothing fires
+    assert _spans(duplicate_spans(docs, k=8, min_count=3)) == set()

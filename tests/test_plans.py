@@ -338,3 +338,32 @@ def test_corpus_build_text_never_crosses_an_exchange(spark):
     for i, ln in enumerate(lines):
         if "Exchange hashpartitioning" in ln and i + 1 < len(lines):
             assert not bare_text.search(lines[i + 1]), lines[i + 1]
+
+
+def test_duplicate_spans_hashed_keys_and_exchange_budget(spark):
+    """duplicate_spans (ExactSubstr): exactly three exchanges — the global
+    k-gram occurrence count on the 8-byte hash, the hot-key broadcast back
+    to positions, and ONE doc_id partitioning reused by both window frames
+    and the final (doc_id, seg) hash-agg. No gram string may cross any
+    exchange (the shuffle key is the xxhash64 long)."""
+    import re
+
+    from jcpg_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta " + f"u{chr(97+i)}")
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    plan = _plan(duplicate_spans(docs, k=8, min_count=2))
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    # the hot-key semi-join may be broadcast (parquet stats, observed at
+    # sf0.001) or shuffle/SMJ on the long key (statless local relation /
+    # a genuinely large hot set at scale) — both are fine; a cartesian
+    # never is
+    assert "CartesianProduct" not in plan
+    bare_text = re.compile(r"[\[,] ?(text|gram|g)#\d+[,\]]")
+    lines = [ln for ln in plan.split("\n") if ln.strip()]
+    for i, ln in enumerate(lines):
+        if "Exchange hashpartitioning" in ln and i + 1 < len(lines):
+            assert not bare_text.search(lines[i + 1]), lines[i + 1]
