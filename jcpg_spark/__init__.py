@@ -32,7 +32,7 @@ from jcpg_spark.operators.curation import (
     curation_decision,
     temperature_mix,
 )
-from jcpg_spark.operators.lm import bigram_lm_scores, dsir_weights
+from jcpg_spark.operators.lm import bigram_lm_scores, dsir_weights, skipgram_counts
 from jcpg_spark.operators.linking import link_asof
 from jcpg_spark.operators.subgraph import graph_diff, induced_subgraph
 from jcpg_spark.operators.dedup import (
@@ -43,6 +43,7 @@ from jcpg_spark.operators.dedup import (
     keep_list,
     leakage_safe_split,
     scrub_boilerplate_spans,
+    scrub_duplicate_spans,
     semantic_dedup,
 )
 from jcpg_spark.operators.similarity import (
@@ -110,6 +111,8 @@ __all__ = [
     "dsir_weights",
     "semantic_dedup",
     "scrub_boilerplate_spans",
+    "scrub_duplicate_spans",
+    "skipgram_counts",
     "pq_codebooks",
     "pq_encode",
     "pq_topk",

@@ -760,6 +760,18 @@ def scrub_boilerplate_spans(
         .select("doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + n - 1)).alias("pos"))
         .distinct()
     )
+    return _excise_positions(docs, pos_words, covered)
+
+
+def _excise_positions(
+    docs: DataFrame, pos_words: DataFrame, covered: DataFrame
+) -> DataFrame:
+    """-> (doc_id, clean_text, n_removed): drop every ``covered``
+    (doc_id, pos) word position from ``pos_words`` and rejoin the
+    survivors in order — the shared rebuild tail of both span scrubbers
+    (one anti-join, one hash-agg with the sorted-collect_list reassembly
+    idiom, and a left join back to the full doc set so fully-scrubbed
+    documents come back as empty strings, not dropped rows)."""
     kept = pos_words.join(covered, ["doc_id", "pos"], "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.concat_ws(
@@ -872,3 +884,42 @@ def duplicate_spans(
             (F.col("e") - F.col("s") + 1).cast("int").alias("span_len"),
         )
     )
+
+
+def scrub_duplicate_spans(
+    docs: DataFrame,
+    k: int = 16,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (doc_id, clean_text, n_removed): rewrite each document with its
+    ExactSubstr duplicated regions excised — every word position covered
+    by a ``duplicate_spans`` interval (each k-gram occurring >=
+    ``min_count`` times corpus-wide) is dropped from EVERY copy, and the
+    survivors rejoin in order. Lee et al. 2022 cut the duplicated bytes
+    out of the training stream the same way; dropping all copies (rather
+    than all-but-one) is their published setting and keeps the operator a
+    pure per-position filter — no global copy-election step, which at
+    10^12 turns would be another CC-sized coordination problem for ~0.001
+    residual mass.
+
+    Output contract matches ``scrub_boilerplate_spans`` exactly (same
+    normalized token stream, same empty-string-not-dropped-row rule), so
+    downstream curation treats the two scrubbers interchangeably. Costs
+    one extra posexplode of word positions on top of ``duplicate_spans``;
+    covered positions come straight off the merged intervals (already
+    distinct by construction — intervals within a document are disjoint).
+    """
+    from jcpg_spark.caching import swap_persist
+
+    ws = words(F.col(text_col))
+    pos_words = swap_persist(
+        "scrub_dup.pos_words",
+        docs.select("doc_id", F.posexplode(ws).alias("pos", "w")),
+    )
+    spans = duplicate_spans(docs, k=k, min_count=min_count, text_col=text_col)
+    covered = spans.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("span_start"), F.col("span_end"))).alias("pos"),
+    )
+    return _excise_positions(docs, pos_words, covered)

@@ -166,3 +166,57 @@ def dsir_weights(
     return scored.groupBy("doc_id").agg(
         (F.sum(F.col("n") * F.col("llr")) / F.sum("n")).alias("dsir_weight")
     )
+
+
+def skipgram_counts(
+    docs: DataFrame,
+    window: int = 2,
+    min_count: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (w_center, w_context, cnt): word2vec-style skip-gram pair counts
+    — for every word position, each word within ``window`` positions on
+    either side contributes one (center, context) observation (Mikolov et
+    al. 2013's training-pair extraction, minus their distance subsampling,
+    which is a train-time choice not a counting one). Counts are symmetric
+    by construction: cnt(a, b) == cnt(b, a).
+
+    The co-occurrence frame embedding trainers (word2vec SGNS, GloVe's
+    X_ij matrix, PPMI-SVD) consume; ``cooccurrence_lift`` is the entity-
+    granularity sibling, this is the token-granularity one.
+
+    Plan: context words come from ``lead()`` frames over ONE per-document
+    window partitioning (no positions self-join — a self-join on
+    |pos diff| <= w is a range join Spark would planless-nested-loop),
+    then one hash-agg on the pair. Two exchanges total; the 2*window
+    struct array explodes map-side between them. ``min_count`` prunes the
+    long tail (hapax pairs dominate raw skip-gram counts) AFTER the agg,
+    map-side-free.
+    """
+    from pyspark.sql import Window
+
+    ws = words(F.col(text_col))
+    pw = docs.select("doc_id", F.posexplode(ws).alias("pos", "w"))
+    wspec = Window.partitionBy("doc_id").orderBy("pos")
+    # window expressions must be top-level select items — materialize the
+    # lead columns first, assemble the struct array in a second projection
+    # (both run inside the same window stage; no extra exchange)
+    led = pw.select(
+        "w", *[F.lead("w", o).over(wspec).alias(f"n{o}") for o in range(1, window + 1)]
+    )
+    pairs = []
+    for o in range(1, window + 1):
+        nxt = F.col(f"n{o}")
+        pairs += [
+            F.struct(F.col("w").alias("c"), nxt.alias("x")),
+            F.struct(nxt.alias("c"), F.col("w").alias("x")),
+        ]
+    return (
+        led.select(F.explode(F.array(*pairs)).alias("p"))
+        .where(F.col("p.c").isNotNull() & F.col("p.x").isNotNull())
+        .groupBy(
+            F.col("p.c").alias("w_center"), F.col("p.x").alias("w_context")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )

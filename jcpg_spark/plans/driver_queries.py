@@ -2862,6 +2862,101 @@ FROM seg GROUP BY doc_id, seg
 """
 
 
+def q_doc_scrub_dup(spark, sf_dir):
+    """ExactSubstr span REMOVAL (Lee et al. 2022): rewrite every document
+    with its duplicated regions (8-gram occurring >= 2 times corpus-wide)
+    excised from every copy. Same output contract as doc_scrub_spans;
+    exact oracle on the full rewritten text."""
+    return dedup.scrub_duplicate_spans(_docs(spark, sf_dir), k=8, min_count=2)
+
+
+SQL_DOC_SCRUB_DUP = r"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+           FROM documents),
+pw AS (SELECT doc_id, unnest(ws) AS wd,
+              unnest(generate_series(0, len(ws) - 1)) AS pos
+       FROM w WHERE len(ws) >= 1),
+g AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+             array_to_string(ws[i : i + 7], ' ') AS gram
+      FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+      WHERE len(ws) >= 8),
+hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+cov AS (SELECT DISTINCT d.doc_id, d.pos + o.o AS pos
+        FROM (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM hot)) d,
+             (SELECT unnest(generate_series(0, 7)) AS o) o),
+kept AS (SELECT pw.doc_id, pw.wd, pw.pos FROM pw
+         ANTI JOIN cov ON cov.doc_id = pw.doc_id AND cov.pos = pw.pos),
+reb AS (SELECT doc_id, string_agg(wd, ' ' ORDER BY pos) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_words FROM pw GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(reb.clean_text, '') AS clean_text,
+       CAST(coalesce(tot.n_words, 0) - coalesce(reb.n_kept, 0) AS INT) AS n_removed
+FROM documents d
+LEFT JOIN tot ON tot.doc_id = d.doc_id
+LEFT JOIN reb ON reb.doc_id = d.doc_id
+"""
+
+
+def q_doc_skipgrams(spark, sf_dir):
+    """word2vec-style skip-gram pair counts (window +-2, min_count 3) —
+    the co-occurrence frame SGNS/GloVe/PPMI-SVD trainers consume. The
+    Spark side uses lead() frames over one per-doc window partitioning;
+    the oracle is the literal positions self-join on |pos diff| <= 2, so
+    a value match certifies the lead-frame reformulation."""
+    from jcpg_spark.operators.lm import skipgram_counts
+
+    return skipgram_counts(_docs(spark, sf_dir), window=2, min_count=3)
+
+
+SQL_DOC_SKIPGRAMS = r"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+           FROM documents),
+pw AS (SELECT doc_id, unnest(ws) AS wd,
+              unnest(generate_series(0, len(ws) - 1)) AS pos
+       FROM w WHERE len(ws) >= 1)
+SELECT a.wd AS w_center, b.wd AS w_context, count(*) AS cnt
+FROM pw a JOIN pw b
+  ON a.doc_id = b.doc_id AND a.pos <> b.pos AND abs(a.pos - b.pos) <= 2
+GROUP BY 1, 2 HAVING count(*) >= 3
+"""
+
+
+def q_kg_kcore(spark, sf_dir):
+    """k-core of the co-mention graph (iterative peeling: drop vertices of
+    degree < k until fixpoint) — the standard dense-subgraph filter for
+    entity-graph noise removal. The oracle unrolls the peel as 12 plain
+    CTE rounds: peeling is IDEMPOTENT past its fixpoint, so any unroll
+    >= the true peel depth (3 at sf0.001, pytest-pinned) is exact."""
+    edges = _comention_edges(spark, sf_dir, min_weight=4)
+    return graph_analytics.kcore(edges, k=25)[0]
+
+
+def _sql_kcore(k: int, rounds: int) -> str:
+    com = _sql_comention_where().replace("count(*) >= 2", "count(*) >= 4")
+    parts = [
+        f"WITH e AS ({com}),\n",
+        "a0 AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b AS s, a AS t FROM e)",
+    ]
+    prev = "a0"
+    for i in range(1, rounds + 1):
+        # MATERIALIZED is load-bearing: each round references its
+        # predecessor three times, so plain (inlined) CTEs would expand
+        # to 3^rounds base-table scans
+        parts.append(
+            f",\nk{i} AS MATERIALIZED (SELECT s FROM {prev} GROUP BY s HAVING count(*) >= {k})"
+            f",\na{i} AS MATERIALIZED (SELECT s, t FROM {prev}"
+            f" WHERE s IN (SELECT s FROM k{i}) AND t IN (SELECT s FROM k{i}))"
+        )
+        prev = f"a{i}"
+    parts.append(f"\nSELECT s AS item, count(*) AS deg FROM {prev} GROUP BY s")
+    return "".join(parts)
+
+
+SQL_KG_KCORE = _sql_kcore(25, 12)
+
+
 def q_kg_graph_diff(spark, sf_dir):
     """Snapshot delta after a deletion purge: rebuild the co-mention graph
     without every 10th user's conversations and diff edge sets keyed on
@@ -3124,7 +3219,15 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "ann_pq_topk": (q_ann_pq_topk, None),
     # ExactSubstr duplicated-region extraction (hash-keyed k-gram coverage
     # union; the string-keyed oracle certifies hashing + interval merge)
+    # and its removal composition (scrub every copy, Lee et al. setting)
     "doc_dup_spans": (q_doc_dup_spans, SQL_DOC_DUP_SPANS),
+    "doc_scrub_dup": (q_doc_scrub_dup, SQL_DOC_SCRUB_DUP),
+    # word2vec skip-gram co-occurrence counts (lead-frame plan; the oracle
+    # is the literal positions self-join)
+    "doc_skipgrams": (q_doc_skipgrams, SQL_DOC_SKIPGRAMS),
+    # k-core peel on the co-mention graph (oracle: idempotent 12-round
+    # CTE unroll of the peel — exact for any peel depth <= 12)
+    "kg_kcore": (q_kg_kcore, SQL_KG_KCORE),
     "doc_curation_decision": (q_doc_curation_decision, SQL_DOC_CURATION_DECISION),
     "emb_class_centroids": (q_emb_class_centroids, SQL_EMB_CLASS_CENTROIDS),
     # folded in r4 to make room for kg_export_json: the full build is

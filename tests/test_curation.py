@@ -522,3 +522,59 @@ def test_corpus_build_edge_inputs(spark):
     no_eval = spark.createDataFrame([], "doc_id long, text string")
     out2 = {r["doc_id"]: r["stage"] for r in corpus_build(train, no_eval).collect()}
     assert set(out2.values()) <= {"kept", "not_sampled"}
+
+
+# --- skipgram_counts (word2vec pair extraction) ---------------------------
+
+
+def test_skipgram_counts_closed_form(spark):
+    from jcpg_spark.operators.lm import skipgram_counts
+
+    docs = spark.createDataFrame([(1, "aa bb cc")], "doc_id int, text string")
+    got = {
+        (r["w_center"], r["w_context"]): r["cnt"]
+        for r in skipgram_counts(docs, window=1).collect()
+    }
+    assert got == {
+        ("aa", "bb"): 1, ("bb", "aa"): 1, ("bb", "cc"): 1, ("cc", "bb"): 1,
+    }
+    got2 = {
+        (r["w_center"], r["w_context"]): r["cnt"]
+        for r in skipgram_counts(docs, window=2).collect()
+    }
+    assert got2 == {
+        ("aa", "bb"): 1, ("bb", "aa"): 1, ("bb", "cc"): 1, ("cc", "bb"): 1,
+        ("aa", "cc"): 1, ("cc", "aa"): 1,
+    }
+
+
+def test_skipgram_counts_symmetric_and_window_bounded(spark):
+    from jcpg_spark.operators.lm import skipgram_counts
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa bb aa"), (2, "bb cc dd bb cc")],
+        "doc_id int, text string",
+    )
+    rows = skipgram_counts(docs, window=2).collect()
+    got = {(r["w_center"], r["w_context"]): r["cnt"] for r in rows}
+    # symmetry holds pair-by-pair
+    for (c, x), n in got.items():
+        assert got[(x, c)] == n, (c, x)
+    # brute force on the python side
+    import re
+    from collections import Counter
+
+    want = Counter()
+    for _, text in [(1, "aa bb aa bb aa"), (2, "bb cc dd bb cc")]:
+        ws = re.findall(r"[a-z]+", text.lower())
+        for i, w in enumerate(ws):
+            for j in range(max(0, i - 2), min(len(ws), i + 3)):
+                if j != i:
+                    want[(w, ws[j])] += 1
+    assert got == dict(want)
+    # min_count prunes the tail
+    pruned = {
+        (r["w_center"], r["w_context"]): r["cnt"]
+        for r in skipgram_counts(docs, window=2, min_count=3).collect()
+    }
+    assert pruned == {k: v for k, v in want.items() if v >= 3}

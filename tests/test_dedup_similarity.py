@@ -585,3 +585,41 @@ def test_duplicate_spans_two_regions_and_min_count(spark):
     }
     # min_count above the occurrence count -> nothing fires
     assert _spans(duplicate_spans(docs, k=8, min_count=3)) == set()
+
+
+def test_scrub_duplicate_spans_closed_form(spark):
+    from jcpg_spark.operators.dedup import scrub_duplicate_spans
+
+    common = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    docs = spark.createDataFrame(
+        [
+            (1, common + " tail unique words here"),
+            (2, "pre words " + common),
+            (3, "totally unrelated text with enough distinct words present"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in scrub_duplicate_spans(docs, k=8, min_count=2).collect()
+    }
+    # the shared 8-gram is excised from EVERY copy (Lee et al. setting);
+    # survivors rejoin in order; unique docs pass through normalized
+    assert got[1] == ("tail unique words here", 8)
+    assert got[2] == ("pre words", 8)
+    assert got[3] == (
+        "totally unrelated text with enough distinct words present", 0)
+
+
+def test_scrub_duplicate_spans_fully_duplicated_doc_is_empty_row(spark):
+    from jcpg_spark.operators.dedup import scrub_duplicate_spans
+
+    t = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in scrub_duplicate_spans(docs, k=8, min_count=2).collect()
+    }
+    assert got == {1: ("", 8), 2: ("", 8)}

@@ -614,3 +614,16 @@ def test_vertex_features_closed_forms(spark):
     assert got[3] == (3, 1, round(1 / 3, 9))
     assert got[4] == (1, 0, 0.0)
     assert got[1] == (2, 1, 1.0)
+
+
+def test_kcore_oracle_unroll_depth_assumption_holds(spark):
+    """kg_kcore's DuckDB oracle unrolls the peel as 12 MATERIALIZED CTE
+    rounds and relies on peeling being idempotent past its fixpoint — pin
+    that the true peel depth at the folded-test scale stays well under the
+    unroll (and that the peel converges at all)."""
+    from jcpg_spark.plans.driver_queries import _comention_edges
+
+    edges = _comention_edges(spark, "/root/testdata/sf0.001", min_weight=4)
+    core, rounds, converged = graph_analytics.kcore(edges, k=25)
+    assert converged and rounds <= 12, (rounds, converged)
+    assert core.count() > 0  # parameters chosen so the entry is non-trivial

@@ -367,3 +367,20 @@ def test_duplicate_spans_hashed_keys_and_exchange_budget(spark):
     for i, ln in enumerate(lines):
         if "Exchange hashpartitioning" in ln and i + 1 < len(lines):
             assert not bare_text.search(lines[i + 1]), lines[i + 1]
+
+
+def test_skipgram_counts_two_exchanges_no_self_join(spark):
+    """skipgram_counts must be the lead-frame plan: ONE per-document window
+    partitioning plus the final pair hash-agg — never a positions
+    self-join on |pos diff| <= w (a range join Spark can only nested-loop)."""
+    from jcpg_spark.operators.lm import skipgram_counts
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd ee"), (2, "bb cc dd ee ff")],
+        "doc_id long, text string",
+    )
+    plan = _plan(skipgram_counts(docs, window=2))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "Join" not in plan  # no join of any kind — window + agg only
