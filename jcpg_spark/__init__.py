@@ -29,6 +29,8 @@ from jcpg_spark.io import compaction_plan
 from jcpg_spark.operators.bpe import pair_counts as bpe_pair_counts, train as bpe_train
 from jcpg_spark.operators.curation import (
     corpus_build,
+    corpus_profile_approx,
+    zipf_fit,
     curation_decision,
     temperature_mix,
 )
@@ -87,6 +89,8 @@ __all__ = [
     "leakage_safe_split",
     "compaction_plan",
     "corpus_build",
+    "corpus_profile_approx",
+    "zipf_fit",
     "curation_decision",
     "temperature_mix",
     "bpe_pair_counts",

@@ -248,3 +248,101 @@ def corpus_build(
         "doc_id", "grp", F.concat(F.lit("filtered:"), F.col("reason")).alias("stage")
     )
     return staged.unionByName(filtered)
+
+
+def corpus_profile_approx(
+    docs: DataFrame,
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    rsd: float = 0.05,
+    accuracy: int = 10000,
+    text_col: str = "text",
+) -> DataFrame:
+    """-> per group: (n_docs, n_distinct_approx, total_tokens, tok_p50,
+    tok_p90, tok_p99) — the sketch-state twin of ``corpus_card``. The card
+    computes EXACT distinct-dup counts and an exact median, which buffers
+    each group's values; at 100 TB an audit wants constant per-group
+    state: HLL++ (``approx_count_distinct``, relative error ``rsd``) for
+    the distinct normalized texts and KLL-style quantile summaries
+    (``percentile_approx``, rank error ~1/``accuracy``) for the token
+    percentiles. One scan, one partial-aggregating shuffle, sketch-sized
+    state per group — no second pass, no join, no value buffering.
+
+    Both sketches are merge-commutative, so results are independent of
+    input partitioning; accuracy-vs-exact is pytest-gated rather than
+    SQL-oracled (DuckDB's approx sketches are different algorithms, so
+    this ships rows-only by design, like the LSH family).
+    """
+    from jcpg_spark.functions.text import whitespace_token_count
+
+    toks = whitespace_token_count(F.col(text_col))
+    return (
+        docs.select(
+            *group_cols,
+            normalize_text(F.col(text_col)).alias("norm"),
+            toks.alias("toks"),
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.approx_count_distinct("norm", rsd).alias("n_distinct_approx"),
+            F.sum("toks").alias("total_tokens"),
+            F.percentile_approx("toks", 0.5, accuracy).alias("tok_p50"),
+            F.percentile_approx("toks", 0.9, accuracy).alias("tok_p90"),
+            F.percentile_approx("toks", 0.99, accuracy).alias("tok_p99"),
+        )
+    )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    top_n: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """-> one row (n_terms, slope, intercept, r2): OLS fit of
+    ln(frequency) on ln(rank) over the corpus's ``top_n`` most frequent
+    words — the Zipf power-law diagnostic corpus audits use to spot
+    template-dominated or synthetic-text corpora (natural language sits
+    near slope -1; boilerplate floods flatten the head, generator loops
+    steepen it).
+
+    Rank ties break by word so the fit is deterministic across engines
+    and partitionings. Plan: one word-count hash-agg (the corpus-scale
+    pass), a single-partition window over the top_n surviving rows
+    (vocabulary-head-sized by construction — top_n rows, not the corpus),
+    and one closing 1-row aggregate computing the OLS sums; slope/
+    intercept/r2 are the textbook closed forms, exactly reproducible in
+    SQL (regr_slope & co in the oracle).
+    """
+    from pyspark.sql import Window
+
+    wc = (
+        docs.select(F.explode(words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w"))
+        .limit(top_n)
+    )
+    ranked = wc.select(
+        F.log(
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("w"))
+            ).cast("double")
+        ).alias("lr"),
+        F.log(F.col("n").cast("double")).alias("lf"),
+    )
+    n = F.count("*").cast("double")
+    sx, sy = F.sum("lr"), F.sum("lf")
+    sxx, sxy, syy = (
+        F.sum(F.col("lr") * F.col("lr")),
+        F.sum(F.col("lr") * F.col("lf")),
+        F.sum(F.col("lf") * F.col("lf")),
+    )
+    cov = sxy - sx * sy / n
+    varx = sxx - sx * sx / n
+    vary = syy - sy * sy / n
+    return ranked.agg(
+        F.count("*").cast("int").alias("n_terms"),
+        F.round(cov / varx, 6).alias("slope"),
+        F.round((sy - (cov / varx) * sx) / n, 6).alias("intercept"),
+        F.round((cov * cov) / (varx * vary), 6).alias("r2"),
+    )

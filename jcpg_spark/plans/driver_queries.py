@@ -2923,6 +2923,43 @@ GROUP BY 1, 2 HAVING count(*) >= 3
 """
 
 
+def q_corpus_profile(spark, sf_dir):
+    """Sketch-state corpus profile (HLL++ distinct + KLL-style token
+    percentiles) per (lang, source) — the constant-memory form of
+    corpus_card for 100 TB audits. Rows-only by design: DuckDB's approx
+    sketches are different algorithms; accuracy-vs-exact and partitioning
+    invariance are pytest-gated (tests/test_curation.py)."""
+    from jcpg_spark.operators.curation import corpus_profile_approx
+
+    return corpus_profile_approx(_docs(spark, sf_dir))
+
+
+def q_corpus_zipf(spark, sf_dir):
+    """Zipf power-law fit over the top-200 word frequencies: OLS of
+    ln(freq) on ln(rank), the corpus-health diagnostic (natural text sits
+    near slope -1). Deterministic rank tie-break by word; the oracle uses
+    DuckDB's regr_slope/intercept/r2 closed forms, so a match certifies
+    the hand-rolled OLS sums."""
+    from jcpg_spark.operators.curation import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir), top_n=200)
+
+
+SQL_CORPUS_ZIPF = r"""
+WITH wx AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+            FROM documents),
+wc AS (SELECT w, count(*) AS n FROM wx GROUP BY w ORDER BY n DESC, w LIMIT 200),
+r AS (SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, w) AS DOUBLE)) AS lr,
+             ln(CAST(n AS DOUBLE)) AS lf
+      FROM wc)
+SELECT CAST(count(*) AS INT) AS n_terms,
+       round(regr_slope(lf, lr), 6) AS slope,
+       round(regr_intercept(lf, lr), 6) AS intercept,
+       round(regr_r2(lf, lr), 6) AS r2
+FROM r
+"""
+
+
 def q_kg_kcore(spark, sf_dir):
     """k-core of the co-mention graph (iterative peeling: drop vertices of
     degree < k until fixpoint) — the standard dense-subgraph filter for
@@ -3228,6 +3265,11 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     # k-core peel on the co-mention graph (oracle: idempotent 12-round
     # CTE unroll of the peel — exact for any peel depth <= 12)
     "kg_kcore": (q_kg_kcore, SQL_KG_KCORE),
+    # sketch-state audit profile (HLL++/quantile-summary; rows-only by
+    # design, tolerance + invariance gates in pytest) and the Zipf
+    # power-law fit (exact OLS oracle via DuckDB regr_* closed forms)
+    "corpus_profile": (q_corpus_profile, None),
+    "corpus_zipf": (q_corpus_zipf, SQL_CORPUS_ZIPF),
     "doc_curation_decision": (q_doc_curation_decision, SQL_DOC_CURATION_DECISION),
     "emb_class_centroids": (q_emb_class_centroids, SQL_EMB_CLASS_CENTROIDS),
     # folded in r4 to make room for kg_export_json: the full build is

@@ -578,3 +578,81 @@ def test_skipgram_counts_symmetric_and_window_bounded(spark):
         for r in skipgram_counts(docs, window=2, min_count=3).collect()
     }
     assert pruned == {k: v for k, v in want.items() if v >= 3}
+
+
+# --- corpus_profile_approx / zipf_fit (audit operators) -------------------
+
+
+def test_corpus_profile_approx_accuracy_and_invariance(spark):
+    import re
+    from collections import defaultdict
+
+    from jcpg_spark.operators.curation import corpus_profile_approx
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = docs.select("lang", "source", "text").collect()
+    exact = defaultdict(lambda: {"n": 0, "texts": set(), "toks": []})
+    for r in rows:
+        g = exact[(r["lang"], r["source"])]
+        g["n"] += 1
+        g["texts"].add(" ".join(r["text"].split()).lower())
+        g["toks"].append(len(re.findall(r"\S+", r["text"])))
+    prof = {
+        (r["lang"], r["source"]): r
+        for r in corpus_profile_approx(docs).collect()
+    }
+    assert set(prof) == set(exact)
+    for key, g in exact.items():
+        p = prof[key]
+        assert p["n_docs"] == g["n"]
+        assert p["total_tokens"] == sum(g["toks"])
+        # HLL++ at rsd=0.05: allow 3 sigma
+        assert abs(p["n_distinct_approx"] - len(g["texts"])) <= max(
+            3, 0.15 * len(g["texts"])
+        ), key
+        toks = sorted(g["toks"])
+        # percentile_approx returns an actual data value near the rank
+        lo, hi = toks[max(0, int(0.4 * len(toks)) - 1)], toks[
+            min(len(toks) - 1, int(0.6 * len(toks)))
+        ]
+        assert lo <= p["tok_p50"] <= hi, key
+        assert p["tok_p50"] <= p["tok_p90"] <= p["tok_p99"]
+    # sketches are merge-commutative: partitioning must not change results
+    a = sorted(map(tuple, corpus_profile_approx(docs.repartition(1)).collect()))
+    b = sorted(map(tuple, corpus_profile_approx(docs.repartition(7)).collect()))
+    assert a == b
+
+
+def test_zipf_fit_exact_power_law_and_python_twin(spark):
+    import math
+
+    from jcpg_spark.operators.curation import zipf_fit
+
+    # counts 12/6/4/3 = 12/r for ranks 1..4: a PERFECT power law — slope
+    # -1, intercept ln(12), r2 = 1 up to the 6dp rounding
+    text = " ".join(["aa"] * 12 + ["bb"] * 6 + ["cc"] * 4 + ["dd"] * 3)
+    docs = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    r = zipf_fit(docs, top_n=4).collect()[0]
+    assert r["n_terms"] == 4
+    assert r["slope"] == -1.0
+    assert r["intercept"] == round(math.log(12.0), 6)
+    assert r["r2"] == 1.0
+
+    # arbitrary counts vs a python OLS twin (also exercises the tie-break:
+    # bb and cc share count 5 and must rank alphabetically)
+    counts = {"aa": 9, "bb": 5, "cc": 5, "dd": 2, "ee": 1}
+    text2 = " ".join(w for w, n in counts.items() for _ in range(n))
+    docs2 = spark.createDataFrame([(1, text2)], "doc_id int, text string")
+    got = zipf_fit(docs2, top_n=5).collect()[0]
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [math.log(i + 1) for i in range(len(ranked))]
+    ys = [math.log(n) for _, n in ranked]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    cov = sum(x * y for x, y in zip(xs, ys)) - sx * sy / n
+    varx = sum(x * x for x in xs) - sx * sx / n
+    vary = sum(y * y for y in ys) - sy * sy / n
+    assert got["n_terms"] == 5
+    assert got["slope"] == round(cov / varx, 6)
+    assert got["intercept"] == round((sy - cov / varx * sx) / n, 6)
+    assert got["r2"] == round(cov * cov / (varx * vary), 6)

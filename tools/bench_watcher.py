@@ -23,7 +23,22 @@ sys.path.insert(0, REPO)
 
 from jcpg_spark.plans.hostnoise import _quantile, probe_once, read_cpu_stat  # noqa: E402
 
-HIST_FLOOR = 0.0596  # .bench/history.jsonl certified-clean probe floor
+def _hist_floor() -> float:
+    """Committed certified-clean probe floor (BENCH/probe_anchor.json) —
+    the same anchor bench.py's gates use, so the watcher's launch bar
+    tracks the anchor instead of rotting as cleaner windows are recorded
+    (it previously hardcoded 0.0596 while the anchor had tightened to
+    0.05)."""
+    import json
+
+    try:
+        with open(os.path.join(REPO, "BENCH", "probe_anchor.json")) as f:
+            return float(json.load(f)["probe_floor"])
+    except (OSError, KeyError, ValueError):
+        return 0.0596
+
+
+HIST_FLOOR = _hist_floor()
 
 
 def window_clean(n: int = 6, rel: float = 1.08, steal_max: float = 0.01) -> bool:
