@@ -34,7 +34,12 @@ from jcpg_spark.operators.curation import (
     curation_decision,
     temperature_mix,
 )
-from jcpg_spark.operators.lm import bigram_lm_scores, dsir_weights, skipgram_counts
+from jcpg_spark.operators.lm import (
+    bigram_lm_scores,
+    ccnet_buckets,
+    dsir_weights,
+    skipgram_counts,
+)
 from jcpg_spark.operators.linking import link_asof
 from jcpg_spark.operators.subgraph import graph_diff, induced_subgraph
 from jcpg_spark.operators.dedup import (
@@ -56,6 +61,8 @@ from jcpg_spark.operators.similarity import (
 )
 from jcpg_spark.operators.graph_analytics import (
     bfs_distances,
+    cardinality_audit,
+    entity_lifespan,
     co_mention_edges,
     component_sizes,
     cooccurrence_lift,

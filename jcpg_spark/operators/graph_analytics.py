@@ -804,3 +804,60 @@ def vertex_features(edges: DataFrame) -> DataFrame:
         F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri"),
         cc.alias("clustering"),
     )
+
+
+def cardinality_audit(edges: DataFrame) -> DataFrame:
+    """-> (pred, n_edges, n_subjects, max_fanout, n_multi_subjects,
+    functional): per-predicate cardinality profile of a triple set — the
+    ontology-QA pass a KG build runs before publishing, answering "which
+    predicates are functional (every subject has exactly one object) and
+    where do the violations live". The reference encodes these constraints
+    structurally (one ``FLOWS_TO`` successor per statement unless branching,
+    `JavacpgCFGBuilder.java`); on an extracted graph they must be AUDITED.
+
+    fanout counts DISTINCT objects per (pred, subject) — a predicate stays
+    functional under duplicate emission of the same triple. Two hash
+    aggregations, both with map-side partial combine; the second groups on
+    the predicate vocabulary (tiny), so the only data-scale shuffle is the
+    (pred, src) agg — same key family the edge tables are already bucketed
+    by at rest. No window, no join: safe at 10^12 edges.
+    """
+    per_subj = edges.groupBy("pred", "src").agg(
+        F.count("*").alias("n"), F.countDistinct("dst").alias("fanout")
+    )
+    return per_subj.groupBy("pred").agg(
+        F.sum("n").alias("n_edges"),
+        F.count("*").alias("n_subjects"),
+        F.max("fanout").alias("max_fanout"),
+        F.sum(F.when(F.col("fanout") > 1, 1).otherwise(0)).alias(
+            "n_multi_subjects"
+        ),
+        (F.max("fanout") == 1).alias("functional"),
+    )
+
+
+def entity_lifespan(mentions: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """-> (entity, n_convs, n_mentions, active_days, span_days): the
+    temporal-KG validity interval per entity — over how many conversations
+    and mentions it occurs, on how many distinct UTC days it was observed,
+    and the day-span between its first and last observation. This is the
+    valid-time metadata a temporal knowledge graph attaches to each node
+    (and the freshness signal an incremental rebuild uses to expire stale
+    entities).
+
+    Days are epoch days (``floor(epoch_seconds / 86400)``) — integer
+    arithmetic on the instant, independent of any session timezone, so the
+    numbers are reproducible across engines. One hash-agg keyed by entity
+    (map-side combine; distinct-count of a bounded day domain), no joins.
+    """
+    day = F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+    return (
+        mentions.select("conv_id", "entity", day.alias("day"))
+        .groupBy("entity")
+        .agg(
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.count("*").alias("n_mentions"),
+            F.countDistinct("day").alias("active_days"),
+            (F.max("day") - F.min("day")).alias("span_days"),
+        )
+    )

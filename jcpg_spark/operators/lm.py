@@ -72,6 +72,56 @@ def bigram_lm_scores(
     )
 
 
+def ccnet_buckets(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """-> (doc_id, <group_col>, lm_score, bucket): CCNet's head/middle/tail
+    partitioning (Wenzek et al. 2020) — within each language, rank documents
+    by perplexity under the corpus's own LM and cut into ``n_buckets``
+    equal-size tiers, so a curation policy can keep "head", sample "middle",
+    and drop "tail" per language instead of applying one global threshold.
+
+    Self-contained like ``bigram_lm_scores`` (no external model): the score
+    is the mean bigram log-probability, higher = more fluent = lower
+    perplexity, so head = highest score. Scores are pinned to 6 dp BEFORE
+    ranking and tie-break on doc_id — the rank is then a pure function of
+    values both engines agree on bit-for-bit (ordering raw IEEE doubles
+    across engines risks last-ulp rank flips). ntile is the SQL-standard
+    allocation (earlier tiles take the remainder). Documents with no
+    bigrams have no score and are absent, matching ``bigram_lm_scores``.
+
+    Plan: the scoring rollup plus one ranking window partitioned BY
+    LANGUAGE — the partition key is low-cardinality but each partition is
+    only ranked, not collected; at 10^12 docs swap the ntile for the
+    two-pass approx-quantile cut (percentile_approx per lang, one tiny
+    broadcast back) the same frame supports.
+    """
+    from pyspark.sql import Window
+
+    scored = bigram_lm_scores(docs, text_col=text_col).select(
+        "doc_id", F.round("lm_score", 6).alias("lm_score")
+    )
+    labels = F.array(
+        *[F.lit(x) for x in ("head", "middle", "tail")[: n_buckets]]
+    ) if n_buckets <= 3 else None
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("lm_score").desc(), F.col("doc_id").asc()
+    )
+    out = (
+        docs.select("doc_id", group_col)
+        .join(scored, "doc_id")
+        .withColumn("tile", F.ntile(n_buckets).over(w))
+    )
+    bucket = (
+        F.element_at(labels, F.col("tile")) if labels is not None
+        else F.concat(F.lit("q"), F.col("tile").cast("string"))
+    )
+    return out.select("doc_id", group_col, "lm_score", bucket.alias("bucket"))
+
+
 def _doc_bigram_counts(docs: DataFrame, text_col: str) -> DataFrame:
     """(doc_id, w1, w2, n): per-document bigram multiplicities — the one
     explode pass both model training and scoring are rollups of."""

@@ -3093,6 +3093,99 @@ FROM ix GROUP BY 1, 2
 """
 
 
+def q_kg_cardinality_audit(spark, sf_dir):
+    """Ontology-QA cardinality profile over the CFG + ICFG layers: per
+    predicate, how many subjects have more than one distinct object and
+    whether the predicate is functional in the extracted graph. flow.next
+    must audit functional (one successor per turn); call is legitimately
+    multi-valued (an assistant turn may invoke a tool the next turn also
+    resolves to). The audit is what a KG build publishes next to the graph
+    so consumers know which predicates they may safely key on."""
+    t = transcripts_from_events(spark, sf_dir)
+    edges = (
+        flow.flow_next(t).select("src", "pred", "dst")
+        .unionByName(flow.flow_branch(t).select("src", "pred", "dst"))
+        .unionByName(calls.call_triples(t).select("src", "pred", "dst"))
+        .unionByName(calls.return_triples(t).select("src", "pred", "dst"))
+    )
+    return graph_analytics.cardinality_audit(edges)
+
+
+SQL_KG_CARDINALITY_AUDIT = f"""
+WITH edges AS (
+  SELECT src, pred, dst FROM ({SQL_KG_FLOW_NEXT})
+  UNION ALL SELECT src, pred, dst FROM ({SQL_KG_BRANCH})
+  UNION ALL SELECT src, pred, dst FROM ({SQL_KG_CALL_RETURN})
+),
+per AS (SELECT pred, src, count(*) AS n, count(DISTINCT dst) AS fanout
+        FROM edges GROUP BY 1, 2)
+SELECT pred,
+       sum(n) AS n_edges,
+       count(*) AS n_subjects,
+       max(fanout) AS max_fanout,
+       sum(CASE WHEN fanout > 1 THEN 1 ELSE 0 END) AS n_multi_subjects,
+       max(fanout) = 1 AS functional
+FROM per GROUP BY pred
+"""
+
+
+def q_kg_entity_lifespan(spark, sf_dir):
+    """Temporal-KG validity intervals: per entity, conversations/mentions
+    observed plus distinct active epoch-days and first-to-last day span —
+    the valid-time node metadata a temporal graph carries (and the
+    freshness signal incremental rebuilds expire on). Epoch-day integer
+    arithmetic keeps the numbers engine- and timezone-independent."""
+    ev = _ev(spark, sf_dir)
+    mentions = ev.select(
+        F.col("user_id").alias("conv_id"),
+        F.round("value").cast("int").alias("entity"),
+        "ts",
+    )
+    return graph_analytics.entity_lifespan(mentions)
+
+
+SQL_KG_ENTITY_LIFESPAN = """
+WITH m AS (SELECT user_id AS conv_id, CAST(round(value) AS INT) AS entity,
+                  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+           FROM events)
+SELECT entity,
+       count(DISTINCT conv_id) AS n_convs,
+       count(*) AS n_mentions,
+       count(DISTINCT day) AS active_days,
+       max(day) - min(day) AS span_days
+FROM m GROUP BY entity
+"""
+
+
+def q_doc_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail corpus partitioning (Wenzek et al. 2020):
+    within each language, rank by the self-trained bigram-LM score and
+    ntile into three equal tiers. The per-language tiering is the missing
+    complement to doc_lm_score (a raw score) and doc_curation_decision
+    (absolute-threshold rules): it is how CCNet actually consumes the
+    perplexity. Scores are pinned to 6 dp BEFORE ranking (tie-break
+    doc_id) so the rank is a pure function of values both engines agree
+    on bit-for-bit."""
+    docs = _docs(spark, sf_dir)
+    return lm.ccnet_buckets(docs, group_col="lang")
+
+
+SQL_DOC_CCNET_BUCKETS = f"""
+WITH scored AS (
+  SELECT doc_id, lm_score FROM ({SQL_DOC_LM_SCORE})
+),
+ranked AS (
+  SELECT d.doc_id, d.lang, s.lm_score,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY s.lm_score DESC, d.doc_id ASC) AS tile
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, lm_score,
+       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM ranked
+"""
+
+
 # name -> (spark_fn, oracle_sql or None)
 #
 # EXACTLY 50 entries: the driver checks the first 50, so every operator
@@ -3272,6 +3365,12 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "corpus_zipf": (q_corpus_zipf, SQL_CORPUS_ZIPF),
     "doc_curation_decision": (q_doc_curation_decision, SQL_DOC_CURATION_DECISION),
     "emb_class_centroids": (q_emb_class_centroids, SQL_EMB_CLASS_CENTROIDS),
+    # ontology-QA cardinality/functionality audit over the CFG+ICFG layers
+    "kg_cardinality_audit": (q_kg_cardinality_audit, SQL_KG_CARDINALITY_AUDIT),
+    # temporal-KG validity intervals (epoch-day integers, tz-independent)
+    "kg_entity_lifespan": (q_kg_entity_lifespan, SQL_KG_ENTITY_LIFESPAN),
+    # CCNet head/middle/tail per-language perplexity tiering
+    "doc_ccnet_buckets": (q_doc_ccnet_buckets, SQL_DOC_CCNET_BUCKETS),
     # folded in r4 to make room for kg_export_json: the full build is
     # rows-only (iterative CC has no single-statement SQL), while its
     # SQL-expressible ~99% keeps the exact composite oracle as the

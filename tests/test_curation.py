@@ -656,3 +656,41 @@ def test_zipf_fit_exact_power_law_and_python_twin(spark):
     assert got["slope"] == round(cov / varx, 6)
     assert got["intercept"] == round((sy - cov / varx * sx) / n, 6)
     assert got["r2"] == round(cov * cov / (varx * vary), 6)
+
+
+def test_ccnet_buckets_tiering(spark):
+    """Within each language the head tier holds the highest (most fluent)
+    lm scores and tiers are ntile-sized; a doc with <2 word tokens has no
+    bigrams and is absent (bigram_lm_scores contract)."""
+    from jcpg_spark.operators.lm import ccnet_buckets
+
+    docs = spark.createDataFrame(
+        [  # en: "a b" bigram is corpus-frequent -> fluent; rare pairs score low
+            ("d1", "en", "a b a b a b"),
+            ("d2", "en", "a b a b"),
+            ("d3", "en", "a b zz qq"),
+            ("d4", "en", "zz qq"),
+            ("d5", "en", "qq zz"),
+            ("d6", "en", "a b"),
+            ("d7", "fr", "le chat le chat"),
+            ("d8", "fr", "le chat"),
+            ("d9", "fr", "chat le zz"),
+            ("dx", "fr", "single"),  # one token: no bigram, absent
+        ],
+        "doc_id string, lang string, text string",
+    )
+    out = ccnet_buckets(docs, group_col="lang")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert "dx" not in rows
+    en = [r for r in rows.values() if r["lang"] == "en"]
+    assert sorted(r["bucket"] for r in en) == sorted(
+        ["head", "head", "middle", "middle", "tail", "tail"]
+    )
+    # ntile(3) over 3 fr docs -> one per tier, ordered by score desc
+    fr = sorted((r for r in rows.values() if r["lang"] == "fr"),
+                key=lambda r: -r["lm_score"])
+    assert [r["bucket"] for r in fr] == ["head", "middle", "tail"]
+    # every head score >= every tail score within a language
+    en_head = min(r["lm_score"] for r in en if r["bucket"] == "head")
+    en_tail = max(r["lm_score"] for r in en if r["bucket"] == "tail")
+    assert en_head >= en_tail

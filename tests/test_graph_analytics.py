@@ -627,3 +627,53 @@ def test_kcore_oracle_unroll_depth_assumption_holds(spark):
     core, rounds, converged = graph_analytics.kcore(edges, k=25)
     assert converged and rounds <= 12, (rounds, converged)
     assert core.count() > 0  # parameters chosen so the entry is non-trivial
+
+
+def test_cardinality_audit_functional_vs_multivalued(spark):
+    """A duplicate emission of the SAME triple must not flag a functional
+    predicate (fanout counts distinct objects); a subject with two distinct
+    objects must."""
+    edges = spark.createDataFrame(
+        [
+            ("s1", "flow.next", "t1"),
+            ("s1", "flow.next", "t1"),  # duplicate emission, same object
+            ("s2", "flow.next", "t2"),
+            ("s1", "call", "tool:db"),
+            ("s1", "call", "tool:search"),  # genuine violation
+            ("s2", "call", "tool:db"),
+        ],
+        "src string, pred string, dst string",
+    )
+    got = {
+        r["pred"]: r.asDict()
+        for r in graph_analytics.cardinality_audit(edges).collect()
+    }
+    fn = got["flow.next"]
+    assert (fn["n_edges"], fn["n_subjects"], fn["max_fanout"]) == (3, 2, 1)
+    assert fn["n_multi_subjects"] == 0 and fn["functional"] is True
+    ca = got["call"]
+    assert (ca["n_edges"], ca["n_subjects"], ca["max_fanout"]) == (3, 2, 2)
+    assert ca["n_multi_subjects"] == 1 and ca["functional"] is False
+
+
+def test_entity_lifespan_epoch_day_arithmetic(spark):
+    """Spans and active days are epoch-day integers: two mentions 36h apart
+    straddling a UTC midnight -> 2 active days, span 1; a single-day entity
+    -> span 0. Timezone-independent by construction."""
+    import datetime as dt
+
+    rows = [
+        ("c1", 7, dt.datetime(2026, 1, 1, 20, 0)),
+        ("c2", 7, dt.datetime(2026, 1, 3, 8, 0)),   # +36h, crosses midnight
+        ("c1", 7, dt.datetime(2026, 1, 3, 9, 0)),
+        ("c1", 9, dt.datetime(2026, 1, 2, 12, 0)),
+    ]
+    m = spark.createDataFrame(rows, "conv_id string, entity int, ts timestamp")
+    got = {
+        r["entity"]: r.asDict()
+        for r in graph_analytics.entity_lifespan(m).collect()
+    }
+    assert got[7]["n_convs"] == 2 and got[7]["n_mentions"] == 3
+    assert got[7]["active_days"] == 2 and got[7]["span_days"] == 2
+    assert got[9] == {"entity": 9, "n_convs": 1, "n_mentions": 1,
+                      "active_days": 1, "span_days": 0}
