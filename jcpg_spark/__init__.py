@@ -63,6 +63,7 @@ from jcpg_spark.operators.graph_analytics import (
     bfs_distances,
     cardinality_audit,
     entity_lifespan,
+    negative_triples,
     co_mention_edges,
     component_sizes,
     cooccurrence_lift,

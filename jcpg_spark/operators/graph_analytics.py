@@ -836,6 +836,65 @@ def cardinality_audit(edges: DataFrame) -> DataFrame:
     )
 
 
+def negative_triples(edges: DataFrame, k: int = 2) -> DataFrame:
+    """-> (src, pred, neg_dst, j): deterministic type-consistent negative
+    sampling for KG-embedding training (the corrupted-triple side of a
+    TransE/DistMult margin loss). Each true triple yields up to ``k``
+    corruptions that replace the object with another object OBSERVED UNDER
+    THE SAME PREDICATE (type-constrained corruption — corrupting across
+    predicate domains produces trivially-separable negatives), then an
+    anti-join against the true triples removes false negatives (corruptions
+    that happen to be real edges).
+
+    'Random' is the corpus's md5 hash-ring idiom (``doc_negative_pairs``):
+    per (pred, first-hex-of-md5(dst)) bucket, distinct objects are ordered
+    by their full hash and each triple takes the next ``j``=1..k ring
+    positions after its own object's slot, wrapping modulo the bucket size.
+    Hash order is uniform, so the negatives are unbiased within the
+    predicate domain; buckets with <= j objects yield no j-th corruption
+    (never a self-corruption). Determinism end-to-end — resumable and
+    cross-engine reproducible, no RNG state.
+
+    Plan: the ring is over DISTINCT (pred, object) — entity-vocabulary
+    sized, not edge-sized — and its ranking window partitions by
+    (pred, bucket), 16-way parallel per predicate (widen the bucket to more
+    hex chars at larger vocabularies). Edges join the ring on (pred, dst)
+    (broadcastable when the vocabulary is dimension-sized), wrap positions
+    resolve with a second vocabulary-sized join, and the anti-join back on
+    (src, pred, dst) is the only edge-scale shuffle beyond the first join.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select("src", "pred", "dst")
+    h = F.md5(F.col("dst").cast("string"))
+    ring = (
+        e.select("pred", "dst").distinct()
+        .select("pred", "dst", h.alias("h"), F.substring(h, 1, 1).alias("bkt"))
+    )
+    w = Window.partitionBy("pred", "bkt").orderBy(F.col("h").asc(), F.col("dst").asc())
+    ring = ring.withColumn("rn", F.row_number().over(w))
+    nb = ring.groupBy("pred", "bkt").agg(F.count("*").alias("n_bkt"))
+    anchors = (
+        e.join(ring.select("pred", "dst", "bkt", "rn"), ["pred", "dst"])
+        .join(F.broadcast(nb), ["pred", "bkt"])
+        .select(
+            "src", "pred", "bkt", "rn", "n_bkt", "dst",
+            F.explode(F.expr(f"sequence(1, {k})")).alias("j"),
+        )
+        .where(F.col("n_bkt") > F.col("j"))
+        .withColumn("tgt", ((F.col("rn") - 1 + F.col("j")) % F.col("n_bkt")) + 1)
+    )
+    cand = anchors.join(
+        ring.select("pred", "bkt", F.col("rn").alias("tgt"), F.col("dst").alias("neg_dst")),
+        ["pred", "bkt", "tgt"],
+    ).select("src", "pred", "neg_dst", "j")
+    return cand.join(
+        e.select("src", "pred", F.col("dst").alias("neg_dst")),
+        ["src", "pred", "neg_dst"],
+        "left_anti",
+    )
+
+
 def entity_lifespan(mentions: DataFrame, ts_col: str = "ts") -> DataFrame:
     """-> (entity, n_convs, n_mentions, active_days, span_days): the
     temporal-KG validity interval per entity — over how many conversations

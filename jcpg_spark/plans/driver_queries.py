@@ -3157,6 +3157,47 @@ FROM m GROUP BY entity
 """
 
 
+def q_kg_negative_triples(spark, sf_dir):
+    """Type-consistent deterministic negative sampling over the flow.next
+    layer (k=2): the corrupted-triple stream a KG-embedding trainer
+    (TransE/DistMult) consumes next to the true edges. Objects are
+    corrupted within the predicate's observed domain via the corpus's md5
+    hash-ring idiom and anti-joined against the true triples."""
+    t = transcripts_from_events(spark, sf_dir)
+    edges = flow.flow_next(t).select("src", "pred", "dst")
+    return graph_analytics.negative_triples(edges, k=2)
+
+
+SQL_KG_NEGATIVE_TRIPLES = f"""
+WITH e AS (SELECT src, pred, dst FROM ({SQL_KG_FLOW_NEXT})),
+ring0 AS (SELECT pred, dst, md5(CAST(dst AS VARCHAR)) AS h,
+                 substring(md5(CAST(dst AS VARCHAR)), 1, 1) AS bkt
+          FROM (SELECT DISTINCT pred, dst FROM e)),
+ring AS (SELECT pred, dst, bkt,
+                row_number() OVER (PARTITION BY pred, bkt
+                                   ORDER BY h ASC, dst ASC) AS rn
+         FROM ring0),
+nb AS (SELECT pred, bkt, count(*) AS n_bkt FROM ring GROUP BY 1, 2),
+anchors AS (
+  SELECT e.src, e.pred, r.bkt, r.rn, nb.n_bkt, j,
+         ((r.rn - 1 + j) % nb.n_bkt) + 1 AS tgt
+  FROM e
+  JOIN ring r ON e.pred = r.pred AND e.dst = r.dst
+  JOIN nb ON nb.pred = e.pred AND nb.bkt = r.bkt
+  CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS j)
+  WHERE nb.n_bkt > j
+),
+cand AS (
+  SELECT a.src, a.pred, r2.dst AS neg_dst, a.j
+  FROM anchors a
+  JOIN ring r2 ON r2.pred = a.pred AND r2.bkt = a.bkt AND r2.rn = a.tgt
+)
+SELECT c.src, c.pred, c.neg_dst, c.j
+FROM cand c
+ANTI JOIN e ON e.src = c.src AND e.pred = c.pred AND e.dst = c.neg_dst
+"""
+
+
 def q_doc_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail corpus partitioning (Wenzek et al. 2020):
     within each language, rank by the self-trained bigram-LM score and
@@ -3371,6 +3412,8 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_entity_lifespan": (q_kg_entity_lifespan, SQL_KG_ENTITY_LIFESPAN),
     # CCNet head/middle/tail per-language perplexity tiering
     "doc_ccnet_buckets": (q_doc_ccnet_buckets, SQL_DOC_CCNET_BUCKETS),
+    # TransE-style type-consistent corrupted-triple stream (md5 hash ring)
+    "kg_negative_triples": (q_kg_negative_triples, SQL_KG_NEGATIVE_TRIPLES),
     # folded in r4 to make room for kg_export_json: the full build is
     # rows-only (iterative CC has no single-statement SQL), while its
     # SQL-expressible ~99% keeps the exact composite oracle as the

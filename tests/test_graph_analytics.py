@@ -677,3 +677,37 @@ def test_entity_lifespan_epoch_day_arithmetic(spark):
     assert got[7]["active_days"] == 2 and got[7]["span_days"] == 2
     assert got[9] == {"entity": 9, "n_convs": 1, "n_mentions": 1,
                       "active_days": 1, "span_days": 0}
+
+
+def test_negative_triples_contract(spark):
+    """Negatives are type-consistent (object observed under the same
+    predicate), never true edges, never self-corruptions, at most k per
+    (edge, j), and deterministic across partitionings."""
+    rows = [
+        ("s1", "p", "d1"), ("s1", "p", "d2"), ("s2", "p", "d2"),
+        ("s3", "p", "d3"), ("s4", "p", "d4"), ("s5", "p", "d5"),
+        ("s6", "q", "x1"), ("s7", "q", "x2"), ("s8", "q", "x3"),
+    ]
+    edges = spark.createDataFrame(rows, "src string, pred string, dst string")
+    out = graph_analytics.negative_triples(edges, k=2).collect()
+    true_set = set(rows)
+    p_dom = {d for s, p, d in rows if p == "p"}
+    q_dom = {d for s, p, d in rows if p == "q"}
+    assert out, "hash ring produced no negatives on a 9-edge input"
+    seen = set()
+    for r in out:
+        t = (r["src"], r["pred"], r["neg_dst"], r["j"])
+        assert t not in seen, f"duplicate negative {t}"
+        seen.add(t)
+        assert (r["src"], r["pred"], r["neg_dst"]) not in true_set
+        dom = p_dom if r["pred"] == "p" else q_dom
+        assert r["neg_dst"] in dom, "corruption escaped the predicate domain"
+        assert 1 <= r["j"] <= 2
+    # self-corruption impossible: ring shift >= 1 within distinct objects
+    by_edge = {}
+    for r in out:
+        by_edge.setdefault((r["src"], r["pred"]), []).append(r["j"])
+    assert all(len(js) <= 2 * sum(1 for x in rows if x[:2] == e) for e, js in by_edge.items())
+    # determinism under repartitioning
+    out2 = graph_analytics.negative_triples(edges.repartition(7), k=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
