@@ -470,6 +470,19 @@ def main() -> None:
                 p_lo = min(r["noise"]["probe_p50"] for r in clean(SCALE_LO))
                 p_hi = min(r["noise"]["probe_p50"] for r in clean(SCALE_HI))
                 level = SCALE_HI if p_hi >= p_lo else SCALE_LO
+        elif n_lo == 0 and n_hi == 0 and runs[SCALE_LO] and runs[SCALE_HI]:
+            # nothing certified yet (session-wide wave): spend the budget on
+            # the level sitting FURTHER above its committed clean wall anchor
+            # — that is the level whose fallback minimum distorts the ratio
+            # most (live case 2026-08-19: lo +10.1% vs hi +4.6% recorded
+            # 0.901 where the anchors imply 0.857; resampling lo is the only
+            # way a fallback record converges toward the true ratio).
+            d_lo = wall_vs_hist(best(SCALE_LO), SCALE_LO, wall_anchor)
+            d_hi = wall_vs_hist(best(SCALE_HI), SCALE_HI, wall_anchor)
+            if d_lo is not None and d_hi is not None and abs(d_lo - d_hi) > 0.03:
+                level = SCALE_LO if d_lo > d_hi else SCALE_HI
+            else:
+                level = SCALE_LO if n_lo <= n_hi else SCALE_HI
         else:
             level = SCALE_LO if n_lo <= n_hi else SCALE_HI
         # the budget is soft for the must-haves: each level needs at least
@@ -508,6 +521,12 @@ def main() -> None:
     if runs[SCALE_LO] and runs[SCALE_HI]:
         lo, hi = best(SCALE_LO), best(SCALE_HI)
         efficiency = round(current_eff(), 3)
+        eff_basis = (
+            "certified-minima"
+            if not lo.get("contaminated") and not hi.get("contaminated")
+            else "fallback-fastest-overall (no window certified at one or "
+                 "both levels; see minima_vs_hist/context)"
+        )
     else:
         # blackout fallback: a level never completed a run (every attempt
         # timed out under gross contamination). Record what exists instead
@@ -517,6 +536,7 @@ def main() -> None:
         lo = best(SCALE_LO) if runs[SCALE_LO] else blank
         hi = best(SCALE_HI) if runs[SCALE_HI] else blank
         efficiency = None
+        eff_basis = "blackout (a level never completed a run)"
     run_log = [
         {
             "cpus": c,
@@ -699,6 +719,19 @@ def main() -> None:
             f"local{SCALE_LO}_wall_sec": lo["wall_sec"],
             f"local{SCALE_HI}_wall_sec": hi["wall_sec"],
             "scaling_efficiency": efficiency,
+            "efficiency_basis": eff_basis,
+            # the efficiency the committed best-ever noise-certified walls
+            # imply for this exact input and pair geometry — the cross-
+            # session corroboration to read NEXT TO a fallback-basis record
+            # (it cannot be moved by this session's noise; provenance:
+            # BENCH/wall_anchor.json, hand-updated from clean windows only)
+            "anchor_implied_efficiency": (
+                round((wall_anchor["walls"][SCALE_LO]
+                       / wall_anchor["walls"][SCALE_HI]) / (SCALE_HI / SCALE_LO), 3)
+                if wall_anchor and hi.get("turns") == wall_anchor["turns"]
+                and SCALE_LO in wall_anchor["walls"]
+                and SCALE_HI in wall_anchor["walls"] else None
+            ),
             "turns": hi["turns"],
             "protocol": "v4: fastest noise-certified run per level; floor anchored "
                         "across levels + BENCH/probe_anchor.json + .bench/history.jsonl; "
@@ -745,7 +778,8 @@ or probe_p50 > {s['gates']['probe_rel_max']}x level floor (calib {s['gates']['pr
 {runs_tbl}
 
 **Scaling efficiency ({lo}->{hi} cores, fastest clean run per level):
-{s['scaling_efficiency']}** (target >= 0.8)
+{s['scaling_efficiency']}** (target >= 0.8; basis: {s.get('efficiency_basis')};
+committed clean wall anchors imply {s.get('anchor_implied_efficiency')})
 
 Headline query times at sf={result['sf']} (local[{cpus}]): min over >=2
 independent windows (corroborated = another attempt within 30% of the
