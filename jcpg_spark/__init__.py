@@ -64,6 +64,7 @@ from jcpg_spark.operators.graph_analytics import (
     cardinality_audit,
     entity_lifespan,
     negative_triples,
+    resolve_functional,
     co_mention_edges,
     component_sizes,
     cooccurrence_lift,
@@ -87,6 +88,7 @@ from jcpg_spark.plans.materialize import (
 __all__ = [
     "get_spark",
     "build_graph",
+    "resolve_functional",
     "edge_layers",
     "node_layers",
     "PipelineResult",

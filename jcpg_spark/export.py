@@ -239,3 +239,72 @@ def read_json_graph(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataF
         spark.read.json(os.path.join(out_dir, "nodes")),
         spark.read.json(os.path.join(out_dir, "edges")),
     )
+
+
+def _iri_esc(col):
+    """Percent-encode the characters RDF 1.1 N-Triples/N-Quads forbids
+    inside an IRIREF (space, angle brackets, double quote, backslash, and
+    the escape character % itself first so the encoding round-trips).
+    Node ids here are content keys over [a-z0-9:._-] so this is usually an
+    identity map — the chain exists for hostile labels and is pytest-gated
+    on crafted input."""
+    out = F.regexp_replace(col, r"%", "%25")
+    for ch, code in ((" ", "%20"), ("<", "%3C"), (">", "%3E"),
+                     ('"', "%22"), (r"\\", "%5C")):
+        out = F.regexp_replace(out, ("\\" + ch) if ch in '<>"' else ch, code)
+    return out
+
+
+def nquads_lines(edges: DataFrame) -> DataFrame:
+    """-> (conv_id, line): one RDF 1.1 N-Quads statement per edge — the
+    KG-native serialization of the triple tables (the reference's graph is
+    consumed via DOT/GML/JSON exports, CodePropertyGraph.java:84-381; an
+    RDF sink is the transcript-KG analog a downstream triple store loads
+    directly). Terms live under the ``urn:jcpg:`` namespace; the edge's
+    conversation is the statement's GRAPH LABEL (named-graph provenance,
+    the per-conversation lineage the north rule requires), and global
+    edges (conv_id null) land in the default graph as plain triples. A
+    var-qualified edge keeps its qualifier as a ``#<var>`` fragment on the
+    predicate IRI — deterministic, parsable, and lossless for the one
+    qualifier the schema carries.
+
+    Map-side only — ZERO exchanges on the edge scan: the 100 TB sink form
+    is ``nquads_lines(e).select("line").write.text(path)``, one file per
+    partition. ``nquads_per_conversation`` builds the grouped debug form
+    on top.
+    """
+    pred_iri = F.concat(
+        F.lit("urn:jcpg:pred:"),
+        _iri_esc(F.col("pred")),
+        F.when(
+            F.col("var").isNotNull(), F.concat(F.lit("#"), _iri_esc(F.col("var")))
+        ).otherwise(F.lit("")),
+    ) if "var" in edges.columns else F.concat(
+        F.lit("urn:jcpg:pred:"), _iri_esc(F.col("pred"))
+    )
+    line = F.concat(
+        F.lit("<urn:jcpg:"), _iri_esc(F.col("src")), F.lit("> <"),
+        pred_iri, F.lit("> <urn:jcpg:"), _iri_esc(F.col("dst")), F.lit(">"),
+        F.when(
+            F.col("conv_id").isNotNull(),
+            F.concat(F.lit(" <urn:jcpg:conv:"), _iri_esc(F.col("conv_id")), F.lit(">")),
+        ).otherwise(F.lit("")),
+        F.lit(" ."),
+    )
+    return edges.select("conv_id", line.alias("line"))
+
+
+def nquads_per_conversation(edges: DataFrame) -> DataFrame:
+    """-> (conv_id, nquads): one sorted, self-contained N-Quads document
+    per conversation (the DOT/GML-family grouped form; sorted lines make
+    the document deterministic under any partitioning)."""
+    return (
+        nquads_lines(edges.filter(F.col("conv_id").isNotNull()))
+        .groupBy("conv_id")
+        .agg(
+            F.concat(
+                F.concat_ws("\n", F.sort_array(F.collect_list("line"))),
+                F.lit("\n"),
+            ).alias("nquads")
+        )
+    )

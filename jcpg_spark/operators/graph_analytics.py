@@ -836,6 +836,45 @@ def cardinality_audit(edges: DataFrame) -> DataFrame:
     )
 
 
+def resolve_functional(edges: DataFrame) -> DataFrame:
+    """-> (src, pred, dst, support, total, confidence): majority-vote truth
+    discovery for functional predicates — the knowledge-fusion step that
+    turns conflicting extracted observations into ONE canonical object per
+    (subject, predicate) with an auditable confidence (Knowledge-Vault-style
+    voting; the fix for the violations ``cardinality_audit`` reports). The
+    winner is the object with the most supporting emissions; ties break to
+    the lexicographically least object so the verdict is deterministic and
+    cross-engine reproducible. ``confidence = support/total`` is a single
+    IEEE division of two exact integers (engine-exact, the
+    ``cooccurrence_lift`` convention).
+
+    Plan: one (src, pred, dst) hash aggregation (map-side partial combine)
+    collapses duplicate emissions, then one (src, pred) aggregation picks
+    the winner via ``min_by`` over the (-support, dst) total-order key —
+    sort-free argmax, no window, no join. Both shuffles key on the same
+    subject-hash family the edge tables are bucketed by at rest; safe at
+    10^12 observations.
+    """
+    obs = edges.groupBy("src", "pred", "dst").agg(F.count("*").alias("support"))
+    winner = obs.groupBy("src", "pred").agg(
+        F.min_by(
+            F.struct("dst", "support"),
+            F.struct((-F.col("support")).alias("neg"), F.col("dst")),
+        ).alias("w"),
+        F.sum("support").alias("total"),
+    )
+    return winner.select(
+        "src",
+        "pred",
+        F.col("w.dst").alias("dst"),
+        F.col("w.support").alias("support"),
+        "total",
+        (F.col("w.support").cast("double") / F.col("total").cast("double")).alias(
+            "confidence"
+        ),
+    )
+
+
 def negative_triples(edges: DataFrame, k: int = 2) -> DataFrame:
     """-> (src, pred, neg_dst, j): deterministic type-consistent negative
     sampling for KG-embedding training (the corrupted-triple side of a

@@ -3198,6 +3198,82 @@ ANTI JOIN e ON e.src = c.src AND e.pred = c.pred AND e.dst = c.neg_dst
 """
 
 
+def q_kg_resolve_functional(spark, sf_dir):
+    """Majority-vote truth discovery (knowledge fusion) for a functional
+    predicate: each turn with a tool is an OBSERVATION (conversation,
+    uses_tool, tool); conversations emit conflicting observations (db from
+    purchases, search from signups), and resolve_functional publishes one
+    canonical object per conversation with support/total/confidence —
+    the fix for the violations kg_cardinality_audit reports."""
+    t = transcripts_from_events(spark, sf_dir)
+    obs = t.filter(F.col("tool").isNotNull()).select(
+        F.concat(F.lit("c:"), F.col("conv_id")).alias("src"),
+        F.lit("uses_tool").alias("pred"),
+        F.col("tool").alias("dst"),
+    )
+    return graph_analytics.resolve_functional(obs)
+
+
+SQL_KG_RESOLVE_FUNCTIONAL = f"""
+WITH o AS ({_SQL_ORDERED}),
+obs AS (SELECT 'c:' || conv_id AS src, 'uses_tool' AS pred,
+               {_SQL_TOOL} AS dst
+        FROM o WHERE {_SQL_TOOL} IS NOT NULL),
+s AS (SELECT src, pred, dst, count(*) AS support FROM obs GROUP BY 1, 2, 3),
+w AS (SELECT src, pred, dst, support,
+             CAST(sum(support) OVER (PARTITION BY src, pred) AS BIGINT) AS total,
+             row_number() OVER (PARTITION BY src, pred
+                                ORDER BY support DESC, dst ASC) AS rn
+      FROM s)
+SELECT src, pred, dst, support, total,
+       CAST(support AS DOUBLE) / CAST(total AS DOUBLE) AS confidence
+FROM w WHERE rn = 1
+"""
+
+
+def q_kg_export_nquads(spark, sf_dir):
+    """RDF N-Quads export sink over the flow + branch layers: one sorted
+    self-contained document per conversation, conversation as the named
+    graph, branch tool qualifier as a predicate-IRI fragment. Exact string
+    oracle, like kg_export_dot."""
+    from jcpg_spark import export
+
+    t = transcripts_from_events(spark, sf_dir)
+    edges = (
+        flow.flow_next(t)
+        .withColumn("var", F.lit(None).cast("string"))
+        .unionByName(flow.flow_branch(t).select("src", "pred", "dst", "conv_id", "var"))
+    )
+    return export.nquads_per_conversation(edges)
+
+
+SQL_KG_EXPORT_NQUADS = f"""
+WITH o AS ({_SQL_ORDERED}),
+r AS (SELECT conv_id, idx, {_SQL_ROLE} AS role, {_SQL_TOOL} AS tool FROM o),
+e AS (SELECT conv_id, idx, role, tool,
+             lead(idx)  OVER (PARTITION BY conv_id ORDER BY idx) AS nxt,
+             lead(role) OVER (PARTITION BY conv_id ORDER BY idx) AS nrole
+      FROM r),
+ln AS (
+  SELECT conv_id,
+         '<urn:jcpg:t:' || conv_id || ':' || CAST(idx AS VARCHAR)
+         || '> <urn:jcpg:pred:flow.next> <urn:jcpg:t:' || conv_id || ':'
+         || CAST(nxt AS VARCHAR) || '> <urn:jcpg:conv:' || conv_id || '> .' AS line
+  FROM e WHERE nxt IS NOT NULL
+  UNION ALL
+  SELECT conv_id,
+         '<urn:jcpg:t:' || conv_id || ':' || CAST(idx AS VARCHAR)
+         || '> <urn:jcpg:pred:'
+         || CASE WHEN nrole = 'tool' THEN 'flow.branch_true' ELSE 'flow.branch_false' END
+         || '#' || tool || '> <urn:jcpg:t:' || conv_id || ':'
+         || CAST(nxt AS VARCHAR) || '> <urn:jcpg:conv:' || conv_id || '> .' AS line
+  FROM e WHERE role = 'assistant' AND tool IS NOT NULL AND nxt IS NOT NULL
+)
+SELECT conv_id, string_agg(line, chr(10) ORDER BY line) || chr(10) AS nquads
+FROM ln GROUP BY conv_id
+"""
+
+
 def q_doc_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail corpus partitioning (Wenzek et al. 2020):
     within each language, rank by the self-trained bigram-LM score and
@@ -3414,6 +3490,10 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "doc_ccnet_buckets": (q_doc_ccnet_buckets, SQL_DOC_CCNET_BUCKETS),
     # TransE-style type-consistent corrupted-triple stream (md5 hash ring)
     "kg_negative_triples": (q_kg_negative_triples, SQL_KG_NEGATIVE_TRIPLES),
+    # knowledge-fusion majority vote for functional predicates
+    "kg_resolve_functional": (q_kg_resolve_functional, SQL_KG_RESOLVE_FUNCTIONAL),
+    # RDF N-Quads sink (named-graph provenance per conversation)
+    "kg_export_nquads": (q_kg_export_nquads, SQL_KG_EXPORT_NQUADS),
     # folded in r4 to make room for kg_export_json: the full build is
     # rows-only (iterative CC has no single-statement SQL), while its
     # SQL-expressible ~99% keeps the exact composite oracle as the

@@ -163,3 +163,45 @@ def test_read_dictionary_roundtrip_and_defaults(spark, tmp_path):
     m = mentions.detect_mentions(spark, t, ["alpha", "db"])
     linked = linking.link_mentions(m, d)
     assert {r.canonical for r in linked.collect()} == {"ent_a", "tool_db"}
+
+
+def test_nquads_lines_escaping_and_default_graph(spark):
+    """IRI-unsafe characters percent-encode (with % first so it round-trips),
+    null conv_id lands in the default graph as a plain triple, and a var
+    qualifier rides the predicate IRI as a fragment."""
+    from jcpg_spark import export
+
+    edges = spark.createDataFrame(
+        [
+            ('a b<c>"d\\e%f', "flow.next", "t2", None, "conv 1"),
+            ("t1", "flow.branch_true", "t2", "db", None),
+        ],
+        "src string, pred string, dst string, var string, conv_id string",
+    )
+    lines = {r["line"] for r in export.nquads_lines(edges).collect()}
+    assert (
+        '<urn:jcpg:a%20b%3Cc%3E%22d%5Ce%25f> <urn:jcpg:pred:flow.next> '
+        "<urn:jcpg:t2> <urn:jcpg:conv:conv%201> ." in lines
+    )
+    # default graph: exactly three terms, var as predicate fragment
+    assert (
+        "<urn:jcpg:t1> <urn:jcpg:pred:flow.branch_true#db> <urn:jcpg:t2> ."
+        in lines
+    )
+
+
+def test_nquads_per_conversation_sorted_deterministic(spark, graph3):
+    from jcpg_spark import export
+
+    edges = graph3.edges
+    docs = {r["conv_id"]: r["nquads"]
+            for r in export.nquads_per_conversation(edges).collect()}
+    assert docs, "no documents"
+    for conv, doc in docs.items():
+        body = doc.rstrip("\n").split("\n")
+        assert body == sorted(body)
+        assert all(line.endswith(" .") for line in body)
+        assert all(f"<urn:jcpg:conv:{conv}>" in line for line in body)
+    docs2 = {r["conv_id"]: r["nquads"]
+             for r in export.nquads_per_conversation(edges.repartition(5)).collect()}
+    assert docs == docs2

@@ -711,3 +711,30 @@ def test_negative_triples_contract(spark):
     # determinism under repartitioning
     out2 = graph_analytics.negative_triples(edges.repartition(7), k=2).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_resolve_functional_majority_and_ties(spark):
+    """Winner = most-supported object; ties break to the lexicographically
+    least object; support/total/confidence are exact; duplicate emissions
+    count as support."""
+    rows = [
+        # c1: db wins 3-1
+        ("c1", "uses_tool", "db"), ("c1", "uses_tool", "db"),
+        ("c1", "uses_tool", "db"), ("c1", "uses_tool", "search"),
+        # c2: 2-2 tie -> 'db' < 'search'
+        ("c2", "uses_tool", "db"), ("c2", "uses_tool", "db"),
+        ("c2", "uses_tool", "search"), ("c2", "uses_tool", "search"),
+        # c3: single observation
+        ("c3", "uses_tool", "web"),
+    ]
+    edges = spark.createDataFrame(rows, "src string, pred string, dst string")
+    got = {r["src"]: r for r in graph_analytics.resolve_functional(edges).collect()}
+    assert got["c1"]["dst"] == "db" and got["c1"]["support"] == 3
+    assert got["c1"]["total"] == 4 and abs(got["c1"]["confidence"] - 0.75) < 1e-15
+    assert got["c2"]["dst"] == "db" and got["c2"]["support"] == 2
+    assert got["c2"]["total"] == 4 and abs(got["c2"]["confidence"] - 0.5) < 1e-15
+    assert got["c3"]["dst"] == "web" and got["c3"]["confidence"] == 1.0
+    # determinism under repartitioning
+    got2 = {r["src"]: r["dst"]
+            for r in graph_analytics.resolve_functional(edges.repartition(7)).collect()}
+    assert got2 == {k: v["dst"] for k, v in got.items()}
