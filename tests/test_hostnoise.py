@@ -114,3 +114,40 @@ def test_hist_context_direction_honest():
     assert under and "UNDERSTATED" in under
     over = bench.hist_context(0.18, 0.03)
     assert over and "OVERSTATED" in over
+
+
+def test_classify_run_wall_corroboration():
+    """v4.4: a probe/bw flag is overridden when the wall sits within the
+    corroboration bound of the committed clean anchor; a steal flag never
+    is; past the bound the flag stands; no anchor -> flag stands."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    clean = {"n_probes": 10, "steal_frac": 0.0001, "probe_p50": 0.051,
+             "bw_p50": 0.0085}
+    hot_probe = dict(clean, probe_p50=0.070)
+    hot_bw = dict(clean, bw_p50=0.0125)
+    stolen = dict(clean, steal_frac=0.06)
+
+    # clean window, clean verdict
+    assert bench.classify_run(clean, 0.02, 0.05, 0.0083) == (None, None)
+    # probe flag + wall at anchor -> corroborated clean
+    why, note = bench.classify_run(hot_probe, 0.03, 0.05, 0.0083)
+    assert why is None and "wall sits" in note
+    # bw flag + wall at anchor -> corroborated clean
+    why, note = bench.classify_run(hot_bw, -0.01, 0.05, 0.0083)
+    assert why is None and note
+    # probe flag + wall past the bound -> stays contaminated
+    why, note = bench.classify_run(hot_probe, 0.15, 0.05, 0.0083)
+    assert why and why.startswith("probe") and note is None
+    # probe flag + no anchor -> stays contaminated
+    why, note = bench.classify_run(hot_probe, None, 0.05, 0.0083)
+    assert why and note is None
+    # steal is a hard gate even at the anchor
+    why, note = bench.classify_run(stolen, 0.0, 0.05, 0.0083)
+    assert why and why.startswith("steal") and note is None
