@@ -45,6 +45,7 @@ from jcpg_spark.operators.subgraph import graph_diff, induced_subgraph
 from jcpg_spark.operators.dedup import (
     boilerplate_spans,
     boilerplate_texts,
+    decontaminate,
     duplicate_spans,
     jaccard_pairs_prefix,
     keep_list,
@@ -62,9 +63,11 @@ from jcpg_spark.operators.similarity import (
 from jcpg_spark.operators.graph_analytics import (
     bfs_distances,
     cardinality_audit,
+    characteristic_sets,
     entity_lifespan,
     negative_triples,
     resolve_functional,
+    schema_graph,
     co_mention_edges,
     component_sizes,
     cooccurrence_lift,
@@ -89,6 +92,9 @@ __all__ = [
     "get_spark",
     "build_graph",
     "resolve_functional",
+    "decontaminate",
+    "characteristic_sets",
+    "schema_graph",
     "edge_layers",
     "node_layers",
     "PipelineResult",

@@ -308,3 +308,26 @@ def nquads_per_conversation(edges: DataFrame) -> DataFrame:
             ).alias("nquads")
         )
     )
+
+
+def read_nquads(lines: DataFrame, col: str = "line") -> DataFrame:
+    """-> (src, pred, dst, var, conv_id): parse ``nquads_lines`` output back
+    into the edge relation (sink round-trip, like ``read_json_graph``).
+    Percent-encoding reverses via ``url_decode`` (the encoder never emits
+    '+', so the form-decoding caveat is moot); a statement without a graph
+    label (default graph) yields conv_id null, one without a predicate
+    fragment yields var null. Map-side only."""
+    rx = (
+        r"^<urn:jcpg:(.*?)> <urn:jcpg:pred:([^#>]*?)(?:#(.*?))?> "
+        r"<urn:jcpg:(.*?)>(?: <urn:jcpg:conv:(.*?)>)? \.$"
+    )
+
+    def grp(i, name):
+        v = F.regexp_extract(F.col(col), rx, i)
+        v = F.when(v != "", F.url_decode(v))
+        return v.alias(name)
+
+    return lines.select(
+        grp(1, "src"), grp(2, "pred"), grp(3, "var"), grp(4, "dst"),
+        grp(5, "conv_id"),
+    ).select("src", "pred", "dst", "var", "conv_id")

@@ -923,3 +923,54 @@ def scrub_duplicate_spans(
         F.explode(F.sequence(F.col("span_start"), F.col("span_end"))).alias("pos"),
     )
     return _excise_positions(docs, pos_words, covered)
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (doc_id, n_hits, contaminated): benchmark decontamination — flag
+    training documents sharing any word ``n``-gram with a REFERENCE eval
+    set (the GPT-3 appendix-C / PaLM protocol; 13-grams published). This
+    is corpus-vs-reference overlap, not corpus-internal dedup: a training
+    doc that quotes an eval question verbatim poisons the benchmark even
+    if it is unique within the corpus.
+
+    Plan: the eval side reduces to a DISTINCT hashed-shingle set —
+    eval-suite sized, i.e. a dimension — and BROADCASTS to the corpus
+    shingle scan, so at 100 TB the corpus side sees one explode + one
+    map-side broadcast join + one doc_id hash-agg; the only data-scale
+    shuffle is the per-doc hit count. Shingles cross as xxhash64 longs
+    (the ``word_shingles(hashed=True)`` convention; collision odds
+    ~|eval shingles| * |doc shingles| / 2^64).
+
+    ``n_hits`` counts DISTINCT matching n-grams per doc; ``contaminated``
+    is ``n_hits >= min_hits``. Docs with no match keep a row (0, false) —
+    the output is a per-doc verdict table, joinable as a keep-filter.
+    """
+    eval_sh = (
+        word_shingles(eval_docs, n=n, text_col=text_col, hashed=True)
+        .select("shingle")
+        .distinct()
+    )
+    doc_sh = word_shingles(docs, n=n, text_col=text_col, hashed=True)
+    hits = (
+        doc_sh.join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.select("doc_id")
+        .distinct()
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -959,3 +959,69 @@ def entity_lifespan(mentions: DataFrame, ts_col: str = "ts") -> DataFrame:
             (F.max("day") - F.min("day")).alias("span_days"),
         )
     )
+
+
+def characteristic_sets(edges: DataFrame) -> DataFrame:
+    """-> (charset, n_subjects, n_triples): characteristic sets (Neumann &
+    Moerkotte, ICDE 2011) — partition subjects by the exact SET of
+    predicates they carry. The standard RDF-store statistic for join
+    cardinality estimation ("how many subjects have both flow.next and
+    cdg.enter_true?") and a one-screen structural census of an extracted
+    KG: over-merged entities surface as charsets gluing predicate families
+    that never co-occur on a clean subject.
+
+    ``charset`` is the sorted comma-joined distinct-predicate list (a
+    stable cross-engine key); ``n_triples`` counts ALL triples of those
+    subjects (duplicate emissions included) so sum(n_triples) == |edges|.
+    Two hash aggregations (subject-keyed, then charset-keyed — the charset
+    vocabulary is tiny); no join, no window: safe at 10^12 triples.
+    """
+    per_subj = edges.groupBy("src").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("pred"))).alias("charset"),
+        F.count("*").alias("n"),
+    )
+    return per_subj.groupBy("charset").agg(
+        F.count("*").alias("n_subjects"),
+        F.sum("n").alias("n_triples"),
+    )
+
+
+def schema_graph(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """-> (src_kind, pred, dst_kind, n_edges): the kind-level schema
+    summary of a typed property graph (VoID-style linkset census) — which
+    node kinds each predicate actually connects, with edge counts. The
+    induced schema is the contract a downstream consumer codes against,
+    and drift in it (a predicate suddenly landing on a new kind pair) is
+    the cheapest structural regression alarm for a pipeline that rebuilds
+    its KG continuously.
+
+    Endpoints missing from ``nodes`` report kind '?' rather than dropping
+    the edge — dangling references are exactly what the census must
+    surface. Two edge-scale equi-joins on node_id (the id-hash key family
+    the tables are bucketed by) + one hash-agg on the tiny (kind, pred,
+    kind) vocabulary.
+    """
+    kinds = nodes.select("node_id", "kind")
+    return (
+        edges.select("src", "pred", "dst")
+        .join(
+            kinds.withColumnRenamed("node_id", "src").withColumnRenamed(
+                "kind", "src_kind"
+            ),
+            "src",
+            "left",
+        )
+        .join(
+            kinds.withColumnRenamed("node_id", "dst").withColumnRenamed(
+                "kind", "dst_kind"
+            ),
+            "dst",
+            "left",
+        )
+        .groupBy(
+            F.coalesce(F.col("src_kind"), F.lit("?")).alias("src_kind"),
+            "pred",
+            F.coalesce(F.col("dst_kind"), F.lit("?")).alias("dst_kind"),
+        )
+        .agg(F.count("*").alias("n_edges"))
+    )

@@ -2862,6 +2862,38 @@ FROM seg GROUP BY doc_id, seg
 """
 
 
+def q_doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix-C protocol): every 97th
+    document plays the held-out eval suite (mod-7 carve-out — wide enough
+    that corpus dup-groups straddle the train/eval boundary and the
+    positive path fires at every test sf); the rest of the corpus gets a
+    per-doc verdict — distinct shared 8-grams with the eval set and a
+    contaminated flag. Eval shingles broadcast (dimension-sized); the only
+    corpus-scale shuffle is the per-doc hit count."""
+    d = _docs(spark, sf_dir)
+    ev = d.filter(F.col("doc_id") % 7 == 0)
+    tr = d.filter(F.col("doc_id") % 7 != 0)
+    return dedup.decontaminate(tr, ev, n=8, min_hits=1)
+
+
+SQL_DOC_DECONTAMINATE = r"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+           FROM documents),
+g AS (SELECT DISTINCT doc_id, array_to_string(ws[i : i + 7], ' ') AS gram
+      FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+      WHERE len(ws) >= 8),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0),
+tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 7 <> 0),
+h AS (SELECT doc_id, count(*) AS n_hits FROM tr
+      WHERE gram IN (SELECT gram FROM ev) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) >= 1 AS contaminated
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+LEFT JOIN h ON d.doc_id = h.doc_id
+"""
+
+
 def q_doc_scrub_dup(spark, sf_dir):
     """ExactSubstr span REMOVAL (Lee et al. 2022): rewrite every document
     with its duplicated regions (8-gram occurring >= 2 times corpus-wide)
@@ -3231,6 +3263,72 @@ FROM w WHERE rn = 1
 """
 
 
+def q_kg_charsets(spark, sf_dir):
+    """Characteristic sets (Neumann & Moerkotte, ICDE 2011) over the CFG +
+    ICFG layers: subjects partitioned by the exact predicate set they
+    carry — the RDF-store join-cardinality statistic and the one-screen
+    structural census of the extracted graph (same edge slice as
+    kg_cardinality_audit, the companion per-predicate view)."""
+    t = transcripts_from_events(spark, sf_dir)
+    edges = (
+        flow.flow_next(t).select("src", "pred", "dst")
+        .unionByName(flow.flow_branch(t).select("src", "pred", "dst"))
+        .unionByName(calls.call_triples(t).select("src", "pred", "dst"))
+        .unionByName(calls.return_triples(t).select("src", "pred", "dst"))
+    )
+    return graph_analytics.characteristic_sets(edges)
+
+
+SQL_KG_CHARSETS = f"""
+WITH edges AS (
+  SELECT src, pred, dst FROM ({SQL_KG_FLOW_NEXT})
+  UNION ALL SELECT src, pred, dst FROM ({SQL_KG_BRANCH})
+  UNION ALL SELECT src, pred, dst FROM ({SQL_KG_CALL_RETURN})
+),
+per AS (SELECT src, string_agg(DISTINCT pred, ',' ORDER BY pred) AS charset,
+               count(*) AS n
+        FROM edges GROUP BY src)
+SELECT charset, CAST(count(*) AS BIGINT) AS n_subjects,
+       CAST(sum(n) AS BIGINT) AS n_triples
+FROM per GROUP BY charset
+"""
+
+
+def q_kg_schema_graph(spark, sf_dir):
+    """Kind-level schema census (VoID linkset style): which node kinds each
+    predicate connects, with counts. Edges = flow.next + act.role over the
+    turn-node table; act.role's role: endpoints are global nodes absent
+    from the conversation-owned node table, so they surface as kind '?' —
+    the dangling-reference audit the census exists to provide."""
+    from jcpg_spark.operators import structural
+
+    t = transcripts_from_events(spark, sf_dir)
+    nodes = structural.turn_nodes(t)
+    edges = flow.flow_next(t).select("src", "pred", "dst").unionByName(
+        structural.act_role(t).select("src", "pred", "dst")
+    )
+    return graph_analytics.schema_graph(edges, nodes.select("node_id", "kind"))
+
+
+SQL_KG_SCHEMA_GRAPH = f"""
+WITH o AS ({_SQL_ORDERED}),
+nodes AS (SELECT 't:' || conv_id || ':' || CAST(idx AS VARCHAR) AS node_id,
+                 'turn' AS kind
+          FROM o),
+edges AS (
+  SELECT src, pred, dst FROM ({SQL_KG_FLOW_NEXT})
+  UNION ALL SELECT src, pred, dst FROM ({SQL_KG_ACT_ROLE})
+)
+SELECT COALESCE(ns.kind, '?') AS src_kind, e.pred,
+       COALESCE(nd.kind, '?') AS dst_kind,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM edges e
+LEFT JOIN nodes ns ON e.src = ns.node_id
+LEFT JOIN nodes nd ON e.dst = nd.node_id
+GROUP BY 1, 2, 3
+"""
+
+
 def q_kg_export_nquads(spark, sf_dir):
     """RDF N-Quads export sink over the flow + branch layers: one sorted
     self-contained document per conversation, conversation as the named
@@ -3494,6 +3592,12 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_resolve_functional": (q_kg_resolve_functional, SQL_KG_RESOLVE_FUNCTIONAL),
     # RDF N-Quads sink (named-graph provenance per conversation)
     "kg_export_nquads": (q_kg_export_nquads, SQL_KG_EXPORT_NQUADS),
+    # benchmark decontamination vs a held-out eval set (13-gram protocol)
+    "doc_decontaminate": (q_doc_decontaminate, SQL_DOC_DECONTAMINATE),
+    # characteristic sets (RDF join-cardinality statistic / structural census)
+    "kg_charsets": (q_kg_charsets, SQL_KG_CHARSETS),
+    # kind-level schema census with dangling-endpoint surfacing
+    "kg_schema_graph": (q_kg_schema_graph, SQL_KG_SCHEMA_GRAPH),
     # folded in r4 to make room for kg_export_json: the full build is
     # rows-only (iterative CC has no single-statement SQL), while its
     # SQL-expressible ~99% keeps the exact composite oracle as the

@@ -623,3 +623,58 @@ def test_scrub_duplicate_spans_fully_duplicated_doc_is_empty_row(spark):
         for r in scrub_duplicate_spans(docs, k=8, min_count=2).collect()
     }
     assert got == {1: ("", 8), 2: ("", 8)}
+
+
+def test_decontaminate_closed_forms(spark):
+    """A train doc sharing an 8-gram with the eval set flags with the right
+    DISTINCT hit count; repeats of the same gram count once; clean and
+    too-short docs report (0, false); min_hits gates the verdict."""
+    e8 = "alpha bravo charlie delta echo foxtrot golf hotel"
+    other8 = "one two three four five six seven eight"
+    eval_docs = spark.createDataFrame(
+        [(1000, f"prefix {e8} suffix"), (1001, other8)],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, f"xx {e8} yy"),                    # one shared 8-gram window
+            (2, f"{e8} zz {e8}"),                  # repeated -> still distinct grams
+            (3, "totally unrelated words " * 5),   # clean
+            (4, "short text"),                     # < 8 words -> no shingles
+            (5, f"{e8} and {other8}"),             # hits from both eval docs
+        ],
+        "doc_id long, text string",
+    )
+    from jcpg_spark.operators import dedup as dd
+
+    got = {r["doc_id"]: r for r in dd.decontaminate(train, eval_docs, n=8).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[1]["contaminated"] and got[1]["n_hits"] == 1
+    assert got[2]["contaminated"]
+    # doc 2's windows spanning 'zz' are unique; only the e8 gram itself
+    # (appearing twice but DISTINCT once) plus any repeated-window overlap
+    assert got[2]["n_hits"] >= 1
+    assert not got[3]["contaminated"] and got[3]["n_hits"] == 0
+    assert not got[4]["contaminated"] and got[4]["n_hits"] == 0
+    assert got[5]["n_hits"] >= 2
+    # min_hits gate
+    strict = {r["doc_id"]: r["contaminated"]
+              for r in dd.decontaminate(train, eval_docs, n=8, min_hits=2).collect()}
+    assert not strict[1] and strict[5]
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval shingle set must reach the corpus scan as a broadcast
+    (dimension-sized), not an SMJ — plan gate."""
+    from jcpg_spark.operators import dedup as dd
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), F.col("id").cast("string"),
+                 F.lit(" the quick brown fox jumps over the lazy dog end")).alias("text"),
+    )
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    tr = docs.filter(F.col("doc_id") % 10 != 0)
+    plan = dd.decontaminate(tr, ev, n=8)._jdf.queryExecution().executedPlan().toString()
+    # the left-semi eval join specifically must be broadcast
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan

@@ -205,3 +205,22 @@ def test_nquads_per_conversation_sorted_deterministic(spark, graph3):
     docs2 = {r["conv_id"]: r["nquads"]
              for r in export.nquads_per_conversation(edges.repartition(5)).collect()}
     assert docs == docs2
+
+
+def test_nquads_roundtrip_read_nquads(spark, graph3):
+    """read_nquads(nquads_lines(e)) == e, including percent-encoded terms,
+    default-graph statements (conv_id null), and var-less edges."""
+    from jcpg_spark import export
+
+    edges = graph3.edges.select("src", "pred", "dst", "var", "conv_id")
+    back = export.read_nquads(export.nquads_lines(edges))
+    a = sorted(map(tuple, edges.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+    hostile = spark.createDataFrame(
+        [('a b<c>"d\\e%f', "p p", "t 2", "v#1x", None),
+         ("s", "q", "o", None, "conv 9")],
+        "src string, pred string, dst string, var string, conv_id string",
+    )
+    back2 = sorted(map(tuple, export.read_nquads(export.nquads_lines(hostile)).collect()))
+    assert back2 == sorted(map(tuple, hostile.collect()))

@@ -738,3 +738,45 @@ def test_resolve_functional_majority_and_ties(spark):
     got2 = {r["src"]: r["dst"]
             for r in graph_analytics.resolve_functional(edges.repartition(7)).collect()}
     assert got2 == {k: v["dst"] for k, v in got.items()}
+
+
+def test_characteristic_sets_closed_form(spark):
+    """Subjects partition by their exact predicate set; duplicate emissions
+    land in n_triples but not the charset; sum(n_triples) == |edges|."""
+    rows = [
+        ("s1", "p", "x"), ("s1", "q", "y"),
+        ("s2", "q", "y"), ("s2", "p", "x"), ("s2", "p", "z"),  # {p,q} too
+        ("s3", "p", "x"), ("s3", "p", "x"),                    # dup emission
+        ("s4", "r", "w"),
+    ]
+    edges = spark.createDataFrame(rows, "src string, pred string, dst string")
+    got = {r["charset"]: r for r in graph_analytics.characteristic_sets(edges).collect()}
+    assert set(got) == {"p,q", "p", "r"}
+    assert got["p,q"]["n_subjects"] == 2 and got["p,q"]["n_triples"] == 5
+    assert got["p"]["n_subjects"] == 1 and got["p"]["n_triples"] == 2
+    assert got["r"]["n_subjects"] == 1 and got["r"]["n_triples"] == 1
+    assert sum(r["n_triples"] for r in got.values()) == len(rows)
+
+
+def test_schema_graph_closed_form_and_dangling(spark):
+    """Kind pairs census with counts; endpoints missing from the node table
+    report kind '?' instead of dropping the edge."""
+    nodes = spark.createDataFrame(
+        [("t1", "turn"), ("t2", "turn"), ("m1", "mention")],
+        "node_id string, kind string",
+    )
+    edges = spark.createDataFrame(
+        [("t1", "flow.next", "t2"),
+         ("t1", "ast.has_mention", "m1"),
+         ("t2", "act.role", "role:user"),   # dangling dst
+         ("ghost", "x", "t1")],             # dangling src
+        "src string, pred string, dst string",
+    )
+    got = {(r["src_kind"], r["pred"], r["dst_kind"]): r["n_edges"]
+           for r in graph_analytics.schema_graph(edges, nodes).collect()}
+    assert got == {
+        ("turn", "flow.next", "turn"): 1,
+        ("turn", "ast.has_mention", "mention"): 1,
+        ("turn", "act.role", "?"): 1,
+        ("?", "x", "turn"): 1,
+    }
