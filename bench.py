@@ -391,13 +391,19 @@ def main() -> None:
                     # contaminated lo run burns ~25% of the budget — kill it
                     # once the window is HOPELESS (rolling probe median well
                     # past the discard gate, or sustained steal far past the
-                    # whole-window gate). Thresholds sit above the per-run
-                    # gate so a marginal window still runs to completion and
-                    # gets judged on its full measured window.
+                    # whole-window gate). The probe margin is 1.5x the
+                    # discard gate (was 1.15x before v4.4): wall
+                    # corroboration can certify a completed run whose probes
+                    # ran hot but whose wall landed at the anchor, so a
+                    # marginally-hot window is worth finishing — live
+                    # 2026-08-19 16:00, three straight aborts at rolling
+                    # 0.0679-0.0682 against a 0.0679 threshold while
+                    # same-ambient completions (probe 0.0646) were
+                    # certifying at +5.1% walls.
                     recent = [s[1] for s in ns.samples[-15:]]
                     so_far = ns.report()
                     if len(recent) >= 10 and (
-                        _quantile(recent, 0.5) > floor_now * PROBE_REL_MAX * 1.15
+                        _quantile(recent, 0.5) > floor_now * PROBE_REL_MAX * 1.5
                         or so_far.get("steal_frac", 0) > 0.05
                     ):
                         why_dead = (
