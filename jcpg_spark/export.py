@@ -273,14 +273,18 @@ def nquads_lines(edges: DataFrame) -> DataFrame:
     partition. ``nquads_per_conversation`` builds the grouped debug form
     on top.
     """
+    # '#' is IRI-legal but delimits the var fragment here, so the PRED term
+    # additionally encodes it (%23) — a hostile predicate must not alias
+    # into a qualifier on read-back (read_nquads round-trip gate)
+    pred_term = F.regexp_replace(_iri_esc(F.col("pred")), "#", "%23")
     pred_iri = F.concat(
         F.lit("urn:jcpg:pred:"),
-        _iri_esc(F.col("pred")),
+        pred_term,
         F.when(
             F.col("var").isNotNull(), F.concat(F.lit("#"), _iri_esc(F.col("var")))
         ).otherwise(F.lit("")),
     ) if "var" in edges.columns else F.concat(
-        F.lit("urn:jcpg:pred:"), _iri_esc(F.col("pred"))
+        F.lit("urn:jcpg:pred:"), pred_term
     )
     line = F.concat(
         F.lit("<urn:jcpg:"), _iri_esc(F.col("src")), F.lit("> <"),

@@ -219,7 +219,8 @@ def test_nquads_roundtrip_read_nquads(spark, graph3):
     assert a == b
     hostile = spark.createDataFrame(
         [('a b<c>"d\\e%f', "p p", "t 2", "v#1x", None),
-         ("s", "q", "o", None, "conv 9")],
+         ("s", "q#frag", "o", None, "conv 9"),     # '#' in pred must not
+         ("s2", "q#frag", "o2", "v2", "conv 9")],  # alias into a var
         "src string, pred string, dst string, var string, conv_id string",
     )
     back2 = sorted(map(tuple, export.read_nquads(export.nquads_lines(hostile)).collect()))
