@@ -41,6 +41,8 @@ from jcpg_spark.operators.lm import (
     skipgram_counts,
 )
 from jcpg_spark.operators.linking import link_asof
+from jcpg_spark.operators.retrieval import bm25_topk
+from jcpg_spark.operators.structural import conversation_audit
 from jcpg_spark.operators.subgraph import graph_diff, induced_subgraph
 from jcpg_spark.operators.dedup import (
     boilerplate_spans,
@@ -62,6 +64,8 @@ from jcpg_spark.operators.similarity import (
 )
 from jcpg_spark.operators.graph_analytics import (
     bfs_distances,
+    modularity,
+    rank_eval,
     cardinality_audit,
     characteristic_sets,
     entity_lifespan,
@@ -124,6 +128,10 @@ __all__ = [
     "cooccurrence_lift",
     "link_predict_common_neighbors",
     "entity_salience",
+    "modularity",
+    "rank_eval",
+    "bm25_topk",
+    "conversation_audit",
     "kcore",
     "khop_counts",
     "pagerank",

@@ -41,7 +41,7 @@ cross-engine agreement is pinned by rounding (see its entry's oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1024,4 +1024,108 @@ def schema_graph(edges: DataFrame, nodes: DataFrame) -> DataFrame:
             F.coalesce(F.col("dst_kind"), F.lit("?")).alias("dst_kind"),
         )
         .agg(F.count("*").alias("n_edges"))
+    )
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """-> (label, n_nodes, w_in, deg_sum, q_contrib): per-community Newman
+    modularity contributions of a vertex partition over the weighted
+    undirected graph — Q = sum_c [ w_in_c/m - (deg_c/(2m))^2 ], the
+    standard quality score for a community assignment (``labels`` is
+    (item, label), e.g. ``label_propagation``'s output). Total Q is the
+    sum of ``q_contrib``; a partition beating ~0.3 has real community
+    structure, and a giant community with q_contrib near 0 is the classic
+    over-merge symptom.
+
+    ``edges`` is (a, b, w), a < b, each undirected edge once. Two
+    vertex-keyed joins tag edge endpoints with labels, one vertex-keyed
+    hash-agg builds weighted degrees; every downstream agg is
+    community-count-sized. m and the division are the only doubles —
+    pinned to 6 dp (the repo's convention), everything upstream integer.
+    """
+    e = edges.select("a", "b", "w")
+    lab_a = labels.select(F.col("item").alias("a"), F.col("label").alias("la"))
+    lab_b = labels.select(F.col("item").alias("b"), F.col("label").alias("lb"))
+    tagged = e.join(lab_a, "a").join(lab_b, "b")
+    m = e.agg(F.sum("w").alias("m"))
+    w_in = (
+        tagged.where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.sum("w").alias("w_in"))
+    )
+    deg = (
+        e.select(F.col("a").alias("v"), "w")
+        .unionByName(e.select(F.col("b").alias("v"), "w"))
+        .groupBy("v")
+        .agg(F.sum("w").alias("deg"))
+    )
+    deg_sum = (
+        deg.join(labels.select(F.col("item").alias("v"), "label"), "v")
+        .groupBy("label")
+        .agg(F.sum("deg").alias("deg_sum"), F.count("*").alias("n_nodes"))
+    )
+    return (
+        deg_sum.join(w_in, "label", "left")
+        .withColumn("w_in", F.coalesce(F.col("w_in"), F.lit(0)))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "label",
+            F.col("n_nodes").cast("int").alias("n_nodes"),
+            "w_in",
+            "deg_sum",
+            # squared via explicit product, not pow() — libm pow need not
+            # equal x*x in the last ulp, and the oracle multiplies
+            F.round(
+                F.col("w_in") / F.col("m")
+                - (F.col("deg_sum") / (F.lit(2.0) * F.col("m")))
+                * (F.col("deg_sum") / (F.lit(2.0) * F.col("m"))),
+                6,
+            ).alias("q_contrib"),
+        )
+    )
+
+
+def rank_eval(candidates: DataFrame, heldout: DataFrame, k: int = 10) -> DataFrame:
+    """Link-prediction ranking evaluation (the TransE/DistMult protocol,
+    unfiltered setting): for every held-out edge, the rank of its far
+    endpoint in the scorer's candidate list for the near endpoint — probed
+    from BOTH endpoints, like head- and tail-corruption in KG-embedding
+    eval. -> (q, target, direction, rank, rr, hit_at_k); MRR = avg(rr) and
+    Hits@k = avg(hit_at_k) over the output. A held-out edge the scorer
+    never proposed ranks NULL (rr = 0, the honest miss — dropping misses
+    inflates MRR).
+
+    ``candidates`` is (a, b, score) undirected pairs (e.g.
+    ``link_predict_common_neighbors``); ``heldout`` is (a, b) true edges
+    EXCLUDED from the graph the scorer saw. Ranks come from one window per
+    query vertex (score desc, candidate asc — deterministic total order),
+    never a global sort; the probe join is vertex-keyed.
+    """
+    cand = candidates.select(
+        F.col("a").alias("q"), F.col("b").alias("cand"), "score"
+    ).unionByName(
+        candidates.select(F.col("b").alias("q"), F.col("a").alias("cand"), "score")
+    )
+    w = Window.partitionBy("q").orderBy(F.col("score").desc(), F.col("cand").asc())
+    ranked = cand.withColumn("rank", F.row_number().over(w))
+    h = heldout.select("a", "b")
+    probes = h.select(
+        F.col("a").alias("q"), F.col("b").alias("target"), F.lit("head").alias("direction")
+    ).unionByName(
+        h.select(F.col("b").alias("q"), F.col("a").alias("target"), F.lit("tail").alias("direction"))
+    )
+    out = probes.join(
+        ranked.select("q", F.col("cand").alias("target"), "rank"),
+        ["q", "target"],
+        "left",
+    )
+    return out.select(
+        "q",
+        "target",
+        "direction",
+        "rank",
+        F.round(
+            F.when(F.col("rank").isNotNull(), F.lit(1.0) / F.col("rank")).otherwise(0.0), 6
+        ).alias("rr"),
+        (F.coalesce(F.col("rank"), F.lit(1 << 30)) <= k).alias("hit_at_k"),
     )

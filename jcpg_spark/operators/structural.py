@@ -150,3 +150,54 @@ def act_role(transcripts: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("var"),
         "conv_id",
     )
+
+
+def conversation_audit(transcripts: DataFrame) -> DataFrame:
+    """Chat-format well-formedness audit, one row per conversation — the
+    ingest gate an instruction-tuning pipeline runs before a transcript is
+    allowed into training data (and the transcript analog of the
+    reference's parse-validity precondition, JavacpgCFGBuilder accepting
+    only files its parser validated).
+
+    Flags per conversation:
+    - ``first_role_ok``   — the opening turn is spoken by 'user';
+    - ``alternates_ok``   — no two ADJACENT turns share a role (a stuck
+      speaker is the classic scrape artifact; tool interleave still
+      alternates because the role changes);
+    - ``nonempty_ok``     — every turn has non-blank text;
+    - ``ts_monotone_ok``  — timestamps never decrease in turn order;
+    - ``contiguous_ok``   — turn_idx is exactly 0..n-1 (no gaps/dupes);
+    - ``wellformed``      — the conjunction.
+
+    One window pass (lag over the conv-ordered turns) + one conv-keyed
+    hash-agg; at 10^12 turns both shuffle on conv_id and the window and
+    the agg reuse the same partitioning (a single exchange end-to-end).
+    """
+    from jcpg_spark.operators.flow import w_conv
+
+    prev_role = F.lag("role").over(w_conv())
+    prev_ts = F.lag("ts").over(w_conv())
+    t = transcripts.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        (F.col("role") == F.coalesce(prev_role, F.lit(""))).alias("stuck"),
+        (F.col("ts") < F.coalesce(prev_ts, F.col("ts"))).alias("ts_back"),
+        (F.length(F.trim(F.col("text"))) > 0).alias("has_text"),
+        F.when(F.col("turn_idx") == 0, F.col("role")).alias("role0"),
+    )
+    return t.groupBy("conv_id").agg(
+        F.count("*").cast("int").alias("n_turns"),
+        (F.max("role0") == F.lit("user")).alias("first_role_ok"),
+        (~F.max("stuck")).alias("alternates_ok"),
+        F.min("has_text").alias("nonempty_ok"),
+        (~F.max("ts_back")).alias("ts_monotone_ok"),
+        (
+            (F.min("turn_idx") == 0)
+            & (F.max("turn_idx") == F.count("*") - 1)
+            & (F.count_distinct("turn_idx") == F.count("*"))
+        ).alias("contiguous_ok"),
+    ).withColumn(
+        "wellformed",
+        F.col("first_role_ok") & F.col("alternates_ok") & F.col("nonempty_ok")
+        & F.col("ts_monotone_ok") & F.col("contiguous_ok"),
+    )

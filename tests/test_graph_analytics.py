@@ -780,3 +780,80 @@ def test_schema_graph_closed_form_and_dangling(spark):
         ("turn", "act.role", "?"): 1,
         ("?", "x", "turn"): 1,
     }
+
+
+# ---------------------------------------------------------------------------
+# modularity + rank_eval (r4)
+# ---------------------------------------------------------------------------
+
+
+def test_modularity_two_triangles_bridge(spark):
+    """Two unit-weight triangles joined by one bridge edge, labeled by
+    triangle: the textbook partition. m=7; each community: w_in=3,
+    deg_sum=7 -> Q_c = 3/7 - (7/14)^2 = 0.178571; total Q = 0.357143."""
+    from jcpg_spark.operators.graph_analytics import modularity
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (1, 3, 1), (2, 3, 1), (4, 5, 1), (4, 6, 1), (5, 6, 1), (3, 4, 1)],
+        "a int, b int, w int",
+    )
+    labels = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 20)], "item int, label int"
+    )
+    rows = {r["label"]: r for r in modularity(edges, labels).collect()}
+    assert set(rows) == {10, 20}
+    for lab in (10, 20):
+        assert rows[lab]["n_nodes"] == 3
+        assert rows[lab]["w_in"] == 3
+        assert rows[lab]["deg_sum"] == 7
+        assert rows[lab]["q_contrib"] == 0.178571
+    # the trivial all-one-community partition scores Q = 0 exactly
+    one = labels.select("item").withColumn("label", F.lit(1))
+    (row,) = modularity(edges, one).collect()
+    assert row["q_contrib"] == 0.0
+
+
+def test_modularity_weighted_and_empty_community_edgecases(spark):
+    """A community with NO internal edge gets w_in=0 (left-join coalesce),
+    and weights flow through every aggregate."""
+    from jcpg_spark.operators.graph_analytics import modularity
+
+    edges = spark.createDataFrame([(1, 2, 5), (2, 3, 1)], "a int, b int, w int")
+    labels = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 9)], "item int, label int"
+    )
+    rows = {r["label"]: r for r in modularity(edges, labels).collect()}
+    # m=6; c7: w_in=5, deg_sum=5+6=11 -> 5/6 - (11/12)^2
+    assert rows[7]["w_in"] == 5 and rows[7]["deg_sum"] == 11
+    assert rows[7]["q_contrib"] == round(5 / 6 - (11 / 12) ** 2, 6)
+    # c9 has no internal edge: w_in must be 0, not a dropped row
+    assert rows[9]["w_in"] == 0 and rows[9]["deg_sum"] == 1
+    assert rows[9]["q_contrib"] == round(0 - (1 / 12) ** 2, 6)
+
+
+def test_rank_eval_ranks_misses_and_directions(spark):
+    """Hand-built candidates for one query vertex: the held-out target at
+    rank 2 from the head side, a miss from the tail side (vertex 9 has no
+    candidate list containing 1), and rr/hit flags exact."""
+    from jcpg_spark.operators.graph_analytics import rank_eval
+
+    cand = spark.createDataFrame(
+        [(1, 5, 9.0), (1, 9, 4.0), (1, 7, 4.0), (2, 9, 1.0)],
+        "a int, b int, score double",
+    )
+    held = spark.createDataFrame([(1, 7), (1, 4)], "a int, b int")
+    rows = {(r["q"], r["target"], r["direction"]): r
+            for r in rank_eval(cand, held, k=2).collect()}
+    assert len(rows) == 4
+    # head probe for (1,7): candidates of 1 are 5(9.0), then tie 4.0 between
+    # 7 and 9 -> candidate asc puts 7 at rank 2
+    r = rows[(1, 7, "head")]
+    assert r["rank"] == 2 and r["rr"] == 0.5 and r["hit_at_k"] is True
+    # tail probe for (1,7): candidates of 7 = [1] -> rank 1
+    r = rows[(7, 1, "tail")]
+    assert r["rank"] == 1 and r["rr"] == 1.0 and r["hit_at_k"] is True
+    # (1,4): 4 never proposed -> miss from both sides
+    r = rows[(1, 4, "head")]
+    assert r["rank"] is None and r["rr"] == 0.0 and r["hit_at_k"] is False
+    r = rows[(4, 1, "tail")]
+    assert r["rank"] is None and r["rr"] == 0.0

@@ -511,3 +511,87 @@ def test_link_asof_is_broadcast_join(spark):
     plan = link_asof(mentions, vd)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# conversation_audit + bm25_topk (r4)
+# ---------------------------------------------------------------------------
+
+
+def test_conversation_audit_flags_each_defect(spark):
+    """One conversation per defect class; every flag trips independently
+    and only on its own conversation."""
+    import datetime as dt
+
+    from jcpg_spark.operators.structural import conversation_audit
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # ok: user/assistant alternation, clean everything
+        ("ok", 0, "user", "hi", None, t0),
+        ("ok", 1, "assistant", "hello", None, t0 + s),
+        # stuck speaker (two user turns in a row)
+        ("stuck", 0, "user", "a", None, t0),
+        ("stuck", 1, "user", "b", None, t0 + s),
+        # wrong first speaker
+        ("first", 0, "assistant", "a", None, t0),
+        ("first", 1, "user", "b", None, t0 + s),
+        # blank turn
+        ("blank", 0, "user", "  ", None, t0),
+        ("blank", 1, "assistant", "b", None, t0 + s),
+        # timestamp regression
+        ("tsback", 0, "user", "a", None, t0 + s),
+        ("tsback", 1, "assistant", "b", None, t0),
+        # turn-index gap (0, 2)
+        ("gap", 0, "user", "a", None, t0),
+        ("gap", 2, "assistant", "b", None, t0 + s),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    out = {r["conv_id"]: r for r in conversation_audit(t).collect()}
+    assert out["ok"]["wellformed"] is True
+    expect_bad = {
+        "stuck": "alternates_ok",
+        "first": "first_role_ok",
+        "blank": "nonempty_ok",
+        "tsback": "ts_monotone_ok",
+        "gap": "contiguous_ok",
+    }
+    flags = ["first_role_ok", "alternates_ok", "nonempty_ok",
+             "ts_monotone_ok", "contiguous_ok"]
+    for conv, bad in expect_bad.items():
+        r = out[conv]
+        assert r["wellformed"] is False, conv
+        for f in flags:
+            assert r[f] is (f != bad), (conv, f, r)
+
+
+def test_bm25_prefers_term_dense_docs_and_ignores_absent_terms(spark):
+    """The doc repeating the query term outranks a one-hit doc of equal
+    length; a term absent from the corpus changes nothing; rank is dense
+    1..k per query."""
+    from jcpg_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash hash hash filler filler"),
+            (2, "hash filler filler filler filler"),
+            (3, "filler filler filler filler filler"),
+        ],
+        "doc_id int, text string",
+    )
+    q = spark.createDataFrame(
+        [("q", "hash"), ("q", "zzzabsent")], "query_id string, term string"
+    )
+    rows = bm25_topk(docs, q, k=5).orderBy("rank").collect()
+    assert [r["doc_id"] for r in rows] == [1, 2]  # doc 3 never scores
+    assert rows[0]["score"] > rows[1]["score"] > 0
+    assert [r["rank"] for r in rows] == [1, 2]
+    # dropping the absent term changes no score (it has no tf rows)
+    q2 = spark.createDataFrame([("q", "hash")], "query_id string, term string")
+    rows2 = bm25_topk(docs, q2, k=5).orderBy("rank").collect()
+    assert [(r["doc_id"], r["score"]) for r in rows] == [
+        (r["doc_id"], r["score"]) for r in rows2
+    ]

@@ -51,6 +51,20 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    # FOLDED_REGISTRY entries are outside the driver's window but keep the
+    # same oracle contract — cover them here too (they previously slipped
+    # through silently: a requested folded name just never ran and the
+    # harness printed ALL OK).
+    from jcpg_spark.plans.driver_queries import FOLDED_REGISTRY
+
+    for name, (fn, sql) in FOLDED_REGISTRY.items():
+        qs[name] = fn
+        if sql is not None:
+            oracles[name] = sql
+    unknown = [n for n in (only or []) if n not in qs]
+    if unknown:
+        print(f"FATAL: unknown entry names {unknown}")
+        sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
