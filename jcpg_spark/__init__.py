@@ -41,6 +41,7 @@ from jcpg_spark.operators.lm import (
     skipgram_counts,
 )
 from jcpg_spark.operators.linking import link_asof
+from jcpg_spark.operators.query import match_pattern
 from jcpg_spark.operators.retrieval import bm25_topk
 from jcpg_spark.operators.structural import conversation_audit
 from jcpg_spark.operators.subgraph import graph_diff, induced_subgraph
@@ -131,6 +132,7 @@ __all__ = [
     "modularity",
     "rank_eval",
     "bm25_topk",
+    "match_pattern",
     "conversation_audit",
     "kcore",
     "khop_counts",

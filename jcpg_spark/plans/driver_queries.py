@@ -3572,6 +3572,45 @@ FROM probes p LEFT JOIN ranked rk ON rk.q = p.q AND rk.cand = p.target
 """
 
 
+def q_kg_bgp_match(spark, sf_dir):
+    """SPARQL-style basic-graph-pattern query over the CFG+ICFG layers:
+    bindings of (?c call ?tool) ∧ (?c flow.next ?n) ∧ (?n flow.next ?m) —
+    'a tool call site and the two turns that follow it'. Each pattern's
+    constant predicate filters the edges scan; patterns hash-join on their
+    shared variables (the relational-backend SPARQL execution model). Bag
+    semantics, so the SQL oracle mirrors it as plain joins."""
+    from jcpg_spark.operators import query as bgp
+
+    t = transcripts_from_events(spark, sf_dir)
+    edges = (
+        flow.flow_next(t)
+        .select("src", "pred", "dst")
+        .unionByName(calls.call_triples(t).select("src", "pred", "dst"))
+    )
+    return bgp.match_pattern(
+        edges,
+        [("?c", "call", "?tool"), ("?c", "flow.next", "?n"), ("?n", "flow.next", "?m")],
+    )
+
+
+SQL_KG_BGP_MATCH = f"""
+WITH o AS ({_SQL_ORDERED}),
+r AS (SELECT conv_id, idx, {_SQL_ROLE} AS role, {_SQL_TOOL} AS tool FROM o),
+fn AS (SELECT 't:' || conv_id || ':' || CAST(idx AS VARCHAR) AS src,
+              't:' || conv_id || ':' || CAST(nxt AS VARCHAR) AS dst
+       FROM (SELECT conv_id, idx,
+                    lead(idx) OVER (PARTITION BY conv_id ORDER BY idx) AS nxt
+             FROM o)
+       WHERE nxt IS NOT NULL),
+ca AS (SELECT 't:' || conv_id || ':' || CAST(idx AS VARCHAR) AS src,
+              'tool:' || tool AS dst
+       FROM r WHERE role = 'assistant' AND tool IS NOT NULL)
+SELECT ca.src AS c, f2.dst AS m, f1.dst AS n, ca.dst AS tool
+FROM ca JOIN fn f1 ON f1.src = ca.src
+        JOIN fn f2 ON f2.src = f1.dst
+"""
+
+
 # name -> (spark_fn, oracle_sql or None)
 #
 # EXACTLY 50 entries: the driver checks the first 50, so every operator
@@ -3777,6 +3816,8 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_modularity": (q_kg_modularity, SQL_KG_MODULARITY),
     # link-prediction MRR/Hits@k ranking eval over held-out edges
     "kg_rank_eval": (q_kg_rank_eval, SQL_KG_RANK_EVAL),
+    # SPARQL-style basic-graph-pattern query (conjunctive triple patterns)
+    "kg_bgp_match": (q_kg_bgp_match, SQL_KG_BGP_MATCH),
     # folded in r4 to make room for kg_export_json: the full build is
     # rows-only (iterative CC has no single-statement SQL), while its
     # SQL-expressible ~99% keeps the exact composite oracle as the

@@ -112,3 +112,72 @@ def test_graph_diff_added_removed_and_weight_change(spark):
     }
     # unchanged edge (4,5,2) absent; idempotent on identical snapshots
     assert graph_diff(new, new, keys=("a", "b", "w")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# BGP matcher (r4)
+# ---------------------------------------------------------------------------
+
+
+def _bgp_edges(spark):
+    return spark.createDataFrame(
+        [
+            ("a", "call", "tool:db"),
+            ("a", "flow.next", "b"),
+            ("b", "flow.next", "c"),
+            ("b", "call", "tool:db"),
+            ("x", "loops", "x"),
+            ("y", "loops", "z"),
+        ],
+        "src string, pred string, dst string",
+    )
+
+
+def test_bgp_chain_and_constant_filters(spark):
+    from jcpg_spark.operators.query import match_pattern
+
+    out = match_pattern(
+        _bgp_edges(spark),
+        [("?c", "call", "?t"), ("?c", "flow.next", "?n")],
+    ).collect()
+    rows = {(r["c"], r["t"], r["n"]) for r in out}
+    assert rows == {("a", "tool:db", "b"), ("b", "tool:db", "c")}
+    # constant object narrows: only edges into 'c'
+    out2 = match_pattern(
+        _bgp_edges(spark), [("?s", "flow.next", "c")]
+    ).collect()
+    assert {r["s"] for r in out2} == {"b"}
+
+
+def test_bgp_repeated_var_is_equality(spark):
+    from jcpg_spark.operators.query import match_pattern
+
+    out = match_pattern(_bgp_edges(spark), [("?x", "loops", "?x")]).collect()
+    assert [r["x"] for r in out] == ["x"]
+
+
+def test_bgp_rejects_cartesian_and_degenerate_patterns(spark):
+    import pytest
+
+    from jcpg_spark.operators.query import match_pattern
+
+    e = _bgp_edges(spark)
+    with pytest.raises(ValueError, match="cartesian"):
+        match_pattern(e, [("?a", "call", "?t"), ("?x", "loops", "?y")])
+    with pytest.raises(ValueError, match="all-constant"):
+        match_pattern(e, [("a", "call", "tool:db")])
+    with pytest.raises(ValueError, match="empty"):
+        match_pattern(e, [])
+
+
+def test_bgp_bag_semantics_preserves_duplicates(spark):
+    """Two distinct call edges from 'a' to the same tool produce two
+    bindings for the same (c, t) pair — SPARQL SELECT without DISTINCT."""
+    from jcpg_spark.operators.query import match_pattern
+
+    e = spark.createDataFrame(
+        [("a", "call", "t1"), ("a", "call", "t1"), ("a", "flow.next", "b")],
+        "src string, pred string, dst string",
+    )
+    out = match_pattern(e, [("?c", "call", "?t"), ("?c", "flow.next", "?n")]).collect()
+    assert len(out) == 2
