@@ -38,6 +38,7 @@ from jcpg_spark.operators.lm import (
     bigram_lm_scores,
     ccnet_buckets,
     dsir_weights,
+    ppmi_weights,
     skipgram_counts,
 )
 from jcpg_spark.operators.linking import link_asof
@@ -58,6 +59,7 @@ from jcpg_spark.operators.dedup import (
     semantic_dedup,
 )
 from jcpg_spark.operators.similarity import (
+    bitext_mine,
     class_centroids,
     pq_codebooks,
     pq_encode,
@@ -66,6 +68,8 @@ from jcpg_spark.operators.similarity import (
 from jcpg_spark.operators.graph_analytics import (
     bfs_distances,
     modularity,
+    neighbor_sample,
+    random_walks,
     rank_eval,
     cardinality_audit,
     characteristic_sets,
@@ -133,6 +137,9 @@ __all__ = [
     "rank_eval",
     "bm25_topk",
     "match_pattern",
+    "bitext_mine",
+    "neighbor_sample",
+    "random_walks",
     "conversation_audit",
     "kcore",
     "khop_counts",
@@ -143,6 +150,7 @@ __all__ = [
     "scrub_boilerplate_spans",
     "scrub_duplicate_spans",
     "skipgram_counts",
+    "ppmi_weights",
     "pq_codebooks",
     "pq_encode",
     "pq_topk",

@@ -41,6 +41,8 @@ cross-engine agreement is pinned by rounding (see its entry's oracle).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1129,3 +1131,109 @@ def rank_eval(candidates: DataFrame, heldout: DataFrame, k: int = 10) -> DataFra
         ).alias("rr"),
         (F.coalesce(F.col("rank"), F.lit(1 << 30)) <= k).alias("hit_at_k"),
     )
+
+
+def neighbor_sample(
+    edges: DataFrame, seeds: DataFrame, fanouts: Sequence[int] = (3, 2)
+) -> DataFrame:
+    """GraphSAGE-style layered neighborhood sampling over the symmetrized
+    graph: from each seed, keep at most ``fanouts[h]`` neighbors per
+    frontier vertex at hop h — the minibatch-construction primitive for
+    distributed GNN training, where full neighborhoods are hub-explosive.
+
+    -> (hop, src, dst): the sampled edges, hop = 1-based layer. Sampling
+    is DETERMINISTIC (no RNG state, resumable, partitioning-invariant,
+    cross-engine exact): a frontier vertex's neighbors are ranked by
+    md5(src:dst:hop) — an unbiased per-hop shuffle, like the md5 hash
+    ring in ``negative_triples`` — and the top ``fanouts[h]`` survive.
+    Per hop: one vertex-keyed join + one window partitioned by the
+    frontier vertex; len(fanouts) is small and fixed, so the unrolled
+    plan is a finite join tree an exact SQL oracle can mirror.
+
+    ``seeds`` is a one-column DataFrame (column ``v``).
+    """
+    from jcpg_spark.caching import swap_persist
+
+    e = edges.select("a", "b")
+    adj = e.select(F.col("a").alias("s"), F.col("b").alias("t")).unionByName(
+        e.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    if len(fanouts) > 1:
+        adj = swap_persist("neighbor_sample.adj", adj)
+    frontier = seeds.select(F.col("v").alias("s"))
+    out = None
+    for h, fan in enumerate(fanouts, start=1):
+        cand = frontier.join(adj, "s")
+        hkey = F.md5(
+            F.concat_ws(
+                ":", F.col("s").cast("string"), F.col("t").cast("string"),
+                F.lit(str(h)),
+            )
+        )
+        w = Window.partitionBy("s").orderBy(hkey.asc(), F.col("t").asc())
+        kept = (
+            cand.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= fan)
+            .select(
+                F.lit(h).alias("hop"),
+                F.col("s").alias("src"),
+                F.col("t").alias("dst"),
+            )
+        )
+        out = kept if out is None else out.unionByName(kept)
+        frontier = kept.select(F.col("dst").alias("s")).distinct()
+    return out
+
+
+def random_walks(
+    edges: DataFrame, walks_per_node: int = 2, length: int = 3
+) -> DataFrame:
+    """DeepWalk corpus generation: ``walks_per_node`` truncated random
+    walks of ``length`` steps from every vertex of the symmetrized graph —
+    the input sentences for skip-gram graph embeddings
+    (``lm.skipgram_counts`` consumes exactly this shape).
+
+    -> (v0, walk, step, vertex): step 0 is the start vertex. The walk is
+    DETERMINISTIC: at each step the successor is the neighbor ranked
+    first by md5(walk:step:cur:neighbor) — a fresh unbiased choice per
+    (walk id, step), with no RNG state (resumable, partitioning-invariant,
+    cross-engine exact; same device as ``neighbor_sample``). Each step is
+    one vertex-keyed join + one window partitioned by (walk, cur);
+    ``length`` is small and fixed, so the unrolled plan is a finite join
+    tree an exact SQL oracle can mirror. Dead-end vertices (none here —
+    the graph is symmetrized, so deg >= 1 for every vertex that appears)
+    would simply stop extending.
+    """
+    from jcpg_spark.caching import swap_persist
+
+    e = edges.select("a", "b")
+    adj = e.select(F.col("a").alias("s"), F.col("b").alias("t")).unionByName(
+        e.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    if length > 1:
+        adj = swap_persist("random_walks.adj", adj)
+    starts = (
+        adj.select(F.col("s").alias("v0"))
+        .distinct()
+        .select("v0", F.explode(F.expr(f"sequence(1, {walks_per_node})")).alias("walk"))
+    )
+    out = starts.select(
+        "v0", "walk", F.lit(0).alias("step"), F.col("v0").alias("vertex")
+    )
+    cur = out
+    for k in range(1, length + 1):
+        cand = cur.select("v0", "walk", F.col("vertex").alias("s")).join(adj, "s")
+        hkey = F.md5(
+            F.concat_ws(
+                ":", F.col("walk").cast("string"), F.lit(str(k)),
+                F.col("s").cast("string"), F.col("t").cast("string"),
+            )
+        )
+        w = Window.partitionBy("v0", "walk", "s").orderBy(hkey.asc(), F.col("t").asc())
+        cur = (
+            cand.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("v0", "walk", F.lit(k).alias("step"), F.col("t").alias("vertex"))
+        )
+        out = out.unionByName(cur)
+    return out

@@ -270,3 +270,38 @@ def skipgram_counts(
         .agg(F.count("*").alias("cnt"))
         .where(F.col("cnt") >= min_count)
     )
+
+
+def ppmi_weights(skipgrams: DataFrame) -> DataFrame:
+    """-> (w_center, w_context, cnt, ppmi): positive pointwise mutual
+    information over skip-gram pair counts — the count-based embedding
+    weighting (Levy & Goldberg 2014 showed word2vec SGNS implicitly
+    factorizes this matrix; LSA-family pipelines consume it directly).
+
+    ppmi = max(0, ln(cnt * total / (cnt_center * cnt_context))), with the
+    marginals and the grand total computed from the pair table itself
+    (symmetric input -> symmetric marginals). Two tiny vocabulary-keyed
+    hash-aggs + one broadcastable 1-row total; the only pair-scale
+    operations are the two marginal joins, keyed on each word. Doubles
+    pinned to 6 dp per the repo convention; all inputs to ln are exact
+    integers, so both engines see identical operands.
+    """
+    pairs = skipgrams.select("w_center", "w_context", "cnt")
+    center = pairs.groupBy("w_center").agg(F.sum("cnt").alias("cnt_center"))
+    context = pairs.groupBy("w_context").agg(F.sum("cnt").alias("cnt_context"))
+    total = pairs.agg(F.sum("cnt").alias("total"))
+    pmi = F.log(
+        F.col("cnt").cast("double") * F.col("total")
+        / (F.col("cnt_center") * F.col("cnt_context"))
+    )
+    return (
+        pairs.join(center, "w_center")
+        .join(context, "w_context")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w_center",
+            "w_context",
+            "cnt",
+            F.round(F.greatest(F.lit(0.0), pmi), 6).alias("ppmi"),
+        )
+    )

@@ -484,3 +484,80 @@ def pq_topk(
             F.round("adc", 6).alias("adc_dist"),
         )
     )
+
+
+def bitext_mine(
+    embeddings: DataFrame,
+    k_neigh: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    side: Column | None = None,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the CCMatrix /
+    LASER protocol): align each side-A vector to its best side-B partner
+    by the RATIO margin — cos(x, y) normalized by the mean of the two
+    vectors' top-``k_neigh`` neighborhood densities — which suppresses
+    hub vectors that are everyone's nearest neighbor (the failure mode of
+    raw-cosine alignment in cross-lingual spaces).
+
+    -> (a_id, b_id, cos, margin, mutual): the forward-best partner per
+    side-A vector; ``mutual`` marks pairs that are also backward-best
+    (the intersection criterion used for high-precision mining). ``side``
+    is a boolean Column splitting the space (default: even/odd ``id_col``
+    — the deterministic stand-in for a language split).
+
+    This is the EXACT all-pairs formulation — the tiny-sf verification
+    baseline only, quarantined exactly like ``dedup.embedding_cosine``.
+    The scale path generates candidate pairs with the multi-table
+    random-hyperplane buckets (``rhp_buckets`` / ``lsh_topk``) and feeds
+    them through the same density + margin windows; densities computed
+    over bucket candidates are the standard approximation (faiss-style),
+    documented as such. Cosines are pinned to 6 dp before every window so
+    ranks are a pure function of cross-engine-equal values.
+    """
+    from pyspark.sql import Window
+
+    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if side is None:
+        side = F.col("id") % 2 == 0
+    a = e.where(side).select(F.col("id").alias("a_id"), F.col("v").alias("va"))
+    b = e.where(~side).select(F.col("id").alias("b_id"), F.col("v").alias("vb"))
+    pairs = a.crossJoin(b).select(
+        "a_id",
+        "b_id",
+        F.round(
+            _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+            6,
+        ).alias("cos"),
+    )
+    wa = Window.partitionBy("a_id").orderBy(F.col("cos").desc(), F.col("b_id").asc())
+    wb = Window.partitionBy("b_id").orderBy(F.col("cos").desc(), F.col("a_id").asc())
+    ranked = pairs.withColumn("rka", F.row_number().over(wa)).withColumn(
+        "rkb", F.row_number().over(wb)
+    )
+    dens_a = (
+        ranked.where(F.col("rka") <= k_neigh)
+        .groupBy("a_id")
+        .agg(F.avg("cos").alias("dens_a"))
+    )
+    dens_b = (
+        ranked.where(F.col("rkb") <= k_neigh)
+        .groupBy("b_id")
+        .agg(F.avg("cos").alias("dens_b"))
+    )
+    m = (
+        pairs.join(dens_a, "a_id")
+        .join(dens_b, "b_id")
+        .withColumn(
+            "margin",
+            F.round(F.col("cos") / ((F.col("dens_a") + F.col("dens_b")) / 2), 6),
+        )
+    )
+    wfa = Window.partitionBy("a_id").orderBy(F.col("margin").desc(), F.col("b_id").asc())
+    wfb = Window.partitionBy("b_id").orderBy(F.col("margin").desc(), F.col("a_id").asc())
+    best = m.withColumn("fwd", F.row_number().over(wfa)).withColumn(
+        "bwd", F.row_number().over(wfb)
+    )
+    return best.where(F.col("fwd") == 1).select(
+        "a_id", "b_id", "cos", "margin", (F.col("bwd") == 1).alias("mutual")
+    )

@@ -3611,6 +3611,125 @@ FROM ca JOIN fn f1 ON f1.src = ca.src
 """
 
 
+def q_emb_bitext_mine(spark, sf_dir):
+    """Margin-based bitext mining (Artetxe & Schwenk ratio margin, the
+    CCMatrix protocol) between the even- and odd-id halves of the
+    embedding space: forward-best partner per side-A vector with the
+    mutual (intersection) flag. Exact all-pairs formulation — the tiny-sf
+    verification baseline for the LSH-candidate scale path (see
+    similarity.bitext_mine)."""
+    return similarity.bitext_mine(_emb(spark, sf_dir), k_neigh=4)
+
+
+SQL_EMB_BITEXT_MINE = """
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+a AS (SELECT id AS a_id, v AS va FROM e WHERE id % 2 = 0),
+b AS (SELECT id AS b_id, v AS vb FROM e WHERE id % 2 = 1),
+p AS (SELECT a_id, b_id, round(list_cosine_similarity(va, vb), 6) AS cos FROM a, b),
+rk AS (SELECT *,
+              row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rka,
+              row_number() OVER (PARTITION BY b_id ORDER BY cos DESC, a_id) AS rkb
+       FROM p),
+da AS (SELECT a_id, avg(cos) AS dens_a FROM rk WHERE rka <= 4 GROUP BY 1),
+db AS (SELECT b_id, avg(cos) AS dens_b FROM rk WHERE rkb <= 4 GROUP BY 1),
+m AS (SELECT p.a_id, p.b_id, p.cos,
+             round(p.cos / ((dens_a + dens_b) / 2), 6) AS margin
+      FROM p JOIN da USING (a_id) JOIN db USING (b_id)),
+f AS (SELECT *,
+             row_number() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id) AS fwd,
+             row_number() OVER (PARTITION BY b_id ORDER BY margin DESC, a_id) AS bwd
+      FROM m)
+SELECT a_id, b_id, cos, margin, bwd = 1 AS mutual FROM f WHERE fwd = 1
+"""
+
+
+def q_kg_neighbor_sample(spark, sf_dir):
+    """GraphSAGE-style layered neighbor sampling on the co-mention graph
+    (fanouts 3, then 2) from the deterministic seed set {v : v % 3 = 0} —
+    the GNN minibatch-construction primitive. Per-hop md5 ranking makes
+    the sample exact across engines and partitionings."""
+    edges = _comention_edges(spark, sf_dir, min_weight=2)
+    seeds = (
+        edges.select(F.col("a").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("v")))
+        .distinct()
+        .where(F.col("v") % 3 == 0)
+    )
+    return graph_analytics.neighbor_sample(edges, seeds, fanouts=(3, 2))
+
+
+SQL_KG_NEIGHBOR_SAMPLE = f"""
+WITH e AS ({_SQL_COMENTION}),
+adj AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+seeds AS (SELECT DISTINCT s AS v FROM adj WHERE s % 3 = 0),
+c1 AS (SELECT seeds.v AS s, adj.t FROM seeds JOIN adj ON adj.s = seeds.v),
+k1 AS (SELECT 1 AS hop, s AS src, t AS dst FROM (
+         SELECT s, t, row_number() OVER (PARTITION BY s
+           ORDER BY md5(CAST(s AS VARCHAR) || ':' || CAST(t AS VARCHAR) || ':1'), t) AS rk
+         FROM c1) WHERE rk <= 3),
+f2 AS (SELECT DISTINCT dst AS s FROM k1),
+c2 AS (SELECT f2.s, adj.t FROM f2 JOIN adj ON adj.s = f2.s),
+k2 AS (SELECT 2 AS hop, s AS src, t AS dst FROM (
+         SELECT s, t, row_number() OVER (PARTITION BY s
+           ORDER BY md5(CAST(s AS VARCHAR) || ':' || CAST(t AS VARCHAR) || ':2'), t) AS rk
+         FROM c2) WHERE rk <= 2)
+SELECT * FROM k1 UNION ALL SELECT * FROM k2
+"""
+
+
+def q_kg_random_walks(spark, sf_dir):
+    """DeepWalk corpus over the co-mention graph: 2 deterministic
+    truncated walks of length 2 from every vertex (md5-keyed successor
+    choice — fresh unbiased pick per (walk, step), no RNG state). The
+    sentence input for skip-gram graph embeddings."""
+    edges = _comention_edges(spark, sf_dir, min_weight=2)
+    return graph_analytics.random_walks(edges, walks_per_node=2, length=2)
+
+
+def _walk_step_sql(k: int) -> str:
+    return f"""s{k} AS (SELECT v0, walk, {k} AS step, t AS vertex FROM (
+  SELECT c.v0, c.walk, c.s, c.t,
+         row_number() OVER (PARTITION BY c.v0, c.walk, c.s
+           ORDER BY md5(CAST(c.walk AS VARCHAR) || ':{k}:'
+                        || CAST(c.s AS VARCHAR) || ':' || CAST(c.t AS VARCHAR)),
+                    c.t) AS rk
+  FROM (SELECT p.v0, p.walk, adj.s, adj.t
+        FROM s{k - 1} p JOIN adj ON adj.s = p.vertex) c) WHERE rk = 1)"""
+
+
+SQL_KG_RANDOM_WALKS = f"""
+WITH e AS ({_SQL_COMENTION}),
+adj AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+starts AS (SELECT DISTINCT s AS v0 FROM adj),
+s0 AS (SELECT v0, w.w AS walk, 0 AS step, v0 AS vertex
+       FROM starts CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS w) w),
+{_walk_step_sql(1)},
+{_walk_step_sql(2)}
+SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2
+"""
+
+
+def q_doc_ppmi(spark, sf_dir):
+    """PPMI weighting over the corpus skip-gram counts (Levy & Goldberg
+    2014: the matrix SGNS implicitly factorizes). Marginals and total come
+    from the pair table itself; every ln operand is an exact integer on
+    both engines, output pinned to 6 dp."""
+    docs = _docs(spark, sf_dir)
+    return lm.ppmi_weights(lm.skipgram_counts(docs, window=2, min_count=3))
+
+
+SQL_DOC_PPMI = f"""
+WITH sg AS ({SQL_DOC_SKIPGRAMS}),
+ctr AS (SELECT w_center, sum(cnt) AS cnt_center FROM sg GROUP BY 1),
+ctx AS (SELECT w_context, sum(cnt) AS cnt_context FROM sg GROUP BY 1),
+tot AS (SELECT sum(cnt) AS total FROM sg)
+SELECT w_center, w_context, cnt,
+       round(greatest(0.0, ln(CAST(cnt AS DOUBLE) * total
+                              / (cnt_center * cnt_context))), 6) AS ppmi
+FROM sg JOIN ctr USING (w_center) JOIN ctx USING (w_context) CROSS JOIN tot
+"""
+
+
 # name -> (spark_fn, oracle_sql or None)
 #
 # EXACTLY 50 entries: the driver checks the first 50, so every operator
@@ -3818,6 +3937,14 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_rank_eval": (q_kg_rank_eval, SQL_KG_RANK_EVAL),
     # SPARQL-style basic-graph-pattern query (conjunctive triple patterns)
     "kg_bgp_match": (q_kg_bgp_match, SQL_KG_BGP_MATCH),
+    # margin-based bitext mining (ratio margin + mutual-best flag)
+    "emb_bitext_mine": (q_emb_bitext_mine, SQL_EMB_BITEXT_MINE),
+    # GraphSAGE layered neighbor sampling (md5-deterministic)
+    "kg_neighbor_sample": (q_kg_neighbor_sample, SQL_KG_NEIGHBOR_SAMPLE),
+    # DeepWalk corpus generation (md5-keyed successor choice)
+    "kg_random_walks": (q_kg_random_walks, SQL_KG_RANDOM_WALKS),
+    # PPMI weighting over skip-gram counts (the SGNS-implicit matrix)
+    "doc_ppmi": (q_doc_ppmi, SQL_DOC_PPMI),
     # folded in r4 to make room for kg_export_json: the full build is
     # rows-only (iterative CC has no single-statement SQL), while its
     # SQL-expressible ~99% keeps the exact composite oracle as the

@@ -98,3 +98,27 @@ def test_segment_applies_merges_in_word_order(spark):
     assert out[1] == apply("abab") + apply("cd") + apply("abab")
     assert out[2] == apply("zz") + apply("zz")
     assert out[3] == []  # no alphabetic words -> empty tokens, doc kept
+
+
+def test_ppmi_weights_match_hand_computation(spark):
+    """Tiny symmetric pair table: ppmi = max(0, ln(cnt*total/(mc*mx)))
+    checked against pure-python math; independent pairs clamp to 0."""
+    import math
+
+    from jcpg_spark.operators.lm import ppmi_weights
+
+    sg = spark.createDataFrame(
+        # symmetric counts: (a,b)=4, (b,a)=4, (a,c)=1, (c,a)=1
+        [("a", "b", 4), ("b", "a", 4), ("a", "c", 1), ("c", "a", 1)],
+        "w_center string, w_context string, cnt long",
+    )
+    out = {(r["w_center"], r["w_context"]): r["ppmi"] for r in ppmi_weights(sg).collect()}
+    total = 10
+    marg = {"a": 5, "b": 4, "c": 1}
+    for (c, x), got in out.items():
+        want = round(max(0.0, math.log(out_cnt(c, x) * total / (marg[c] * marg[x]))), 6)
+        assert got == want, (c, x, got, want)
+
+
+def out_cnt(c, x):
+    return {("a", "b"): 4, ("b", "a"): 4, ("a", "c"): 1, ("c", "a"): 1}[(c, x)]

@@ -678,3 +678,52 @@ def test_decontaminate_broadcasts_eval_side(spark):
     plan = dd.decontaminate(tr, ev, n=8)._jdf.queryExecution().executedPlan().toString()
     # the left-semi eval join specifically must be broadcast
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+# ---------------------------------------------------------------------------
+# bitext mining (r4)
+# ---------------------------------------------------------------------------
+
+
+def test_bitext_mine_margin_beats_hub(spark):
+    """A hub vector that is everyone's raw-cosine favorite loses under the
+    ratio margin: its dense neighborhood divides its scores down, so the
+    non-hub partner wins the forward-best slot and mutual-best pairs line
+    up on the true alignment."""
+    from jcpg_spark.operators.similarity import bitext_mine
+
+    # side A (even ids) and side B (odd ids) in R^3. b=1 is the hub:
+    # moderately close to EVERYTHING. b=3 and b=5 align with a=0 / a=2.
+    rows = [
+        (0, [1.0, 0.0, 0.1]),
+        (2, [0.0, 1.0, 0.1]),
+        (4, [0.5, 0.5, 0.0]),
+        (1, [0.6, 0.6, 0.5]),   # hub: decent cosine to every A vector
+        (3, [1.0, 0.05, 0.0]),  # true partner of a=0
+        (5, [0.05, 1.0, 0.0]),  # true partner of a=2
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {r["a_id"]: r for r in bitext_mine(emb, k_neigh=2).collect()}
+    assert out[0]["b_id"] == 3 and out[0]["mutual"] is True
+    assert out[2]["b_id"] == 5 and out[2]["mutual"] is True
+    # every A vector emits exactly one forward-best row
+    assert set(out) == {0, 2, 4}
+    # margin is cos scaled by neighborhood density: bounded and positive here
+    assert all(r["margin"] > 0 for r in out.values())
+
+
+def test_bitext_mine_custom_side_split(spark):
+    """The side predicate is caller-controllable (e.g. a language column);
+    ids keep their side labels in the output."""
+    from pyspark.sql import functions as F
+
+    from jcpg_spark.operators.similarity import bitext_mine
+
+    rows = [
+        (10, [1.0, 0.0]), (11, [0.0, 1.0]),      # side X (id < 20)
+        (20, [0.9, 0.1]), (21, [0.1, 0.9]),      # side Y
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {r["a_id"]: r["b_id"] for r in
+           bitext_mine(emb, k_neigh=1, side=F.col("id") < 20).collect()}
+    assert out == {10: 20, 11: 21}

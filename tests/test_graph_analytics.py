@@ -857,3 +857,52 @@ def test_rank_eval_ranks_misses_and_directions(spark):
     assert r["rank"] is None and r["rr"] == 0.0 and r["hit_at_k"] is False
     r = rows[(4, 1, "tail")]
     assert r["rank"] is None and r["rr"] == 0.0
+
+
+def test_neighbor_sample_caps_fanout_and_is_deterministic(spark):
+    """Star + chain: the hub's hop-1 sample is capped at the fanout; a
+    repartitioned input yields the identical sample (md5 ranking, no RNG)."""
+    from jcpg_spark.operators.graph_analytics import neighbor_sample
+
+    edges = spark.createDataFrame(
+        [(0, i, 1) for i in range(1, 8)] + [(1, 10, 1), (2, 11, 1)],
+        "a int, b int, w int",
+    )
+    seeds = spark.createDataFrame([(0,)], "v int")
+    out = neighbor_sample(edges, seeds, fanouts=(3, 2))
+    rows = out.collect()
+    h1 = [r for r in rows if r["hop"] == 1]
+    assert len(h1) == 3 and all(r["src"] == 0 for r in h1)
+    # hop 2 expands only the sampled hop-1 frontier, <= 2 per vertex
+    h2 = [r for r in rows if r["hop"] == 2]
+    assert {r["src"] for r in h2} <= {r["dst"] for r in h1}
+    from collections import Counter
+
+    assert max(Counter(r["src"] for r in h2).values()) <= 2
+    again = neighbor_sample(edges.repartition(7), seeds, fanouts=(3, 2)).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_random_walks_are_connected_and_deterministic(spark):
+    """Every walk visits `length`+1 vertices, each consecutive pair is an
+    edge of the symmetrized graph, and repartitioning changes nothing."""
+    from jcpg_spark.operators.graph_analytics import random_walks
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1), (1, 4, 1), (2, 4, 1)],
+        "a int, b int, w int",
+    )
+    out = random_walks(edges, walks_per_node=2, length=3).collect()
+    adj = {(1, 2), (2, 3), (3, 4), (1, 4), (2, 4)}
+    adj |= {(b, a) for a, b in adj}
+    walks = {}
+    for r in out:
+        walks.setdefault((r["v0"], r["walk"]), {})[r["step"]] = r["vertex"]
+    assert len(walks) == 4 * 2  # 4 vertices x 2 walks
+    for (v0, _w), steps in walks.items():
+        assert sorted(steps) == [0, 1, 2, 3]
+        assert steps[0] == v0
+        for k in range(3):
+            assert (steps[k], steps[k + 1]) in adj, (v0, _w, steps)
+    again = random_walks(edges.repartition(5), walks_per_node=2, length=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
