@@ -25,6 +25,26 @@ Scale posture:
 Bag semantics (duplicate bindings preserved), like SPARQL SELECT without
 DISTINCT and like SQL — so an exact SQL oracle can mirror results
 row-for-row.
+
+Beyond plain BGPs (r4), the predicate position of a pattern accepts the
+core SPARQL 1.1 property-path forms that stay relational:
+
+- ``a|b``     alternation  -> an IN-list filter on the same edges scan;
+- ``^p``      inverse      -> the same scan with src/dst swapped;
+- ``p+``      one-or-more  -> the hop-bounded transitive closure of ``p``
+  (DISTINCT (src, dst) pairs — SPARQL property paths are set-semantics —
+  computed by frontier expansion: per round, join the newly-reached pairs
+  to the base relation and anti-join the already-reached set, so a pair
+  crosses the shuffle once; rounds are bounded by ``max_hops``, which
+  keeps the unrolled plan finite and SQL-mirrorable, and caps the blow-up
+  a cyclic 10^12-edge graph would otherwise feed an unbounded ``+``).
+
+``match_query`` adds the other half of the SPARQL algebra that maps
+directly onto DataFrame operators: OPTIONAL groups (left outer join on
+the shared variables — SPARQL's LeftJoin), FILTER (SQL boolean
+expressions over the bound variable columns, evaluated post-join exactly
+like SPARQL filters scoped to the group), and DISTINCT; ``union_patterns``
+is SPARQL UNION (bag union of same-projection groups).
 """
 
 from __future__ import annotations
@@ -41,16 +61,82 @@ def _is_var(term: str) -> bool:
     return term.startswith("?")
 
 
-def _pattern_df(edges: DataFrame, pat: TriplePattern) -> DataFrame:
+def _closure(edges: DataFrame, term: str, max_hops: int) -> DataFrame:
+    """Hop-bounded transitive closure of a constant predicate term:
+    DISTINCT (src, dst) pairs connected by a directed path of 1..max_hops
+    edges matching ``term`` (itself possibly ``^``-inverted or an
+    ``a|b`` alternation). Set semantics per the SPARQL property-path
+    spec — two paths between the same endpoints yield ONE row, which is
+    also what keeps the pair count O(V * max_hops) on chain graphs
+    instead of path-count exponential on diamonds.
+
+    Frontier expansion (the bfs_distances move, on pairs): each round
+    joins only the PREVIOUS round's new pairs against the 1-hop base and
+    anti-joins everything already reached, so a pair crosses the shuffle
+    in exactly one round; lineage is cut per round with a lazy
+    localCheckpoint. Bounded rounds keep the plan finite for the SQL
+    oracle and bound the damage of a cycle at 10^12 edges."""
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    from jcpg_spark.caching import swap_persist
+
+    base = _const_pred_pairs(edges, term).distinct()
+    if max_hops > 1:
+        base = swap_persist("query.closure.base", base)
+    hop = base.select(F.col("src").alias("m"), F.col("dst").alias("o2"))
+    reach, frontier = base, base
+    for _h in range(2, max_hops + 1):
+        nxt = (
+            frontier.join(hop, frontier["dst"] == hop["m"])
+            .select("src", F.col("o2").alias("dst"))
+            .distinct()
+            .join(reach, ["src", "dst"], "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        reach = reach.unionByName(nxt)
+        frontier = nxt
+    return reach
+
+
+def _const_pred_pairs(edges: DataFrame, term: str, max_hops: int = 1) -> DataFrame:
+    """(src, dst) relation for a CONSTANT predicate term, honoring the
+    property-path forms: ``^`` inverse (applies to the whole rest of the
+    term), trailing ``+`` hop-bounded closure, ``|`` alternation."""
+    if term.startswith("^"):
+        inner = _const_pred_pairs(edges, term[1:], max_hops)
+        return inner.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    if term.endswith("+"):
+        return _closure(edges, term[:-1], max_hops)
+    preds = term.split("|")
+    cond = (
+        F.col("pred").isin(preds) if len(preds) > 1 else F.col("pred") == F.lit(term)
+    )
+    return edges.where(cond).select("src", "dst")
+
+
+def _pattern_df(edges: DataFrame, pat: TriplePattern, max_hops: int = 8) -> DataFrame:
     """One triple pattern -> DataFrame with one column per DISTINCT
     variable. Constants filter; a variable repeated inside the pattern
-    (e.g. ``(?x, loops, ?x)``) becomes an equality filter."""
+    (e.g. ``(?x, loops, ?x)``) becomes an equality filter. A constant
+    predicate may use the property-path forms ``a|b`` / ``^p`` / ``p+``
+    (see module docstring); a VARIABLE predicate binds the plain edge
+    scan (no path forms — a variable cannot name a path)."""
     if len(pat) != 3:
         raise ValueError(f"triple pattern must have 3 terms, got {pat!r}")
-    df = edges.select("src", "pred", "dst")
+    if _is_var(pat[1]):
+        df = edges.select("src", "pred", "dst")
+        cols = ("src", "pred", "dst")
+    else:
+        df = _const_pred_pairs(edges, pat[1], max_hops)
+        pat = (pat[0], None, pat[2])
+        cols = ("src", None, "dst")
     seen: dict[str, str] = {}
     sel = []
-    for term, col in zip(pat, ("src", "pred", "dst")):
+    for term, col in zip(pat, cols):
+        if col is None:
+            continue
         if _is_var(term):
             var = term[1:]
             if not var:
@@ -70,7 +156,9 @@ def _pattern_df(edges: DataFrame, pat: TriplePattern) -> DataFrame:
     return df.select(*sel)
 
 
-def match_pattern(edges: DataFrame, patterns: Sequence[TriplePattern]) -> DataFrame:
+def match_pattern(
+    edges: DataFrame, patterns: Sequence[TriplePattern], max_hops: int = 8
+) -> DataFrame:
     """Evaluate a basic graph pattern over ``edges`` (src, pred, dst).
 
     -> one column per variable (without the '?'), one row per binding of
@@ -78,13 +166,14 @@ def match_pattern(edges: DataFrame, patterns: Sequence[TriplePattern]) -> DataFr
     Patterns are joined left-to-right on their shared variables; each
     pattern must share at least one variable with the ones before it
     (see module docstring — accidental cartesian products are rejected).
+    ``max_hops`` bounds any ``p+`` property-path closure in the patterns.
     """
     if not patterns:
         raise ValueError("empty pattern list")
     result: DataFrame | None = None
     bound: set[str] = set()
     for pat in patterns:
-        pdf = _pattern_df(edges, pat)
+        pdf = _pattern_df(edges, pat, max_hops)
         pvars = set(pdf.columns)
         if result is None:
             result, bound = pdf, pvars
@@ -99,3 +188,77 @@ def match_pattern(edges: DataFrame, patterns: Sequence[TriplePattern]) -> DataFr
         result = result.join(pdf, on=shared)
         bound |= pvars
     return result.select(*sorted(bound))
+
+
+def match_query(
+    edges: DataFrame,
+    bgp: Sequence[TriplePattern],
+    optional: Sequence[Sequence[TriplePattern]] = (),
+    filters: Sequence[str] = (),
+    distinct: bool = False,
+    max_hops: int = 8,
+) -> DataFrame:
+    """SPARQL SELECT core: required BGP, then OPTIONAL groups, FILTERs,
+    and optional DISTINCT — each mapped onto its exact relational dual.
+
+    - every group in ``optional`` is itself a BGP; it is attached with a
+      LEFT OUTER join on the variables it shares with what is already
+      bound (SPARQL's LeftJoin operator) — unmatched rows keep NULLs in
+      the group's fresh variables. A group sharing no variable would be
+      a cartesian product and is rejected like a disconnected required
+      pattern. Groups attach left-to-right, so a later group may join on
+      variables a previous OPTIONAL introduced (SPARQL's sequential
+      left-associative semantics).
+    - ``filters`` are SQL boolean expressions over the variable columns
+      (``F.expr``), applied AFTER all joins — Catalyst pushes a filter
+      that only reads required-side columns back below the outer joins
+      itself, so writing them post-join costs nothing and matches the
+      SPARQL scoping rule (a filter sees the whole group solution).
+    - output columns = sorted variable names; bag semantics unless
+      ``distinct``.
+    """
+    result = match_pattern(edges, bgp, max_hops)
+    bound = set(result.columns)
+    for group in optional:
+        gdf = match_pattern(edges, group, max_hops)
+        gvars = set(gdf.columns)
+        shared = sorted(bound & gvars)
+        if not shared:
+            raise ValueError(
+                f"OPTIONAL group {[tuple(p) for p in group]!r} shares no "
+                f"variable with the bound set {sorted(bound)} — this would "
+                "be a cartesian product; reorder or drop the group"
+            )
+        result = result.join(gdf, on=shared, how="left")
+        bound |= gvars
+    for fexpr in filters:
+        result = result.where(F.expr(fexpr))
+    result = result.select(*sorted(bound))
+    return result.distinct() if distinct else result
+
+
+def union_patterns(
+    edges: DataFrame, bgps: Sequence[Sequence[TriplePattern]], max_hops: int = 8
+) -> DataFrame:
+    """SPARQL UNION of same-projection groups: each BGP in ``bgps`` must
+    bind exactly the same variable set; the result is their bag union
+    (UNION ALL — duplicates across branches preserved, like SPARQL).
+    Same-projection is required rather than NULL-padded because a
+    NULL-padded union silently turns a typo'd variable into a column of
+    NULLs; loud beats lenient on a 10^12-edge graph."""
+    if not bgps:
+        raise ValueError("empty union")
+    dfs = [match_pattern(edges, bgp, max_hops) for bgp in bgps]
+    cols = set(dfs[0].columns)
+    for bgp, df in zip(bgps[1:], dfs[1:]):
+        if set(df.columns) != cols:
+            raise ValueError(
+                f"UNION branch {[tuple(p) for p in bgp]!r} binds "
+                f"{sorted(df.columns)} but the first branch binds "
+                f"{sorted(cols)} — all branches must project the same "
+                "variables"
+            )
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out

@@ -3611,6 +3611,112 @@ FROM ca JOIN fn f1 ON f1.src = ca.src
 """
 
 
+def q_kg_path_closure(spark, sf_dir):
+    """SPARQL 1.1 property-path query: (?c call ?tool) ∧ (?c flow.next+ ?n)
+    with the closure hop-bounded at 3 — per tool call site, every turn
+    reachable along 1..3 sequential-flow edges. `flow.next+` is the
+    set-semantics transitive closure (DISTINCT pairs), computed by
+    frontier expansion so a pair crosses the shuffle once; the hop bound
+    keeps the plan finite and lets the oracle unroll it as 3 self-joins."""
+    from jcpg_spark.operators import query as bgp
+
+    t = transcripts_from_events(spark, sf_dir)
+    edges = (
+        flow.flow_next(t)
+        .select("src", "pred", "dst")
+        .unionByName(calls.call_triples(t).select("src", "pred", "dst"))
+    )
+    return bgp.match_pattern(
+        edges,
+        [("?c", "call", "?tool"), ("?c", "flow.next+", "?n")],
+        max_hops=3,
+    )
+
+
+SQL_KG_PATH_CLOSURE = f"""
+WITH o AS ({_SQL_ORDERED}),
+r AS (SELECT conv_id, idx, {_SQL_ROLE} AS role, {_SQL_TOOL} AS tool FROM o),
+fn AS (SELECT 't:' || conv_id || ':' || CAST(idx AS VARCHAR) AS src,
+              't:' || conv_id || ':' || CAST(nxt AS VARCHAR) AS dst
+       FROM (SELECT conv_id, idx,
+                    lead(idx) OVER (PARTITION BY conv_id ORDER BY idx) AS nxt
+             FROM o)
+       WHERE nxt IS NOT NULL),
+h2 AS (SELECT a.src, b.dst FROM fn a JOIN fn b ON b.src = a.dst),
+h3 AS (SELECT a.src, b.dst FROM h2 a JOIN fn b ON b.src = a.dst),
+cl AS (SELECT DISTINCT src, dst FROM (
+         SELECT * FROM fn UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3)),
+ca AS (SELECT 't:' || conv_id || ':' || CAST(idx AS VARCHAR) AS src,
+              'tool:' || tool AS dst
+       FROM r WHERE role = 'assistant' AND tool IS NOT NULL)
+SELECT ca.src AS c, cl.dst AS n, ca.dst AS tool
+FROM ca JOIN cl ON cl.src = ca.src
+"""
+
+
+def q_kg_optional_match(spark, sf_dir):
+    """SPARQL OPTIONAL + inverse path + FILTER: required (?c call ?tool),
+    OPTIONAL (?c ^return ?r) — the tool-run end that returns to the call
+    site, NULL when the run never returns — then FILTER keeping unmatched
+    rows and matches whose return turn string-compares above the call
+    site. OPTIONAL is a left outer join on the shared variable (SPARQL's
+    LeftJoin); `^return` rebinds the same edges scan with src/dst swapped;
+    the filter is evaluated post-join over the group solution, exactly
+    the SPARQL scoping rule."""
+    from jcpg_spark.operators import query as bgp
+
+    t = transcripts_from_events(spark, sf_dir)
+    edges = (
+        flow.flow_next(t)
+        .select("src", "pred", "dst")
+        .unionByName(calls.call_triples(t).select("src", "pred", "dst"))
+        .unionByName(calls.return_triples(t).select("src", "pred", "dst"))
+    )
+    return bgp.match_query(
+        edges,
+        [("?c", "call", "?tool")],
+        optional=[[("?c", "^return", "?r")]],
+        filters=["r IS NULL OR r > c"],
+    )
+
+
+SQL_KG_OPTIONAL_MATCH = f"""
+WITH cr AS ({SQL_KG_CALL_RETURN})
+SELECT ca.src AS c, re.src AS r, ca.dst AS tool
+FROM (SELECT src, dst FROM cr WHERE pred = 'call') ca
+LEFT JOIN (SELECT src, dst FROM cr WHERE pred = 'return') re
+       ON re.dst = ca.src
+WHERE re.src IS NULL OR re.src > ca.src
+"""
+
+
+def q_kg_union_match(spark, sf_dir):
+    """SPARQL UNION of same-projection groups: call edges as (?x, ?y)
+    bag-unioned with return edges rebound in the opposite roles
+    ((?y return ?x) — x is the call site in BOTH branches). UNION ALL
+    semantics per the SPARQL algebra: duplicates across branches are
+    preserved, so the oracle is a plain SQL UNION ALL."""
+    from jcpg_spark.operators import query as bgp
+
+    t = transcripts_from_events(spark, sf_dir)
+    edges = (
+        calls.call_triples(t)
+        .select("src", "pred", "dst")
+        .unionByName(calls.return_triples(t).select("src", "pred", "dst"))
+    )
+    return bgp.union_patterns(
+        edges, [[("?x", "call", "?y")], [("?y", "return", "?x")]]
+    )
+
+
+SQL_KG_UNION_MATCH = f"""
+WITH cr AS ({SQL_KG_CALL_RETURN})
+SELECT src AS x, dst AS y FROM cr WHERE pred = 'call'
+UNION ALL
+SELECT dst AS x, src AS y FROM cr WHERE pred = 'return'
+"""
+
+
 def q_emb_bitext_mine(spark, sf_dir):
     """Margin-based bitext mining (Artetxe & Schwenk ratio margin, the
     CCMatrix protocol) between the even- and odd-id halves of the
@@ -3937,6 +4043,12 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_rank_eval": (q_kg_rank_eval, SQL_KG_RANK_EVAL),
     # SPARQL-style basic-graph-pattern query (conjunctive triple patterns)
     "kg_bgp_match": (q_kg_bgp_match, SQL_KG_BGP_MATCH),
+    # SPARQL 1.1 property-path closure (hop-bounded p+, set semantics)
+    "kg_path_closure": (q_kg_path_closure, SQL_KG_PATH_CLOSURE),
+    # SPARQL OPTIONAL (LeftJoin) + ^inverse path + post-join FILTER
+    "kg_optional_match": (q_kg_optional_match, SQL_KG_OPTIONAL_MATCH),
+    # SPARQL UNION of same-projection groups (bag semantics)
+    "kg_union_match": (q_kg_union_match, SQL_KG_UNION_MATCH),
     # margin-based bitext mining (ratio margin + mutual-best flag)
     "emb_bitext_mine": (q_emb_bitext_mine, SQL_EMB_BITEXT_MINE),
     # GraphSAGE layered neighbor sampling (md5-deterministic)

@@ -170,6 +170,101 @@ def test_bgp_rejects_cartesian_and_degenerate_patterns(spark):
         match_pattern(e, [])
 
 
+def test_path_closure_alternation_inverse(spark):
+    """SPARQL 1.1 property-path forms in the predicate slot: bounded
+    `p+` closure (set semantics), `a|b` alternation, `^p` inverse."""
+    from jcpg_spark.operators.query import match_pattern
+
+    e = _bgp_edges(spark)
+    # a ->next b ->next c; 2-hop closure adds (a, c)
+    out = match_pattern(e, [("?s", "flow.next+", "?o")], max_hops=2).collect()
+    assert {(r["s"], r["o"]) for r in out} == {
+        ("a", "b"), ("b", "c"), ("a", "c")
+    }
+    # hop bound respected: max_hops=1 is exactly the base relation
+    out1 = match_pattern(e, [("?s", "flow.next+", "?o")], max_hops=1).collect()
+    assert {(r["s"], r["o"]) for r in out1} == {("a", "b"), ("b", "c")}
+    # alternation is the union of both predicates on one scan
+    alt = match_pattern(e, [("?s", "call|loops", "?o")]).collect()
+    assert {(r["s"], r["o"]) for r in alt} == {
+        ("a", "tool:db"), ("b", "tool:db"), ("x", "x"), ("y", "z")
+    }
+    # inverse swaps the roles; composes with closure (^flow.next+)
+    inv = match_pattern(e, [("?s", "^flow.next+", "?o")], max_hops=2).collect()
+    assert {(r["s"], r["o"]) for r in inv} == {
+        ("b", "a"), ("c", "b"), ("c", "a")
+    }
+
+
+def test_path_closure_cycle_terminates_with_set_semantics(spark):
+    """A cycle must not loop or duplicate: closure pairs are DISTINCT and
+    rounds are hop-bounded (the anti-join empties the frontier once the
+    cycle's pairs are all reached)."""
+    from jcpg_spark.operators.query import match_pattern
+
+    e = spark.createDataFrame(
+        [("a", "n", "b"), ("b", "n", "c"), ("c", "n", "a")],
+        "src string, pred string, dst string",
+    )
+    out = match_pattern(e, [("?s", "n+", "?o")], max_hops=10).collect()
+    assert len(out) == 9  # all ordered pairs incl. self-reach, each once
+    assert {(r["s"], r["o"]) for r in out} == {
+        (s, o) for s in "abc" for o in "abc"
+    }
+
+
+def test_match_query_optional_filter_distinct(spark):
+    """OPTIONAL = left join on shared vars (NULL-filled when unmatched);
+    FILTER = post-join SQL expression; DISTINCT collapses the bag."""
+    import pytest
+
+    from jcpg_spark.operators.query import match_query
+
+    e = _bgp_edges(spark)
+    out = match_query(
+        e,
+        [("?c", "call", "?t")],
+        optional=[[("?c", "flow.next", "?n"), ("?n", "flow.next", "?m")]],
+    ).collect()
+    rows = {(r["c"], r["t"], r["n"], r["m"]) for r in out}
+    assert rows == {("a", "tool:db", "b", "c"), ("b", "tool:db", None, None)}
+    filt = match_query(
+        e, [("?c", "call", "?t")],
+        optional=[[("?c", "flow.next", "?n")]],
+        filters=["n IS NOT NULL", "c < 'b'"],
+    ).collect()
+    assert {(r["c"], r["n"]) for r in filt} == {("a", "b")}
+    # DISTINCT collapses the two (tool:db) call sites projected to ?t
+    dup = spark.createDataFrame(
+        [("a", "call", "t1"), ("b", "call", "t1")],
+        "src string, pred string, dst string",
+    )
+    assert match_query(dup, [("?c", "call", "?t")]).select("t").count() == 2
+    d = match_query(dup, [("?c", "call", "?t")], distinct=True)
+    assert d.count() == 2  # (a,t1) and (b,t1) are distinct bindings
+    # a disconnected OPTIONAL group is rejected like a disconnected BGP
+    with pytest.raises(ValueError, match="cartesian"):
+        match_query(e, [("?c", "call", "?t")], optional=[[("?x", "loops", "?y")]])
+
+
+def test_union_patterns_same_projection_bag(spark):
+    import pytest
+
+    from jcpg_spark.operators.query import union_patterns
+
+    e = _bgp_edges(spark)
+    out = union_patterns(
+        e, [[("?x", "call", "?y")], [("?x", "loops", "?y")]]
+    ).collect()
+    assert sorted((r["x"], r["y"]) for r in out) == [
+        ("a", "tool:db"), ("b", "tool:db"), ("x", "x"), ("y", "z")
+    ]
+    with pytest.raises(ValueError, match="project the same"):
+        union_patterns(e, [[("?x", "call", "?y")], [("?x", "loops", "?z")]])
+    with pytest.raises(ValueError, match="empty"):
+        union_patterns(e, [])
+
+
 def test_bgp_bag_semantics_preserves_duplicates(spark):
     """Two distinct call edges from 'a' to the same tool produce two
     bindings for the same (c, t) pair — SPARQL SELECT without DISTINCT."""
