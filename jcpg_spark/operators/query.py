@@ -197,9 +197,13 @@ def match_query(
     filters: Sequence[str] = (),
     distinct: bool = False,
     max_hops: int = 8,
+    group_by: Sequence[str] = (),
+    aggregates: dict[str, str] | None = None,
+    having: Sequence[str] = (),
 ) -> DataFrame:
     """SPARQL SELECT core: required BGP, then OPTIONAL groups, FILTERs,
-    and optional DISTINCT — each mapped onto its exact relational dual.
+    GROUP BY / aggregates / HAVING, and optional DISTINCT — each mapped
+    onto its exact relational dual.
 
     - every group in ``optional`` is itself a BGP; it is attached with a
       LEFT OUTER join on the variables it shares with what is already
@@ -214,8 +218,17 @@ def match_query(
       that only reads required-side columns back below the outer joins
       itself, so writing them post-join costs nothing and matches the
       SPARQL scoping rule (a filter sees the whole group solution).
-    - output columns = sorted variable names; bag semantics unless
-      ``distinct``.
+    - ``group_by`` + ``aggregates`` are SPARQL's GROUP BY + SELECT
+      aggregates: ``aggregates`` maps output alias -> SQL aggregate
+      expression over the variable columns (``{"n": "count(c)"}`` for
+      ``(COUNT(?c) AS ?n)``); evaluated as a single hash aggregation —
+      Spark's map-side partial aggregation is exactly the distributed
+      form the SPARQL spec leaves to the engine. ``aggregates`` without
+      ``group_by`` is the single-group (whole-solution) aggregation.
+      ``having`` expressions filter the aggregated rows (SPARQL HAVING);
+      they may reference the aggregate aliases.
+    - output columns = sorted variable names (or group keys + aggregate
+      aliases); bag semantics unless ``distinct``.
     """
     result = match_pattern(edges, bgp, max_hops)
     bound = set(result.columns)
@@ -233,7 +246,30 @@ def match_query(
         bound |= gvars
     for fexpr in filters:
         result = result.where(F.expr(fexpr))
-    result = result.select(*sorted(bound))
+    if aggregates or group_by:
+        if not aggregates:
+            raise ValueError("group_by without aggregates — use distinct "
+                             "for plain projection deduplication")
+        unknown = set(group_by) - bound
+        if unknown:
+            raise ValueError(f"group_by names unbound variables: {sorted(unknown)}")
+        taken = set(group_by) & set(aggregates)
+        if taken:
+            raise ValueError(f"aggregate aliases shadow group keys: {sorted(taken)}")
+        aggs = [F.expr(e).alias(a) for a, e in sorted(aggregates.items())]
+        result = (
+            result.groupBy(*sorted(group_by)).agg(*aggs)
+            if group_by
+            else result.agg(*aggs)
+        )
+        for hexpr in having:
+            result = result.where(F.expr(hexpr))
+        out_cols = sorted(set(group_by) | set(aggregates))
+    else:
+        if having:
+            raise ValueError("having requires aggregates")
+        out_cols = sorted(bound)
+    result = result.select(*out_cols)
     return result.distinct() if distinct else result
 
 

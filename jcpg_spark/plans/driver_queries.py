@@ -3717,6 +3717,43 @@ SELECT dst AS x, src AS y FROM cr WHERE pred = 'return'
 """
 
 
+def q_kg_group_agg(spark, sf_dir):
+    """SPARQL GROUP BY + aggregates + HAVING: per tool, the number of
+    call sites and how many of those runs returned (the OPTIONAL ^return
+    leg leaves NULLs that count() skips — exactly SPARQL's
+    unbound-skipping aggregate semantics), keeping tools called at least
+    twice. One hash aggregation over the joined solution bag; Spark's
+    map-side partial agg is the distributed execution the spec leaves
+    open."""
+    from jcpg_spark.operators import query as bgp
+
+    t = transcripts_from_events(spark, sf_dir)
+    edges = (
+        calls.call_triples(t)
+        .select("src", "pred", "dst")
+        .unionByName(calls.return_triples(t).select("src", "pred", "dst"))
+    )
+    return bgp.match_query(
+        edges,
+        [("?c", "call", "?tool")],
+        optional=[[("?c", "^return", "?r")]],
+        group_by=["tool"],
+        aggregates={"n_calls": "count(c)", "n_returned": "count(r)"},
+        having=["n_calls >= 2"],
+    )
+
+
+SQL_KG_GROUP_AGG = f"""
+WITH cr AS ({SQL_KG_CALL_RETURN})
+SELECT ca.dst AS tool, count(ca.src) AS n_calls, count(re.src) AS n_returned
+FROM (SELECT src, dst FROM cr WHERE pred = 'call') ca
+LEFT JOIN (SELECT src, dst FROM cr WHERE pred = 'return') re
+       ON re.dst = ca.src
+GROUP BY ca.dst
+HAVING count(ca.src) >= 2
+"""
+
+
 def q_emb_bitext_mine(spark, sf_dir):
     """Margin-based bitext mining (Artetxe & Schwenk ratio margin, the
     CCMatrix protocol) between the even- and odd-id halves of the
@@ -4049,6 +4086,8 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_optional_match": (q_kg_optional_match, SQL_KG_OPTIONAL_MATCH),
     # SPARQL UNION of same-projection groups (bag semantics)
     "kg_union_match": (q_kg_union_match, SQL_KG_UNION_MATCH),
+    # SPARQL GROUP BY + aggregates + HAVING (one hash aggregation)
+    "kg_group_agg": (q_kg_group_agg, SQL_KG_GROUP_AGG),
     # margin-based bitext mining (ratio margin + mutual-best flag)
     "emb_bitext_mine": (q_emb_bitext_mine, SQL_EMB_BITEXT_MINE),
     # GraphSAGE layered neighbor sampling (md5-deterministic)

@@ -247,6 +247,50 @@ def test_match_query_optional_filter_distinct(spark):
         match_query(e, [("?c", "call", "?t")], optional=[[("?x", "loops", "?y")]])
 
 
+def test_match_query_group_by_aggregates_having(spark):
+    """GROUP BY + aggregates = one hash aggregation over the solution
+    bag; HAVING filters aggregated rows and may reference the aliases;
+    aggregates without group_by is the whole-solution single group."""
+    import pytest
+
+    from jcpg_spark.operators.query import match_query
+
+    e = spark.createDataFrame(
+        [("a", "call", "t1"), ("b", "call", "t1"), ("c", "call", "t2"),
+         ("a", "flow.next", "b")],
+        "src string, pred string, dst string",
+    )
+    out = match_query(
+        e, [("?c", "call", "?t")],
+        group_by=["t"], aggregates={"n": "count(c)", "first_c": "min(c)"},
+    ).collect()
+    assert {(r["t"], r["n"], r["first_c"]) for r in out} == {
+        ("t1", 2, "a"), ("t2", 1, "c")
+    }
+    hv = match_query(
+        e, [("?c", "call", "?t")],
+        group_by=["t"], aggregates={"n": "count(c)"}, having=["n >= 2"],
+    ).collect()
+    assert [(r["t"], r["n"]) for r in hv] == [("t1", 2)]
+    # single-group aggregation (no group_by)
+    tot = match_query(
+        e, [("?c", "call", "?t")], aggregates={"n": "count(c)"}
+    ).collect()
+    assert [(r["n"],) for r in tot] == [(3,)]
+    # loud rejections: unbound group key, alias shadowing, bare group_by,
+    # having without aggregates
+    with pytest.raises(ValueError, match="unbound"):
+        match_query(e, [("?c", "call", "?t")], group_by=["zz"],
+                    aggregates={"n": "count(c)"})
+    with pytest.raises(ValueError, match="shadow"):
+        match_query(e, [("?c", "call", "?t")], group_by=["t"],
+                    aggregates={"t": "count(c)"})
+    with pytest.raises(ValueError, match="group_by without aggregates"):
+        match_query(e, [("?c", "call", "?t")], group_by=["t"])
+    with pytest.raises(ValueError, match="having requires"):
+        match_query(e, [("?c", "call", "?t")], having=["1=1"])
+
+
 def test_union_patterns_same_projection_bag(spark):
     import pytest
 
