@@ -550,6 +550,82 @@ def pagerank(
     return ranks.select(F.col("v").alias("item"), F.col("r").alias("pagerank"))
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """-> (item, ppr): personalized PageRank on the symmetrized graph —
+    the teleport mass is restricted to the seed set instead of spread
+    uniformly (rank_{k+1}(v) = (1-d)*p(v) + d * sum_{u->v} rank_k(u) /
+    outdeg(u), with p(v) = 1/|S| for seed vertices and 0 elsewhere;
+    start vector r0 = p). The standard query-conditioned relevance
+    primitive: ranks every entity by proximity to the seeds, the move
+    behind related-entity panels and local-graph expansion.
+
+    ``seeds`` is a one-column DataFrame of vertex ids; seeds not present
+    in the edge list are dropped (they can neither receive nor forward
+    mass through the adjacency) and |S| counts the retained ones, riding
+    along as a broadcast scalar like pagerank's n_verts — no driver-side
+    collect. Same per-round plan shape as ``pagerank``: one shuffle to
+    meet the adjacency, one hash-agg on the destination, with the
+    (adjacency, degree+teleport base) persisted across rounds. Raw
+    doubles; callers round for cross-engine comparison."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    from jcpg_spark.caching import swap_persist
+
+    e = edges.select("a", "b")
+    adj = e.select(F.col("a").alias("s"), F.col("b").alias("t")).unionByName(
+        e.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    adj = swap_persist("ppr.adj", adj)
+    deg = adj.groupBy("s").agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
+    sd = seeds.select(F.col(seeds.columns[0]).alias("s")).distinct().withColumn(
+        "is_seed", F.lit(True)
+    )
+    marked = deg.join(sd, "s", "left")
+    base = marked.crossJoin(
+        F.broadcast(
+            marked.agg(
+                F.sum(F.when(F.col("is_seed"), 1).otherwise(0)).alias("n_seeds")
+            )
+        )
+    ).select(
+        "s",
+        "outdeg",
+        F.when(F.col("is_seed"), F.lit(1.0) / F.col("n_seeds"))
+        .otherwise(F.lit(0.0))
+        .alias("p"),
+    )
+    base = swap_persist("ppr.base", base)
+
+    ranks = base.select(F.col("s").alias("v"), "outdeg", F.col("p").alias("r"))
+    for i in range(iters):
+        msgs = (
+            adj.join(
+                ranks.select(
+                    F.col("v").alias("s"), (F.col("r") / F.col("outdeg")).alias("m")
+                ),
+                "s",
+            )
+            .groupBy("t")
+            .agg(F.sum("m").alias("in_sum"))
+        )
+        ranks = base.join(msgs, base["s"] == msgs["t"], "left").select(
+            F.col("s").alias("v"),
+            "outdeg",
+            (
+                (F.lit(1.0) - F.lit(damping)) * F.col("p")
+                + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+            ).alias("r"),
+        )
+        if (i + 1) % _CHECKPOINT_EVERY == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select(F.col("v").alias("item"), F.col("r").alias("ppr"))
+
+
 def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
     """-> (item, hub, authority): K rounds of Kleinberg's HITS on a
     DIRECTED edge list (s, t) — authority_k(v) = sum of hub_{k-1} over

@@ -2222,6 +2222,50 @@ SELECT v AS item, round(r, 6) AS pagerank FROM r3
 """
 
 
+def q_kg_ppr(spark, sf_dir):
+    """Personalized PageRank from the deterministic seed set
+    {v : v % 7 = 0} on the co-mention graph: teleport mass restricted to
+    the seeds (p(v) = 1/|S| there, 0 elsewhere; r0 = p), 3 unrolled
+    rounds — the query-conditioned relevance ranking. Same 6 dp pin as
+    kg_pagerank: both sides run the identical IEEE-double expression
+    tree, round(,6) absorbs summation-order ulps."""
+    edges = _comention_edges(spark, sf_dir, min_weight=2)
+    seeds = (
+        edges.select(F.col("a").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("v")))
+        .distinct()
+        .where(F.col("v") % 7 == 0)
+    )
+    pr = graph_analytics.personalized_pagerank(edges, seeds, iters=3)
+    return pr.select("item", F.round("ppr", 6).alias("ppr"))
+
+
+def _ppr_iter_sql(k: int) -> str:
+    # one PPR round: rank_k = (1-d)*p + d * sum_in rank_{k-1}/outdeg
+    # (e-notation literals so DuckDB types them DOUBLE, not DECIMAL)
+    return f"""r{k} AS (
+  SELECT b.v, (1e0 - 0.85e0) * b.p + 0.85e0 * coalesce(m.in_sum, 0e0) AS r
+  FROM pv b
+  LEFT JOIN (SELECT adj.t AS v, sum(p.r / d2.outdeg) AS in_sum
+             FROM adj JOIN r{k - 1} p ON p.v = adj.s JOIN deg d2 ON d2.s = adj.s
+             GROUP BY adj.t) m USING (v))"""
+
+
+SQL_KG_PPR = f"""
+WITH e AS ({_SQL_COMENTION}),
+adj AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT s, CAST(count(*) AS DOUBLE) AS outdeg FROM adj GROUP BY s),
+ns AS (SELECT count(*) AS n FROM deg WHERE s % 7 = 0),
+pv AS (SELECT s AS v, CASE WHEN s % 7 = 0 THEN 1e0 / n ELSE 0e0 END AS p
+       FROM deg, ns),
+r0 AS (SELECT v, p AS r FROM pv),
+{_ppr_iter_sql(1)},
+{_ppr_iter_sql(2)},
+{_ppr_iter_sql(3)}
+SELECT v AS item, round(r, 6) AS ppr FROM r3
+"""
+
+
 def _navigation_edges(spark, sf_dir):
     """Directed entity navigation graph: s -> t when a user's event on
     item s is immediately followed (by ts, item-id tie-break — a total
@@ -3982,6 +4026,8 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "dedup_jaccard_index": (q_dedup_jaccard_index, SQL_DEDUP_NGRAM),
     "kg_labelprop": (q_kg_labelprop, SQL_KG_LABELPROP),
     "kg_pagerank_weighted": (q_kg_pagerank_weighted, SQL_KG_PAGERANK_WEIGHTED),
+    # personalized PageRank (seed-restricted teleport, r0 = seed vector)
+    "kg_ppr": (q_kg_ppr, SQL_KG_PPR),
     "doc_weighted_sample": (q_doc_weighted_sample, SQL_DOC_WEIGHTED_SAMPLE),
     # temperature-flattened (alpha=1/2) language mixing — the group-marginal
     # rebalancing complement to doc_dsir_weight's register re-weighting.

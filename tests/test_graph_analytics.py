@@ -174,6 +174,51 @@ def test_pagerank_sums_to_one_and_star_center_dominates(spark):
     assert all(by_v[0] > by_v[i] for i in range(1, 7))
 
 
+def _naive_ppr(pairs, seeds, iters=3, d=0.85):
+    adj: dict[int, list[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    s = set(seeds) & set(adj)
+    p = {v: (1.0 / len(s) if v in s else 0.0) for v in adj}
+    r = dict(p)
+    for _ in range(iters):
+        nxt = {}
+        for v in adj:
+            in_sum = sum(r[u] / len(adj[u]) for u in adj[v])
+            nxt[v] = (1.0 - d) * p[v] + d * in_sum
+        r = nxt
+    return r
+
+
+def test_personalized_pagerank_matches_naive(spark):
+    rng = random.Random(11)
+    pairs = {tuple(sorted(rng.sample(range(20), 2))) for _ in range(60)}
+    seeds = spark.createDataFrame([(0,), (7,), (14,), (99,)], "v int")  # 99 off-graph
+    got = {
+        r["item"]: r["ppr"]
+        for r in graph_analytics.personalized_pagerank(
+            _edges_df(spark, pairs), seeds, iters=3
+        ).collect()
+    }
+    want = _naive_ppr(pairs, [0, 7, 14, 99], iters=3)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-12, abs=1e-15), v
+
+
+def test_personalized_pagerank_mass_and_locality(spark):
+    # two disjoint triangles; seeding only the first keeps ALL mass there
+    # (teleport + propagation never cross components) and conserves it.
+    edges = _edges_df(spark, [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)])
+    seeds = spark.createDataFrame([(0,)], "v int")
+    rows = graph_analytics.personalized_pagerank(edges, seeds, iters=4).collect()
+    by_v = {r["item"]: r["ppr"] for r in rows}
+    assert sum(by_v.values()) == pytest.approx(1.0, rel=1e-9)
+    assert all(by_v[v] == 0.0 for v in (10, 11, 12))
+    assert by_v[0] > by_v[1] and by_v[1] == pytest.approx(by_v[2], rel=1e-12)
+
+
 def _naive_kcore(pairs, k):
     adj: dict[int, set[int]] = {}
     for a, b in {(min(a, b), max(a, b)) for a, b in pairs}:
