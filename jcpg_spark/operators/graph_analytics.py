@@ -1313,3 +1313,105 @@ def random_walks(
         )
         out = out.unionByName(cur)
     return out
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walks_per_node: int = 2,
+    length: int = 3,
+    ret_w: int = 1,
+    base_w: int = 2,
+    out_w: int = 1,
+) -> DataFrame:
+    """node2vec corpus generation (Grover & Leskovec 2016): second-order
+    biased walks where the successor distribution depends on the PREVIOUS
+    vertex — candidates are weighted ``ret_w`` for returning to prev
+    (node2vec's 1/p), ``base_w`` for a common neighbor of prev and cur
+    (distance 1, weight 1), and ``out_w`` for stepping outward (1/q).
+    Integer weights instead of the paper's real-valued alphas because the
+    walk must stay DETERMINISTIC and cross-engine exact: weighted choice
+    is realized by replicating each candidate ``weight`` times (explode of
+    ``sequence(1, w)``) and taking the md5-min over the copies — an
+    integer-only device with no ln/pow whose libm could diverge between
+    engines; any rational (p, q) maps to integer weights by scaling.
+
+    -> (v0, walk, step, vertex), step 0 = start. Step 1 is unbiased (no
+    prev yet — the node2vec convention). Each later step is one
+    vertex-keyed join to the adjacency, one (prev, t) membership left
+    join for the common-neighbor tier, the copy explode, and one window
+    pick — a finite unrolled plan an exact SQL oracle mirrors. The copy
+    explode multiplies candidate rows by <= max(weights), bounded and
+    map-side (no extra shuffle)."""
+    if min(ret_w, base_w, out_w) < 1:
+        raise ValueError("weights must be positive integers")
+    from jcpg_spark.caching import swap_persist
+
+    e = edges.select("a", "b")
+    adj = (
+        e.select(F.col("a").alias("s"), F.col("b").alias("t"))
+        .unionByName(e.select(F.col("b").alias("s"), F.col("a").alias("t")))
+        .distinct()
+    )
+    adj = swap_persist("node2vec.adj", adj)
+    starts = (
+        adj.select(F.col("s").alias("v0"))
+        .distinct()
+        .select("v0", F.explode(F.expr(f"sequence(1, {walks_per_node})")).alias("walk"))
+    )
+    out = starts.select(
+        "v0", "walk", F.lit(0).alias("step"), F.col("v0").alias("vertex")
+    )
+    # step 1: unbiased (no prev) — same pick as random_walks
+    cand = starts.select("v0", "walk", F.col("v0").alias("s")).join(adj, "s")
+    hkey = F.md5(
+        F.concat_ws(
+            ":", F.col("walk").cast("string"), F.lit("1"),
+            F.col("s").cast("string"), F.col("t").cast("string"),
+        )
+    )
+    w1 = Window.partitionBy("v0", "walk", "s").orderBy(hkey.asc(), F.col("t").asc())
+    cur = (
+        cand.withColumn("rk", F.row_number().over(w1))
+        .where(F.col("rk") == 1)
+        .select(
+            "v0", "walk", F.lit(1).alias("step"),
+            F.col("s").alias("prev"), F.col("t").alias("vertex"),
+        )
+    )
+    out = out.unionByName(cur.drop("prev"))
+    com = adj.select(
+        F.col("s").alias("cp"), F.col("t").alias("ct"), F.lit(True).alias("is_common")
+    )
+    for k in range(2, length + 1):
+        cand = cur.select("v0", "walk", "prev", F.col("vertex").alias("s")).join(adj, "s")
+        cand = cand.join(
+            com, (cand["prev"] == com["cp"]) & (cand["t"] == com["ct"]), "left"
+        ).select(
+            "v0", "walk", "prev", "s", "t",
+            F.when(F.col("t") == F.col("prev"), F.lit(ret_w))
+            .when(F.col("is_common"), F.lit(base_w))
+            .otherwise(F.lit(out_w))
+            .alias("wgt"),
+        )
+        copies = cand.select(
+            "v0", "walk", "prev", "s", "t",
+            F.explode(F.expr("sequence(1, wgt)")).alias("copy"),
+        )
+        hkey = F.md5(
+            F.concat_ws(
+                ":", F.col("walk").cast("string"), F.lit(str(k)),
+                F.col("s").cast("string"), F.col("t").cast("string"),
+                F.col("copy").cast("string"),
+            )
+        )
+        wk = Window.partitionBy("v0", "walk", "s").orderBy(hkey.asc(), F.col("t").asc())
+        cur = (
+            copies.withColumn("rk", F.row_number().over(wk))
+            .where(F.col("rk") == 1)
+            .select(
+                "v0", "walk", F.lit(k).alias("step"),
+                F.col("s").alias("prev"), F.col("t").alias("vertex"),
+            )
+        )
+        out = out.unionByName(cur.drop("prev"))
+    return out

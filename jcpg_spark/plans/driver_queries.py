@@ -3896,6 +3896,54 @@ SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2
 """
 
 
+def q_kg_node2vec(spark, sf_dir):
+    """node2vec biased walks over the co-mention graph (2 walks of
+    length 2 per vertex): step 1 unbiased, step 2 second-order biased
+    with weights (return 1, common-neighbor 2, outward 1) — the p=q=2
+    setting scaled to integers. Weighted choice by candidate replication
+    + md5-min, so the oracle mirrors it with a correlated unnest(range)
+    over the same weight CASE."""
+    edges = _comention_edges(spark, sf_dir, min_weight=2)
+    return graph_analytics.node2vec_walks(
+        edges, walks_per_node=2, length=2, ret_w=1, base_w=2, out_w=1
+    )
+
+
+SQL_KG_NODE2VEC = f"""
+WITH e AS ({_SQL_COMENTION}),
+adj AS (SELECT a AS s, b AS t FROM e UNION SELECT b, a FROM e),
+starts AS (SELECT DISTINCT s AS v0 FROM adj),
+s0 AS (SELECT v0, w.w AS walk, 0 AS step, v0 AS vertex
+       FROM starts CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS w) w),
+s1 AS (SELECT v0, walk, 1 AS step, s AS prev, t AS vertex FROM (
+  SELECT c.v0, c.walk, c.s, c.t,
+         row_number() OVER (PARTITION BY c.v0, c.walk, c.s
+           ORDER BY md5(CAST(c.walk AS VARCHAR) || ':1:'
+                        || CAST(c.s AS VARCHAR) || ':' || CAST(c.t AS VARCHAR)),
+                    c.t) AS rk
+  FROM (SELECT p.v0, p.walk, adj.s, adj.t
+        FROM s0 p JOIN adj ON adj.s = p.vertex) c) WHERE rk = 1),
+cand2 AS (SELECT p.v0, p.walk, adj.s, adj.t,
+                 CASE WHEN adj.t = p.prev THEN 1
+                      WHEN EXISTS (SELECT 1 FROM adj a2
+                                   WHERE a2.s = p.prev AND a2.t = adj.t) THEN 2
+                      ELSE 1 END AS wgt
+          FROM s1 p JOIN adj ON adj.s = p.vertex),
+cop2 AS (SELECT v0, walk, s, t, unnest(range(1, wgt + 1)) AS copy FROM cand2),
+s2 AS (SELECT v0, walk, 2 AS step, t AS vertex FROM (
+  SELECT c.v0, c.walk, c.s, c.t,
+         row_number() OVER (PARTITION BY c.v0, c.walk, c.s
+           ORDER BY md5(CAST(c.walk AS VARCHAR) || ':2:'
+                        || CAST(c.s AS VARCHAR) || ':' || CAST(c.t AS VARCHAR)
+                        || ':' || CAST(c.copy AS VARCHAR)),
+                    c.t) AS rk
+  FROM cop2 c) WHERE rk = 1)
+SELECT v0, walk, step, vertex FROM s0
+UNION ALL SELECT v0, walk, step, vertex FROM s1
+UNION ALL SELECT v0, walk, step, vertex FROM s2
+"""
+
+
 def q_doc_ppmi(spark, sf_dir):
     """PPMI weighting over the corpus skip-gram counts (Levy & Goldberg
     2014: the matrix SGNS implicitly factorizes). Marginals and total come
@@ -4140,6 +4188,8 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_neighbor_sample": (q_kg_neighbor_sample, SQL_KG_NEIGHBOR_SAMPLE),
     # DeepWalk corpus generation (md5-keyed successor choice)
     "kg_random_walks": (q_kg_random_walks, SQL_KG_RANDOM_WALKS),
+    # node2vec second-order biased walks (integer-weight replication)
+    "kg_node2vec": (q_kg_node2vec, SQL_KG_NODE2VEC),
     # PPMI weighting over skip-gram counts (the SGNS-implicit matrix)
     "doc_ppmi": (q_doc_ppmi, SQL_DOC_PPMI),
     # folded in r4 to make room for kg_export_json: the full build is

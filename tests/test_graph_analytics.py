@@ -951,3 +951,61 @@ def test_random_walks_are_connected_and_deterministic(spark):
             assert (steps[k], steps[k + 1]) in adj, (v0, _w, steps)
     again = random_walks(edges.repartition(5), walks_per_node=2, length=3).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def _naive_node2vec(pairs, walks_per_node, length, ret_w, base_w, out_w):
+    import hashlib
+
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def h(*parts):
+        return hashlib.md5(":".join(str(p) for p in parts).encode()).hexdigest()
+
+    rows = []
+    for v0 in adj:
+        for walk in range(1, walks_per_node + 1):
+            rows.append((v0, walk, 0, v0))
+            cur = min(adj[v0], key=lambda t: (h(walk, 1, v0, t), t))
+            rows.append((v0, walk, 1, cur))
+            prev = v0
+            for k in range(2, length + 1):
+                cands = []
+                for t in adj[cur]:
+                    w = ret_w if t == prev else (base_w if t in adj[prev] else out_w)
+                    cands += [(t, c) for c in range(1, w + 1)]
+                nxt = min(cands, key=lambda tc: (h(walk, k, cur, tc[0], tc[1]), tc[0]))[0]
+                rows.append((v0, walk, k, nxt))
+                prev, cur = cur, nxt
+    return sorted(rows)
+
+
+def test_node2vec_walks_match_naive_and_bias_applies(spark):
+    """The Spark walker reproduces a naive Python second-order walker
+    exactly (same md5 keys, same replication), and the weight tiers are
+    actually consulted: an extreme return weight forces backtracking."""
+    from jcpg_spark.operators.graph_analytics import node2vec_walks
+
+    rng = random.Random(3)
+    pairs = {tuple(sorted(rng.sample(range(12), 2))) for _ in range(25)}
+    edges = _edges_df(spark, pairs)
+    out = sorted(
+        (r["v0"], r["walk"], r["step"], r["vertex"])
+        for r in node2vec_walks(
+            edges, walks_per_node=2, length=3, ret_w=1, base_w=2, out_w=1
+        ).collect()
+    )
+    assert out == _naive_node2vec(pairs, 2, 3, 1, 2, 1)
+    # bias sanity: on a path graph 0-1-2, from step-1 state (prev=0, cur=1)
+    # a huge return weight makes step 2 go back to 0 for every walk.
+    path = _edges_df(spark, [(0, 1), (1, 2)])
+    back = node2vec_walks(path, walks_per_node=3, length=2,
+                          ret_w=500, base_w=1, out_w=1)
+    step2 = {(r["v0"], r["walk"]): r["vertex"] for r in back.collect() if r["step"] == 2}
+    backtracks = sum(1 for (v0, _), v2 in step2.items() if v2 == v0)
+    assert backtracks >= 5  # 6 walks from the two ends; md5 odds of a miss at w=500 are ~0.4% each
+    again = node2vec_walks(path.repartition(4), walks_per_node=3, length=2,
+                           ret_w=500, base_w=1, out_w=1).collect()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, again))
