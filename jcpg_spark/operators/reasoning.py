@@ -1,0 +1,140 @@
+"""RDFS entailment materialization (the ρdf fragment).
+
+Forward-chains the four RDFS rules that cover the minimal deductive
+fragment (Muñoz, Pérez & Gutierrez 2009, "Simple and Efficient Minimal
+RDFS") over an instance graph and a schema graph:
+
+- rdfs7  (x P y), (P subPropertyOf+ Q)  ->  (x Q y)
+- rdfs2  (x P y), (P domain C)          ->  (x type C)
+- rdfs3  (x P y), (P range  C)          ->  (y type C)
+- rdfs9  (x type C), (C subClassOf+ D)  ->  (x type D)
+
+Reference parity: the reference engine materializes derived edge layers
+over its property graph the same way (e.g. JavacpgDDGBuilder.java
+building DDG edges from DEF/USE facts); this operator is the RDF-schema
+analog for the exported triple form.
+
+Stratification makes ONE pass complete: the sub-property closure feeds
+domain/range (a triple inherited into Q must fire Q's domain/range),
+whose type triples feed the sub-class closure. That ordering is the
+standard semi-naive evaluation collapsed to three strata, valid under
+the ρdf restriction that the SCHEMA is fixed data — instance triples
+never add subClassOf/subPropertyOf/domain/range facts (documented
+contract; schema-in-instance would need a fixpoint loop like
+canonicalize.connected_components).
+
+Scale posture (the part that matters at 10^12 instance triples):
+- the schema is dimension-sized (an ontology is KBs, not TBs), so its
+  transitive closures are computed on the schema DataFrame alone
+  (frontier expansion, bounded by ``max_depth``) and then BROADCAST —
+  every instance-side rule application is a broadcast hash join; the
+  instance table is never shuffled by a rule.
+- the only wide operation is the final ``distinct`` (entailment is a
+  set); dropping it would double-count a triple derived twice.
+- rule outputs are unioned lazily: one job materializes everything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SUBCLASS = "rdfs.subClassOf"
+SUBPROP = "rdfs.subPropertyOf"
+DOMAIN = "rdfs.domain"
+RANGE = "rdfs.range"
+SCHEMA_PREDS = (SUBCLASS, SUBPROP, DOMAIN, RANGE)
+
+
+def _schema_closure(schema: DataFrame, pred: str, max_depth: int) -> DataFrame:
+    """Non-reflexive transitive closure of one schema predicate as
+    DISTINCT (sub, sup) pairs — frontier expansion on the (tiny) schema
+    side only; see operators/query.py::_closure for the same device on
+    data-scale edges."""
+    base = (
+        schema.where(F.col("pred") == pred)
+        .select(F.col("src").alias("sub"), F.col("dst").alias("sup"))
+        .distinct()
+    )
+    hop = base.select(F.col("sub").alias("m"), F.col("sup").alias("s2"))
+    reach, frontier = base, base
+    for _d in range(2, max_depth + 1):
+        nxt = (
+            frontier.join(hop, frontier["sup"] == hop["m"])
+            .select("sub", F.col("s2").alias("sup"))
+            .distinct()
+            .join(reach, ["sub", "sup"], "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        reach = reach.unionByName(nxt)
+        frontier = nxt
+    return reach
+
+
+def rdfs_entail(
+    instance: DataFrame,
+    schema: DataFrame,
+    type_pred: str = "rdf.type",
+    max_depth: int = 8,
+) -> DataFrame:
+    """Materialize the ρdf entailment of ``instance`` (src, pred, dst)
+    under ``schema`` (src, pred, dst with predicates rdfs.subClassOf /
+    rdfs.subPropertyOf / rdfs.domain / rdfs.range).
+
+    -> DISTINCT (src, pred, dst): the input instance triples plus every
+    triple the four rules derive. ``type_pred`` names the instance-side
+    typing predicate (rdf.type in RDF; a KG may use its own, e.g.
+    act.role). ``max_depth`` bounds the schema hierarchy depth the
+    closures unroll to (loud truncation is impossible to detect cheaply,
+    so size it above any real ontology's depth — 8 covers e.g. the whole
+    schema.org class tree at 6)."""
+    from jcpg_spark.caching import swap_persist
+
+    inst = instance.select("src", "pred", "dst")
+    subp = _schema_closure(schema, SUBPROP, max_depth)
+    subc = _schema_closure(schema, SUBCLASS, max_depth)
+    dom = (
+        schema.where(F.col("pred") == DOMAIN)
+        .select(F.col("src").alias("p"), F.col("dst").alias("cls"))
+        .distinct()
+    )
+    rng = (
+        schema.where(F.col("pred") == RANGE)
+        .select(F.col("src").alias("p"), F.col("dst").alias("cls"))
+        .distinct()
+    )
+
+    # rdfs7: property inheritance (instance side stays unshuffled — the
+    # closure is broadcast). Inherited triples participate in every later
+    # stratum, so fold them in first.
+    r7 = inst.join(
+        F.broadcast(subp), inst["pred"] == subp["sub"]
+    ).select("src", F.col("sup").alias("pred"), "dst")
+    with_inherited = inst.unionByName(r7)
+    with_inherited = swap_persist("rdfs.with_inherited", with_inherited)
+
+    # rdfs2/3: domain/range typing over the inherited relation set
+    r2 = with_inherited.join(
+        F.broadcast(dom), with_inherited["pred"] == dom["p"]
+    ).select("src", F.lit(type_pred).alias("pred"), F.col("cls").alias("dst"))
+    r3 = with_inherited.join(
+        F.broadcast(rng), with_inherited["pred"] == rng["p"]
+    ).select(
+        F.col("dst").alias("src"), F.lit(type_pred).alias("pred"),
+        F.col("cls").alias("dst"),
+    )
+
+    # rdfs9: class inheritance over ALL type triples (asserted, inherited
+    # via rdfs7 into type_pred, or derived by rdfs2/3)
+    types = (
+        with_inherited.where(F.col("pred") == type_pred)
+        .select("src", "pred", "dst")
+        .unionByName(r2)
+        .unionByName(r3)
+    )
+    r9 = types.join(
+        F.broadcast(subc), types["dst"] == subc["sub"]
+    ).select("src", F.lit(type_pred).alias("pred"), F.col("sup").alias("dst"))
+
+    return (
+        with_inherited.unionByName(r2).unionByName(r3).unionByName(r9).distinct()
+    )

@@ -3896,6 +3896,82 @@ SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2
 """
 
 
+def q_kg_rdfs_entail(spark, sf_dir):
+    """RDFS entailment materialization (ρdf rules rdfs2/3/7/9) of the
+    call/return + act.role layers under a literal conversation ontology
+    (one entailment pass; see operators/reasoning.py):
+    role hierarchy (assistant/tool < agent < participant, user <
+    participant), call/return < interacts_with, call typed by
+    domain=kind:callsite / range=kind:tool. The schema closures are
+    broadcast; the instance side is never shuffled by a rule — the KG
+    analog of the reference's derived-edge-layer materialization."""
+    from jcpg_spark.operators import reasoning, structural
+
+    t = transcripts_from_events(spark, sf_dir)
+    inst = (
+        calls.call_triples(t)
+        .select("src", "pred", "dst")
+        .unionByName(calls.return_triples(t).select("src", "pred", "dst"))
+        .unionByName(structural.act_role(t).select("src", "pred", "dst"))
+    )
+    schema = spark.createDataFrame(
+        [
+            ("role:assistant", reasoning.SUBCLASS, "role:agent"),
+            ("role:tool", reasoning.SUBCLASS, "role:agent"),
+            ("role:agent", reasoning.SUBCLASS, "role:participant"),
+            ("role:user", reasoning.SUBCLASS, "role:participant"),
+            ("call", reasoning.SUBPROP, "interacts_with"),
+            ("return", reasoning.SUBPROP, "interacts_with"),
+            ("call", reasoning.DOMAIN, "kind:callsite"),
+            ("call", reasoning.RANGE, "kind:tool"),
+        ],
+        "src string, pred string, dst string",
+    )
+    return reasoning.rdfs_entail(inst, schema, type_pred="act.role")
+
+
+SQL_KG_RDFS_ENTAIL = f"""
+WITH cr AS ({SQL_KG_CALL_RETURN}),
+ar AS ({SQL_KG_ACT_ROLE}),
+inst AS (SELECT src, pred, dst FROM cr
+         UNION ALL SELECT src, pred, dst FROM ar),
+sch(src, pred, dst) AS (VALUES
+  ('role:assistant', 'rdfs.subClassOf', 'role:agent'),
+  ('role:tool', 'rdfs.subClassOf', 'role:agent'),
+  ('role:agent', 'rdfs.subClassOf', 'role:participant'),
+  ('role:user', 'rdfs.subClassOf', 'role:participant'),
+  ('call', 'rdfs.subPropertyOf', 'interacts_with'),
+  ('return', 'rdfs.subPropertyOf', 'interacts_with'),
+  ('call', 'rdfs.domain', 'kind:callsite'),
+  ('call', 'rdfs.range', 'kind:tool')),
+sc1 AS (SELECT src AS sub, dst AS sup FROM sch WHERE pred = 'rdfs.subClassOf'),
+sc AS (SELECT DISTINCT sub, sup FROM (
+  SELECT * FROM sc1
+  UNION ALL SELECT a.sub, b.sup FROM sc1 a JOIN sc1 b ON b.sub = a.sup
+  UNION ALL SELECT a.sub, c.sup FROM sc1 a JOIN sc1 b ON b.sub = a.sup
+                                          JOIN sc1 c ON c.sub = b.sup)),
+sp1 AS (SELECT src AS sub, dst AS sup FROM sch WHERE pred = 'rdfs.subPropertyOf'),
+sp AS (SELECT DISTINCT sub, sup FROM (
+  SELECT * FROM sp1
+  UNION ALL SELECT a.sub, b.sup FROM sp1 a JOIN sp1 b ON b.sub = a.sup
+  UNION ALL SELECT a.sub, c.sup FROM sp1 a JOIN sp1 b ON b.sub = a.sup
+                                          JOIN sp1 c ON c.sub = b.sup)),
+r7 AS (SELECT i.src, sp.sup AS pred, i.dst FROM inst i JOIN sp ON sp.sub = i.pred),
+wi AS (SELECT * FROM inst UNION ALL SELECT * FROM r7),
+r2 AS (SELECT w.src, 'act.role' AS pred, s.dst
+       FROM wi w JOIN sch s ON s.pred = 'rdfs.domain' AND s.src = w.pred),
+r3 AS (SELECT w.dst AS src, 'act.role' AS pred, s.dst
+       FROM wi w JOIN sch s ON s.pred = 'rdfs.range' AND s.src = w.pred),
+ty AS (SELECT src, pred, dst FROM wi WHERE pred = 'act.role'
+       UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3),
+r9 AS (SELECT t.src, 'act.role' AS pred, sc.sup AS dst
+       FROM ty t JOIN sc ON sc.sub = t.dst)
+SELECT DISTINCT src, pred, dst FROM (
+  SELECT * FROM wi UNION ALL SELECT * FROM r2
+  UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r9)
+"""
+
+
 def q_kg_node2vec(spark, sf_dir):
     """node2vec biased walks over the co-mention graph (2 walks of
     length 2 per vertex): step 1 unbiased, step 2 second-order biased
@@ -4190,6 +4266,8 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_random_walks": (q_kg_random_walks, SQL_KG_RANDOM_WALKS),
     # node2vec second-order biased walks (integer-weight replication)
     "kg_node2vec": (q_kg_node2vec, SQL_KG_NODE2VEC),
+    # RDFS entailment materialization (ρdf rules 2/3/7/9, broadcast schema)
+    "kg_rdfs_entail": (q_kg_rdfs_entail, SQL_KG_RDFS_ENTAIL),
     # PPMI weighting over skip-gram counts (the SGNS-implicit matrix)
     "doc_ppmi": (q_doc_ppmi, SQL_DOC_PPMI),
     # folded in r4 to make room for kg_export_json: the full build is

@@ -384,3 +384,25 @@ def test_skipgram_counts_two_exchanges_no_self_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "Join" not in plan  # no join of any kind — window + agg only
+
+
+def test_rdfs_entail_rules_broadcast_instance_never_shuffled(spark):
+    """Every rdfs rule application must be a broadcast hash join against
+    the (dimension-sized) schema closure — a sort-merge join there would
+    shuffle the 10^12-triple instance table once per rule. The only wide
+    operation on instance data is the final distinct."""
+    from jcpg_spark.operators.reasoning import rdfs_entail
+
+    inst = spark.createDataFrame(
+        [("x", "p", "y"), ("z", "rdf.type", "B")],
+        "src string, pred string, dst string",
+    )
+    schema = spark.createDataFrame(
+        [("B", "rdfs.subClassOf", "C"), ("p", "rdfs.subPropertyOf", "q"),
+         ("p", "rdfs.domain", "DC"), ("p", "rdfs.range", "RC")],
+        "src string, pred string, dst string",
+    )
+    plan = _plan(rdfs_entail(inst, schema))
+    assert plan.count("BroadcastHashJoin") >= 4, plan  # r7, r2, r3, r9
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
