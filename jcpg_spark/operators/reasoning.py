@@ -138,3 +138,110 @@ def rdfs_entail(
     return (
         with_inherited.unionByName(r2).unionByName(r3).unionByName(r9).distinct()
     )
+
+
+def shacl_validate(
+    edges: DataFrame,
+    shapes: DataFrame,
+    type_pred: str = "rdf.type",
+) -> DataFrame:
+    """SHACL-core node-shape validation: check every focus node (instances
+    of a shape's target class) against per-property constraints and emit
+    one row per violation — the KG quality gate that runs before a graph
+    ships (W3C SHACL, restricted to the four constraint kinds that cover
+    most real shapes).
+
+    ``shapes`` columns (one row = one property shape):
+      shape_id       — identifier echoed into the report
+      target_class   — focus nodes are (x type_pred target_class)
+      path           — the property being constrained
+      min_count      — nullable int: sh:minCount (count of (x path y))
+      max_count      — nullable int: sh:maxCount
+      class_constraint — nullable: sh:class (every value y must satisfy
+                         (y type_pred class_constraint))
+      pattern        — nullable: sh:pattern (regex every value must match)
+
+    -> (focus, shape_id, path, constraint, got): ``constraint`` in
+    {min_count, max_count, class, pattern}; ``got`` is the observed count
+    (as a string) for cardinality violations, or the offending value for
+    class/pattern violations — one row PER offending value for those, one
+    row per focus node for cardinality (matching SHACL's per-result
+    granularity).
+
+    Scale posture: shapes are dimension-sized and broadcast everywhere.
+    Cardinality needs one hash-agg of the constrained edges keyed by
+    (src, pred) — constrained predicates are pre-filtered by a broadcast
+    semi-join so unconstrained edge families never reach the shuffle.
+    The class check joins values against the type table keyed by node id
+    (the one instance-scale shuffle, unavoidable: it IS the lookup);
+    min_count=0 rows and absent properties are handled via the focus-node
+    left join, so a node with NO values still violates min_count >= 1.
+    """
+    e = edges.select("src", "pred", "dst")
+    types = e.where(F.col("pred") == type_pred).select(
+        F.col("src").alias("node"), F.col("dst").alias("cls")
+    )
+    sh = shapes.select(
+        "shape_id", "target_class", "path",
+        F.col("min_count").cast("long").alias("min_count"),
+        F.col("max_count").cast("long").alias("max_count"),
+        "class_constraint", "pattern",
+    )
+
+    focus = types.join(
+        F.broadcast(sh), types["cls"] == sh["target_class"]
+    ).select(
+        F.col("node").alias("focus"), "shape_id", "path",
+        "min_count", "max_count", "class_constraint", "pattern",
+    )
+
+    # values of constrained properties only (broadcast semi-join prune)
+    paths = sh.select(F.col("path").alias("pred")).distinct()
+    vals = e.join(F.broadcast(paths), "pred").select(
+        F.col("src").alias("focus"), F.col("pred").alias("path"),
+        F.col("dst").alias("value"),
+    )
+
+    # cardinality: one hash-agg, then a LEFT join from focus (absent
+    # property -> count 0, so minCount fires on missing values too)
+    counts = vals.groupBy("focus", "path").agg(F.count(F.lit(1)).alias("n"))
+    card = focus.join(counts, ["focus", "path"], "left").select(
+        "focus", "shape_id", "path", "min_count", "max_count",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+    )
+    v_min = card.where(
+        F.col("min_count").isNotNull() & (F.col("n") < F.col("min_count"))
+    ).select(
+        "focus", "shape_id", "path", F.lit("min_count").alias("constraint"),
+        F.col("n").cast("string").alias("got"),
+    )
+    v_max = card.where(
+        F.col("max_count").isNotNull() & (F.col("n") > F.col("max_count"))
+    ).select(
+        "focus", "shape_id", "path", F.lit("max_count").alias("constraint"),
+        F.col("n").cast("string").alias("got"),
+    )
+
+    # per-value checks run on (focus-node values x their shapes)
+    fv = focus.join(vals, ["focus", "path"])
+    v_pat = fv.where(
+        F.col("pattern").isNotNull()
+        & ~F.regexp_like(F.col("value"), F.col("pattern"))
+    ).select(
+        "focus", "shape_id", "path", F.lit("pattern").alias("constraint"),
+        F.col("value").alias("got"),
+    )
+    typed = types.select(F.col("node").alias("value"), F.col("cls").alias("vcls"))
+    v_cls = (
+        fv.where(F.col("class_constraint").isNotNull())
+        .join(
+            typed,
+            (fv["value"] == typed["value"]) & (fv["class_constraint"] == typed["vcls"]),
+            "left_anti",
+        )
+        .select(
+            "focus", "shape_id", "path", F.lit("class").alias("constraint"),
+            F.col("value").alias("got"),
+        )
+    )
+    return v_min.unionByName(v_max).unionByName(v_pat).unionByName(v_cls)

@@ -3972,6 +3972,64 @@ SELECT DISTINCT src, pred, dst FROM (
 """
 
 
+def q_kg_shacl_report(spark, sf_dir):
+    """SHACL-core validation report over the call/return + act.role KG:
+    assistant turns must carry 1-2 call values matching ^tool: (turns
+    that answer without calling violate minCount — the 'is every
+    assistant turn grounded in a tool' audit); tool turns must emit
+    exactly one return to a ^t: call site (mid-run tool turns and
+    unresolved runs violate minCount). Shapes are broadcast; the only
+    instance-scale shuffle is the cardinality hash-agg over constrained
+    predicates."""
+    from jcpg_spark.operators import reasoning, structural
+
+    t = transcripts_from_events(spark, sf_dir)
+    edges = (
+        calls.call_triples(t)
+        .select("src", "pred", "dst")
+        .unionByName(calls.return_triples(t).select("src", "pred", "dst"))
+        .unionByName(structural.act_role(t).select("src", "pred", "dst"))
+    )
+    shapes = spark.createDataFrame(
+        [
+            ("assistant_calls", "role:assistant", "call", 1, 2, None, "^tool:"),
+            ("tool_returns", "role:tool", "return", 1, 1, None, "^t:"),
+        ],
+        "shape_id string, target_class string, path string, min_count int, "
+        "max_count int, class_constraint string, pattern string",
+    )
+    return reasoning.shacl_validate(edges, shapes, type_pred="act.role")
+
+
+SQL_KG_SHACL_REPORT = f"""
+WITH cr AS ({SQL_KG_CALL_RETURN}),
+ar AS ({SQL_KG_ACT_ROLE}),
+e AS (SELECT src, pred, dst FROM cr UNION ALL SELECT src, pred, dst FROM ar),
+types AS (SELECT src AS node, dst AS cls FROM e WHERE pred = 'act.role'),
+shapes(shape_id, target_class, path, min_count, max_count, pattern) AS (VALUES
+  ('assistant_calls', 'role:assistant', 'call', 1, 2, '^tool:'),
+  ('tool_returns', 'role:tool', 'return', 1, 1, '^t:')),
+focus AS (SELECT node AS focus, shape_id, path, min_count, max_count, pattern
+          FROM types JOIN shapes ON cls = target_class),
+vals AS (SELECT src AS focus, pred AS path, dst AS value FROM e
+         WHERE pred IN (SELECT path FROM shapes)),
+counts AS (SELECT focus, path, count(*) AS n FROM vals GROUP BY 1, 2),
+card AS (SELECT f.focus, f.shape_id, f.path, f.min_count, f.max_count,
+                coalesce(c.n, 0) AS n
+         FROM focus f LEFT JOIN counts c USING (focus, path))
+SELECT focus, shape_id, path, 'min_count' AS "constraint",
+       CAST(n AS VARCHAR) AS got
+FROM card WHERE min_count IS NOT NULL AND n < min_count
+UNION ALL
+SELECT focus, shape_id, path, 'max_count', CAST(n AS VARCHAR)
+FROM card WHERE max_count IS NOT NULL AND n > max_count
+UNION ALL
+SELECT f.focus, f.shape_id, f.path, 'pattern', v.value
+FROM focus f JOIN vals v USING (focus, path)
+WHERE f.pattern IS NOT NULL AND NOT regexp_matches(v.value, f.pattern)
+"""
+
+
 def q_kg_node2vec(spark, sf_dir):
     """node2vec biased walks over the co-mention graph (2 walks of
     length 2 per vertex): step 1 unbiased, step 2 second-order biased
@@ -4268,6 +4326,8 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_node2vec": (q_kg_node2vec, SQL_KG_NODE2VEC),
     # RDFS entailment materialization (ρdf rules 2/3/7/9, broadcast schema)
     "kg_rdfs_entail": (q_kg_rdfs_entail, SQL_KG_RDFS_ENTAIL),
+    # SHACL-core node-shape validation report (broadcast shapes)
+    "kg_shacl_report": (q_kg_shacl_report, SQL_KG_SHACL_REPORT),
     # PPMI weighting over skip-gram counts (the SGNS-implicit matrix)
     "doc_ppmi": (q_doc_ppmi, SQL_DOC_PPMI),
     # folded in r4 to make room for kg_export_json: the full build is

@@ -49,6 +49,60 @@ def test_rdfs_entail_is_idempotent_and_set_semantics(spark):
     assert sorted(tuple(r) for r in twice.collect()) == rows1
 
 
+def _shapes_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "shape_id string, target_class string, path string, min_count int, "
+        "max_count int, class_constraint string, pattern string",
+    )
+
+
+def test_shacl_validate_all_constraint_kinds(spark):
+    """minCount (incl. absent-property nodes), maxCount, sh:class on
+    value nodes, sh:pattern — one violation row per SHACL result."""
+    from jcpg_spark.operators.reasoning import shacl_validate
+
+    edges = _df(spark, [
+        ("c1", "rdf.type", "Call"), ("c2", "rdf.type", "Call"),
+        ("c3", "rdf.type", "Call"),
+        ("c1", "uses", "t1"),                       # ok: 1 value, typed Tool
+        ("c2", "uses", "t1"), ("c2", "uses", "t2"), # maxCount 1 violated
+        # c3 has NO uses -> minCount violated
+        ("t1", "rdf.type", "Tool"),                 # t2 untyped -> class viol
+        ("c1", "name", "call-one"),
+        ("c2", "name", "BAD NAME"),                 # pattern violated
+    ])
+    shapes = _shapes_df(spark, [
+        ("S1", "Call", "uses", 1, 1, "Tool", None),
+        ("S2", "Call", "name", None, None, None, "^[a-z-]+$"),
+    ])
+    got = {
+        (r["focus"], r["shape_id"], r["path"], r["constraint"], r["got"])
+        for r in shacl_validate(edges, shapes).collect()
+    }
+    assert got == {
+        ("c3", "S1", "uses", "min_count", "0"),
+        ("c2", "S1", "uses", "max_count", "2"),
+        ("c2", "S1", "uses", "class", "t2"),
+        ("c2", "S2", "name", "pattern", "BAD NAME"),
+    }
+
+
+def test_shacl_validate_clean_graph_and_unconstrained_noise(spark):
+    """A conforming graph emits zero rows; edges whose predicate no shape
+    constrains never influence the report (they are pruned before the
+    counting shuffle)."""
+    from jcpg_spark.operators.reasoning import shacl_validate
+
+    edges = _df(spark, [
+        ("c1", "rdf.type", "Call"), ("c1", "uses", "t1"),
+        ("t1", "rdf.type", "Tool"),
+        ("c1", "noise", "x"), ("c1", "noise", "y"), ("c1", "noise", "z"),
+    ])
+    shapes = _shapes_df(spark, [("S1", "Call", "uses", 1, 1, "Tool", None)])
+    assert shacl_validate(edges, shapes).count() == 0
+
+
 def test_rdfs_entail_empty_schema_is_identity_and_depth_bounds(spark):
     inst = _df(spark, [("x", "p", "y")])
     out = rdfs_entail(inst, _df(spark, []).limit(0), max_depth=2)
