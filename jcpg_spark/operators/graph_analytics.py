@@ -215,6 +215,81 @@ def bfs_distances(
     return visited
 
 
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    cost: str = "cost",
+    max_hops: int = 3,
+) -> DataFrame:
+    """-> (item, dist): weighted multi-source shortest paths over the
+    symmetrized graph, bounded at ``max_hops`` edges — dist = minimum
+    total ``cost`` over all paths of 1..max_hops edges from ANY source
+    (0 for the sources). The weighted counterpart of ``bfs_distances``.
+
+    Bellman-Ford with an IMPROVEMENTS-ONLY frontier (delta-stepping's
+    relational core): each round relaxes only the distances that improved
+    last round against the adjacency (one shuffle), takes the per-vertex
+    min (one hash-agg), and keeps a candidate only if it beats the best
+    known distance (a left join + filter, not a full re-aggregation of
+    the settled set) — a vertex whose distance is final stops crossing
+    the shuffle, which is what bounds traffic on a 10^12-edge graph where
+    most of the graph settles in the first rounds. Bounded rounds keep
+    the unrolled plan finite for an exact SQL oracle (min-over-unrolled-
+    rounds); costs should be exact integers for bit-identical
+    cross-engine agreement (the operator itself is type-agnostic).
+    Negative costs are rejected: with a hop bound the recurrence would
+    still be well-defined, but "shortest within k hops" stops being
+    "shortest" and silently depends on k."""
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    from jcpg_spark.caching import swap_persist
+
+    # fail loud on negative costs without a separate validation action:
+    # assert_true rides the projection (NULL when the predicate holds,
+    # runtime error otherwise), so the check runs exactly where the edge
+    # is first read.
+    wchecked = F.when(
+        F.assert_true(
+            F.col("w") >= 0, F.lit("shortest_paths: negative cost edge")
+        ).isNull(),
+        F.col("w"),
+    ).alias("w")
+    e = edges.select(
+        "a", "b", F.col(cost).cast("long").alias("w")
+    ).select("a", "b", wchecked)
+    adj = e.select(F.col("a").alias("s"), F.col("b").alias("t"), "w").unionByName(
+        e.select(F.col("b").alias("s"), F.col("a").alias("t"), "w")
+    )
+    if max_hops > 1:
+        adj = swap_persist("shortest_paths.adj", adj)
+    best = sources.select(
+        F.col("v").alias("item"), F.lit(0).cast("long").alias("dist")
+    ).distinct()
+    frontier = best
+    for h in range(1, max_hops + 1):
+        relaxed = (
+            adj.join(frontier, adj["s"] == frontier["item"])
+            .select(F.col("t").alias("item"), (F.col("dist") + F.col("w")).alias("d"))
+            .groupBy("item")
+            .agg(F.min("d").alias("d"))
+        )
+        improved = (
+            relaxed.join(best, "item", "left")
+            .where(F.col("dist").isNull() | (F.col("d") < F.col("dist")))
+            .select("item", F.col("d").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        # settled rows keep their dist; improved rows replace theirs
+        best = (
+            best.join(improved.select("item"), "item", "left_anti")
+            .unionByName(improved)
+        )
+        frontier = improved
+        if h % _CHECKPOINT_EVERY == 0 and h < max_hops:
+            best = best.localCheckpoint(eager=False)
+    return best
+
+
 def link_predict_common_neighbors(
     edges: DataFrame, min_common: int = 1, max_center_degree: int = 1000
 ) -> DataFrame:

@@ -3896,6 +3896,48 @@ SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2
 """
 
 
+def q_kg_shortest_path(spark, sf_dir):
+    """Weighted multi-source shortest paths on the co-mention graph,
+    bounded at 3 hops: edge cost = 10 - min(w, 9) (stronger co-mention =
+    cheaper hop, integer so both engines sum exactly), seeds
+    {v : v % 5 = 0}. Improvements-only Bellman-Ford — round-k equals the
+    full relaxation's round-k (an optimal <=k-hop path relaxes out of
+    whichever earlier round settled its prefix), which is what the
+    oracle's unrolled full-relaxation rounds mirror."""
+    edges = _comention_edges(spark, sf_dir, min_weight=2).select(
+        "a", "b", (F.lit(10) - F.least(F.col("w"), F.lit(9))).alias("cost")
+    )
+    seeds = (
+        edges.select(F.col("a").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("v")))
+        .distinct()
+        .where(F.col("v") % 5 == 0)
+    )
+    return graph_analytics.shortest_paths(edges, seeds, max_hops=3)
+
+
+def _bf_round_sql(k: int) -> str:
+    # one full-relaxation Bellman-Ford round over the previous distances
+    return f"""d{k} AS (SELECT item, min(d) AS d FROM (
+  SELECT item, d FROM d{k - 1}
+  UNION ALL
+  SELECT adj.t AS item, p.d + adj.w AS d
+  FROM d{k - 1} p JOIN adj ON adj.s = p.item) GROUP BY item)"""
+
+
+SQL_KG_SHORTEST_PATH = f"""
+WITH e AS ({_SQL_COMENTION}),
+ew AS (SELECT a, b, 10 - least(w, 9) AS w FROM e),
+adj AS (SELECT a AS s, b AS t, w FROM ew UNION ALL SELECT b, a, w FROM ew),
+seeds AS (SELECT DISTINCT s AS v FROM adj WHERE s % 5 = 0),
+d0 AS (SELECT v AS item, CAST(0 AS BIGINT) AS d FROM seeds),
+{_bf_round_sql(1)},
+{_bf_round_sql(2)},
+{_bf_round_sql(3)}
+SELECT item, d AS dist FROM d3
+"""
+
+
 def q_kg_rdfs_entail(spark, sf_dir):
     """RDFS entailment materialization (ρdf rules rdfs2/3/7/9) of the
     call/return + act.role layers under a literal conversation ontology
@@ -4237,6 +4279,8 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     # BFS layer distances + component-size audit on the co-mention graph,
     # and cross-source boilerplate detection — all exact-oracled.
     "kg_bfs_distance": (q_kg_bfs_distance, SQL_KG_BFS_DISTANCE),
+    # weighted bounded shortest paths (improvements-only Bellman-Ford)
+    "kg_shortest_path": (q_kg_shortest_path, SQL_KG_SHORTEST_PATH),
     "kg_component_sizes": (q_kg_component_sizes, SQL_KG_COMPONENT_SIZES),
     "doc_boilerplate": (q_doc_boilerplate, SQL_DOC_BOILERPLATE),
     # span REMOVAL composition (detection -> positional excision)

@@ -953,6 +953,68 @@ def test_random_walks_are_connected_and_deterministic(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
+def _naive_shortest(wpairs, seeds, max_hops):
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for a, b, w in wpairs:
+        adj.setdefault(a, []).append((b, w))
+        adj.setdefault(b, []).append((a, w))
+    dist = {s: 0 for s in seeds if s in adj}
+    dist.update({s: 0 for s in seeds})
+    for _ in range(max_hops):
+        nxt = dict(dist)
+        for v, d in dist.items():
+            for t, w in adj.get(v, []):
+                if t not in nxt or d + w < nxt[t]:
+                    nxt[t] = d + w
+        dist = nxt
+    return dist
+
+
+def test_shortest_paths_matches_naive_bellman_ford(spark):
+    from jcpg_spark.operators.graph_analytics import shortest_paths
+
+    rng = random.Random(5)
+    wpairs = [
+        (*sorted(rng.sample(range(15), 2)), rng.randint(1, 9))
+        for _ in range(40)
+    ]
+    # dedupe parallel edges keeping the min cost (naive would double-add)
+    seen = {}
+    for a, b, w in wpairs:
+        seen[(a, b)] = min(w, seen.get((a, b), 10**9))
+    wpairs = [(a, b, w) for (a, b), w in seen.items()]
+    edges = spark.createDataFrame(wpairs, "a int, b int, cost int")
+    seeds = spark.createDataFrame([(0,), (7,)], "v int")
+    got = {
+        r["item"]: r["dist"]
+        for r in shortest_paths(edges, seeds, max_hops=4).collect()
+    }
+    assert got == _naive_shortest(wpairs, [0, 7], 4)
+
+
+def test_shortest_paths_hop_bound_weighted_vs_unweighted(spark):
+    """A cheap long way round beats an expensive direct edge only once
+    the hop bound admits it; negative costs fail loud."""
+    import pytest
+
+    from jcpg_spark.operators.graph_analytics import shortest_paths
+
+    edges = spark.createDataFrame(
+        [(0, 3, 10), (0, 1, 1), (1, 2, 1), (2, 3, 1)],
+        "a int, b int, cost int",
+    )
+    seeds = spark.createDataFrame([(0,)], "v int")
+    d1 = {r["item"]: r["dist"]
+          for r in shortest_paths(edges, seeds, max_hops=1).collect()}
+    assert d1[3] == 10
+    d3 = {r["item"]: r["dist"]
+          for r in shortest_paths(edges, seeds, max_hops=3).collect()}
+    assert d3[3] == 3
+    neg = spark.createDataFrame([(0, 1, -2)], "a int, b int, cost int")
+    with pytest.raises(Exception, match="negative cost"):
+        shortest_paths(neg, seeds, max_hops=1).collect()
+
+
 def _naive_node2vec(pairs, walks_per_node, length, ret_w, base_w, out_w):
     import hashlib
 
