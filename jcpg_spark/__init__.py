@@ -42,7 +42,7 @@ from jcpg_spark.operators.lm import (
     skipgram_counts,
 )
 from jcpg_spark.operators.linking import link_asof
-from jcpg_spark.operators.query import match_pattern
+from jcpg_spark.operators.query import construct, match_pattern, match_query, union_patterns
 from jcpg_spark.operators.retrieval import bm25_topk
 from jcpg_spark.operators.structural import conversation_audit
 from jcpg_spark.operators.subgraph import graph_diff, induced_subgraph
@@ -136,7 +136,10 @@ __all__ = [
     "modularity",
     "rank_eval",
     "bm25_topk",
+    "construct",
     "match_pattern",
+    "match_query",
+    "union_patterns",
     "bitext_mine",
     "neighbor_sample",
     "random_walks",

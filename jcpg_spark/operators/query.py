@@ -41,10 +41,18 @@ core SPARQL 1.1 property-path forms that stay relational:
 
 ``match_query`` adds the other half of the SPARQL algebra that maps
 directly onto DataFrame operators: OPTIONAL groups (left outer join on
-the shared variables — SPARQL's LeftJoin), FILTER (SQL boolean
+the shared variables — SPARQL's LeftJoin), MINUS groups (anti-join on
+the shared variables — SPARQL's Minus, which in the shared-vars-bound
+regime coincides with FILTER NOT EXISTS), FILTER (SQL boolean
 expressions over the bound variable columns, evaluated post-join exactly
-like SPARQL filters scoped to the group), and DISTINCT; ``union_patterns``
-is SPARQL UNION (bag union of same-projection groups).
+like SPARQL filters scoped to the group), GROUP BY / aggregates /
+HAVING, ORDER BY + LIMIT solution modifiers (Spark plans sort+limit as
+TakeOrderedAndProject — a per-partition top-k merge, never a global
+sort), and DISTINCT; ``union_patterns`` is SPARQL UNION (bag union of
+same-projection groups); ``construct`` is SPARQL CONSTRUCT — template
+triples instantiated per solution into a new (src, pred, dst) edges
+relation, i.e. rule-based derivation of new graph layers from matched
+patterns, the KG-construction move itself.
 """
 
 from __future__ import annotations
@@ -194,16 +202,19 @@ def match_query(
     edges: DataFrame,
     bgp: Sequence[TriplePattern],
     optional: Sequence[Sequence[TriplePattern]] = (),
+    minus: Sequence[Sequence[TriplePattern]] = (),
     filters: Sequence[str] = (),
     distinct: bool = False,
     max_hops: int = 8,
     group_by: Sequence[str] = (),
     aggregates: dict[str, str] | None = None,
     having: Sequence[str] = (),
+    order_by: Sequence[str] = (),
+    limit: int | None = None,
 ) -> DataFrame:
-    """SPARQL SELECT core: required BGP, then OPTIONAL groups, FILTERs,
-    GROUP BY / aggregates / HAVING, and optional DISTINCT — each mapped
-    onto its exact relational dual.
+    """SPARQL SELECT core: required BGP, then OPTIONAL groups, MINUS
+    groups, FILTERs, GROUP BY / aggregates / HAVING, ORDER BY / LIMIT,
+    and optional DISTINCT — each mapped onto its exact relational dual.
 
     - every group in ``optional`` is itself a BGP; it is attached with a
       LEFT OUTER join on the variables it shares with what is already
@@ -213,6 +224,18 @@ def match_query(
       pattern. Groups attach left-to-right, so a later group may join on
       variables a previous OPTIONAL introduced (SPARQL's sequential
       left-associative semantics).
+    - every group in ``minus`` is a BGP; solutions of the main query that
+      are compatible with some solution of the group are REMOVED (SPARQL's
+      Minus operator) — executed as a LEFT ANTI join on the shared
+      variables, the relational dual that is exact whenever the shared
+      variables are bound on the left (they come from the required BGP;
+      an OPTIONAL-introduced NULL in a shared column never anti-matches,
+      which is also what SPARQL's compatibility rule yields when it is
+      the ONLY shared variable). In this shared-vars-bound regime MINUS
+      and FILTER NOT EXISTS coincide, so one operator serves both SPARQL
+      negation forms. A group sharing no variable is rejected: the spec
+      makes disjoint-domain MINUS a no-op, and silently evaluating a
+      group only to ignore it is a bug ten times out of ten.
     - ``filters`` are SQL boolean expressions over the variable columns
       (``F.expr``), applied AFTER all joins — Catalyst pushes a filter
       that only reads required-side columns back below the outer joins
@@ -227,6 +250,14 @@ def match_query(
       ``group_by`` is the single-group (whole-solution) aggregation.
       ``having`` expressions filter the aggregated rows (SPARQL HAVING);
       they may reference the aggregate aliases.
+    - ``order_by`` + ``limit`` are the SPARQL solution modifiers: each
+      ``order_by`` entry is a SQL sort expression (``"n_calls DESC"``,
+      ``"tool"``) over the output columns; ``limit`` truncates. Spark
+      plans sort+limit as TakeOrderedAndProject — each partition keeps a
+      k-row heap and the driver merges k-row samples, so a LIMIT 10 over
+      10^12 solutions never materializes a global sort. A ``limit``
+      without a TOTAL order is nondeterministic under partitioning; give
+      the sort a tiebreaker column if the result must be stable.
     - output columns = sorted variable names (or group keys + aggregate
       aliases); bag semantics unless ``distinct``.
     """
@@ -244,6 +275,20 @@ def match_query(
             )
         result = result.join(gdf, on=shared, how="left")
         bound |= gvars
+    for group in minus:
+        gdf = match_pattern(edges, group, max_hops)
+        shared = sorted(bound & set(gdf.columns))
+        if not shared:
+            raise ValueError(
+                f"MINUS group {[tuple(p) for p in group]!r} shares no "
+                f"variable with the bound set {sorted(bound)} — the spec "
+                "makes this a no-op; drop the group or bind a shared "
+                "variable"
+            )
+        # only the shared columns matter for compatibility; projecting
+        # them (distinct is implied by the anti-join) keeps the group's
+        # fresh variables out of the shuffle
+        result = result.join(gdf.select(*shared), on=shared, how="left_anti")
     for fexpr in filters:
         result = result.where(F.expr(fexpr))
     if aggregates or group_by:
@@ -270,7 +315,28 @@ def match_query(
             raise ValueError("having requires aggregates")
         out_cols = sorted(bound)
     result = result.select(*out_cols)
-    return result.distinct() if distinct else result
+    if distinct:
+        result = result.distinct()
+    if order_by:
+        def _sort_col(e: str):
+            # F.expr parses expressions, not sort items — peel the
+            # direction keyword ourselves ("n DESC" -> expr("n").desc())
+            s = e.strip()
+            if s.lower().endswith(" desc"):
+                return F.expr(s[:-5]).desc()
+            if s.lower().endswith(" asc"):
+                return F.expr(s[:-4]).asc()
+            return F.expr(s)
+
+        result = result.orderBy(*[_sort_col(e) for e in order_by])
+    if limit is not None:
+        if not order_by:
+            raise ValueError(
+                "limit without order_by is nondeterministic under "
+                "partitioning; give the solutions a total order"
+            )
+        result = result.limit(limit)
+    return result
 
 
 def union_patterns(
@@ -298,3 +364,72 @@ def union_patterns(
     for df in dfs[1:]:
         out = out.unionByName(df)
     return out
+
+
+def construct(
+    edges: DataFrame,
+    template: Sequence[TriplePattern],
+    bgp: Sequence[TriplePattern],
+    optional: Sequence[Sequence[TriplePattern]] = (),
+    minus: Sequence[Sequence[TriplePattern]] = (),
+    filters: Sequence[str] = (),
+    max_hops: int = 8,
+) -> DataFrame:
+    """SPARQL CONSTRUCT: instantiate ``template`` triples once per WHERE
+    solution and return the resulting graph as a (src, pred, dst) edges
+    relation — rule-based derivation of new KG layers (the reference
+    derives every layer imperatively while walking its object graph,
+    ``JavacpgDDGBuilder.java:60-117``; here a derivation rule is a
+    declarative query whose output is itself an edges table, closing the
+    loop: construct() output can feed match_query(), rdfs_entail(), or
+    the export sinks directly).
+
+    Semantics per the SPARQL 1.1 spec:
+    - each template triple's variable slots are filled from the solution;
+      constant slots pass through;
+    - a template instance with an unbound (NULL) slot — an OPTIONAL
+      variable that did not match — is SKIPPED, not emitted with a hole;
+    - the result is an RDF GRAPH, i.e. a SET of triples: duplicates
+      across solutions and across template entries are removed (one
+      DISTINCT over the union — the only shuffle this adds, keyed on the
+      output triple itself, so it scales like any dedup).
+
+    Each template triple becomes a projection of the one solution
+    relation (computed once, reused N ways under Spark's plan reuse), so
+    an M-triple template costs one match plus M column selections.
+    """
+    if not template:
+        raise ValueError("empty CONSTRUCT template")
+    sol = match_query(
+        edges, bgp, optional=optional, minus=minus, filters=filters,
+        max_hops=max_hops,
+    )
+    bound = set(sol.columns)
+    outs = []
+    for tpat in template:
+        if len(tuple(tpat)) != 3:
+            raise ValueError(f"template triple {tuple(tpat)!r} is not 3 terms")
+        cols = []
+        for term, slot in zip(tpat, ("src", "pred", "dst")):
+            if _is_var(term):
+                name = term[1:]
+                if name not in bound:
+                    raise ValueError(
+                        f"template variable ?{name} is not bound by the "
+                        f"WHERE clause (bound: {sorted(bound)})"
+                    )
+                cols.append(F.col(name).cast("string").alias(slot))
+            else:
+                cols.append(F.lit(term).alias(slot))
+        inst = sol.select(*cols)
+        tvars = [t[1:] for t in tpat if _is_var(t)]
+        if tvars:
+            # unbound slot -> no triple (SPARQL drops incomplete instances)
+            inst = inst.na.drop(subset=[s for s, t in
+                                        zip(("src", "pred", "dst"), tpat)
+                                        if _is_var(t)])
+        outs.append(inst)
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    return out.distinct()

@@ -3798,6 +3798,122 @@ HAVING count(ca.src) >= 2
 """
 
 
+def q_kg_minus_match(spark, sf_dir):
+    """SPARQL MINUS (negation): tool calls whose run never returned to
+    the call site — (?c call ?tool) MINUS {?c ^return ?r}. Executed as a
+    LEFT ANTI join on the shared variable (exact for SPARQL MINUS and
+    FILTER NOT EXISTS alike when the shared vars are required-BGP-bound);
+    the group's fresh variable never enters the shuffle."""
+    from jcpg_spark.operators import query as bgp
+
+    t = transcripts_from_events(spark, sf_dir)
+    edges = (
+        calls.call_triples(t)
+        .select("src", "pred", "dst")
+        .unionByName(calls.return_triples(t).select("src", "pred", "dst"))
+    )
+    return bgp.match_query(
+        edges,
+        [("?c", "call", "?tool")],
+        minus=[[("?c", "^return", "?r")]],
+    )
+
+
+SQL_KG_MINUS_MATCH = f"""
+WITH cr AS ({SQL_KG_CALL_RETURN})
+SELECT ca.src AS c, ca.dst AS tool
+FROM (SELECT src, dst FROM cr WHERE pred = 'call') ca
+WHERE NOT EXISTS (SELECT 1 FROM cr re
+                  WHERE re.pred = 'return' AND re.dst = ca.src)
+"""
+
+
+def q_kg_ordered_topk(spark, sf_dir):
+    """SPARQL solution modifiers ORDER BY + LIMIT over a GROUP BY query:
+    the single most-called tool with its return counts, ordered by call
+    count descending with the tool name as the total-order tiebreaker
+    (LIMIT 1 so the truncation path is actually exercised at driver
+    scale — the synthetic tool vocabulary is small)
+    (a LIMIT without a total order is nondeterministic under
+    partitioning). Spark plans this as TakeOrderedAndProject — a
+    per-partition top-k heap merged on the driver, never a global sort."""
+    from jcpg_spark.operators import query as bgp
+
+    t = transcripts_from_events(spark, sf_dir)
+    edges = (
+        calls.call_triples(t)
+        .select("src", "pred", "dst")
+        .unionByName(calls.return_triples(t).select("src", "pred", "dst"))
+    )
+    return bgp.match_query(
+        edges,
+        [("?c", "call", "?tool")],
+        optional=[[("?c", "^return", "?r")]],
+        group_by=["tool"],
+        aggregates={"n_calls": "count(c)", "n_returned": "count(r)"},
+        order_by=["n_calls DESC", "tool"],
+        limit=1,
+    )
+
+
+SQL_KG_ORDERED_TOPK = f"""
+WITH cr AS ({SQL_KG_CALL_RETURN})
+SELECT ca.dst AS tool, count(ca.src) AS n_calls, count(re.src) AS n_returned
+FROM (SELECT src, dst FROM cr WHERE pred = 'call') ca
+LEFT JOIN (SELECT src, dst FROM cr WHERE pred = 'return') re
+       ON re.dst = ca.src
+GROUP BY ca.dst
+ORDER BY n_calls DESC, tool
+LIMIT 1
+"""
+
+
+def q_kg_construct_rule(spark, sf_dir):
+    """SPARQL CONSTRUCT — rule-based derivation of a new KG layer:
+    CONSTRUCT {{ ?tool tool.followed_by ?n . ?tool rdf.type Tool }}
+    WHERE {{ ?c call ?tool . ?c flow.next ?n }} — per tool, the turns
+    that immediately follow any of its call sites, plus one rdf.type
+    triple per tool. The output is itself a (src, pred, dst) edges
+    relation (an RDF graph: DISTINCT triples), so it composes with
+    match_query / rdfs_entail / the export sinks; the one added shuffle
+    is the output-keyed dedup."""
+    from jcpg_spark.operators import query as bgp
+
+    t = transcripts_from_events(spark, sf_dir)
+    edges = (
+        flow.flow_next(t)
+        .select("src", "pred", "dst")
+        .unionByName(calls.call_triples(t).select("src", "pred", "dst"))
+    )
+    return bgp.construct(
+        edges,
+        template=[("?tool", "tool.followed_by", "?n"),
+                  ("?tool", "rdf.type", "Tool")],
+        bgp=[("?c", "call", "?tool"), ("?c", "flow.next", "?n")],
+    )
+
+
+SQL_KG_CONSTRUCT_RULE = f"""
+WITH o AS ({_SQL_ORDERED}),
+r AS (SELECT conv_id, idx, {_SQL_ROLE} AS role, {_SQL_TOOL} AS tool FROM o),
+fn AS (SELECT 't:' || conv_id || ':' || CAST(idx AS VARCHAR) AS src,
+              't:' || conv_id || ':' || CAST(nxt AS VARCHAR) AS dst
+       FROM (SELECT conv_id, idx,
+                    lead(idx) OVER (PARTITION BY conv_id ORDER BY idx) AS nxt
+             FROM o)
+       WHERE nxt IS NOT NULL),
+ca AS (SELECT 't:' || conv_id || ':' || CAST(idx AS VARCHAR) AS src,
+              'tool:' || tool AS dst
+       FROM r WHERE role = 'assistant' AND tool IS NOT NULL)
+SELECT DISTINCT src, pred, dst FROM (
+  SELECT ca.dst AS src, 'tool.followed_by' AS pred, fn.dst AS dst
+  FROM ca JOIN fn ON fn.src = ca.src
+  UNION ALL
+  SELECT ca.dst, 'rdf.type', 'Tool'
+  FROM ca JOIN fn ON fn.src = ca.src)
+"""
+
+
 def q_emb_bitext_mine(spark, sf_dir):
     """Margin-based bitext mining (Artetxe & Schwenk ratio margin, the
     CCMatrix protocol) between the even- and odd-id halves of the
@@ -4360,6 +4476,12 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_union_match": (q_kg_union_match, SQL_KG_UNION_MATCH),
     # SPARQL GROUP BY + aggregates + HAVING (one hash aggregation)
     "kg_group_agg": (q_kg_group_agg, SQL_KG_GROUP_AGG),
+    # SPARQL MINUS / FILTER NOT EXISTS (left anti join on shared vars)
+    "kg_minus_match": (q_kg_minus_match, SQL_KG_MINUS_MATCH),
+    # SPARQL ORDER BY + LIMIT solution modifiers (TakeOrderedAndProject)
+    "kg_ordered_topk": (q_kg_ordered_topk, SQL_KG_ORDERED_TOPK),
+    # SPARQL CONSTRUCT: rule-derived KG layer as a composable edges table
+    "kg_construct_rule": (q_kg_construct_rule, SQL_KG_CONSTRUCT_RULE),
     # margin-based bitext mining (ratio margin + mutual-best flag)
     "emb_bitext_mine": (q_emb_bitext_mine, SQL_EMB_BITEXT_MINE),
     # GraphSAGE layered neighbor sampling (md5-deterministic)

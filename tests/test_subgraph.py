@@ -309,6 +309,92 @@ def test_union_patterns_same_projection_bag(spark):
         union_patterns(e, [])
 
 
+def test_match_query_minus_is_anti_join(spark):
+    """MINUS removes solutions compatible with the group on the shared
+    variables; the only call site with no outgoing flow.next ('b' has one,
+    'a' has one -> both removed; add a call from 'z' with no flow edge)."""
+    import pytest
+
+    from jcpg_spark.operators.query import match_query
+
+    e = _bgp_edges(spark).unionByName(
+        spark.createDataFrame(
+            [("z", "call", "tool:fs")], "src string, pred string, dst string"
+        )
+    )
+    out = match_query(
+        e, [("?c", "call", "?t")], minus=[[("?c", "flow.next", "?n")]]
+    ).collect()
+    assert [(r["c"], r["t"]) for r in out] == [("z", "tool:fs")]
+    # a NULL in a shared column introduced by OPTIONAL never anti-matches
+    # (SPARQL: unbound shared var -> disjoint domains -> retained)
+    opt = match_query(
+        e,
+        [("?c", "call", "?t")],
+        optional=[[("?c", "flow.next", "?n")]],
+        minus=[[("?n", "flow.next", "?m")]],
+    ).collect()
+    # a->b: n=b, b has flow.next c -> removed; b->c: n=c, c has none ->
+    # kept; z: n NULL -> kept
+    assert sorted((r["c"], r["n"]) for r in opt) == [("b", "c"), ("z", None)]
+    with pytest.raises(ValueError, match="MINUS group"):
+        match_query(e, [("?c", "call", "?t")], minus=[[("?x", "loops", "?y")]])
+
+
+def test_match_query_order_by_limit(spark):
+    import pytest
+
+    from jcpg_spark.operators.query import match_query
+
+    e = _bgp_edges(spark)
+    out = match_query(
+        e, [("?c", "call", "?t")], order_by=["c DESC"], limit=1
+    ).collect()
+    assert [(r["c"], r["t"]) for r in out] == [("b", "tool:db")]
+    # ordered without limit returns all solutions, ordered
+    allrows = match_query(e, [("?c", "call", "?t")], order_by=["c"]).collect()
+    assert [r["c"] for r in allrows] == ["a", "b"]
+    with pytest.raises(ValueError, match="limit without order_by"):
+        match_query(e, [("?c", "call", "?t")], limit=1)
+
+
+def test_construct_emits_deduped_template_triples(spark):
+    import pytest
+
+    from jcpg_spark.operators.query import construct
+
+    e = _bgp_edges(spark)
+    out = construct(
+        e,
+        template=[("?t", "tool.followed_by", "?n"), ("?t", "rdf.type", "Tool")],
+        bgp=[("?c", "call", "?t"), ("?c", "flow.next", "?n")],
+    ).collect()
+    # both call sites invoke tool:db -> the rdf.type triple dedups to one
+    assert sorted((r["src"], r["pred"], r["dst"]) for r in out) == [
+        ("tool:db", "rdf.type", "Tool"),
+        ("tool:db", "tool.followed_by", "b"),
+        ("tool:db", "tool.followed_by", "c"),
+    ]
+    # an OPTIONAL-unbound template slot drops that instance, not the row
+    opt = construct(
+        e,
+        template=[("?c", "maybe.next", "?n"), ("?c", "rdf.type", "CallSite")],
+        bgp=[("?c", "call", "?t")],
+        optional=[[("?c", "flow.next", "?n")]],
+        filters=["c = 'a' OR n IS NULL"],
+    ).collect()
+    triples = sorted((r["src"], r["pred"], r["dst"]) for r in opt)
+    assert ("a", "maybe.next", "b") in triples
+    assert ("a", "rdf.type", "CallSite") in triples
+    assert not any(t[0] == "b" and t[1] == "maybe.next" for t in triples)
+    with pytest.raises(ValueError, match="not bound"):
+        construct(e, [("?zz", "p", "?t")], [("?c", "call", "?t")])
+    with pytest.raises(ValueError, match="empty CONSTRUCT"):
+        construct(e, [], [("?c", "call", "?t")])
+    with pytest.raises(ValueError, match="not 3 terms"):
+        construct(e, [("?c", "p")], [("?c", "call", "?t")])
+
+
 def test_bgp_bag_semantics_preserves_duplicates(spark):
     """Two distinct call edges from 'a' to the same tool produce two
     bindings for the same (c, t) pair — SPARQL SELECT without DISTINCT."""
