@@ -43,6 +43,7 @@ from jcpg_spark.operators.lm import (
 )
 from jcpg_spark.operators.linking import link_asof
 from jcpg_spark.operators.query import construct, match_pattern, match_query, union_patterns
+from jcpg_spark.operators.reasoning import owl_entail, rdfs_entail, shacl_validate
 from jcpg_spark.operators.retrieval import bm25_topk
 from jcpg_spark.operators.structural import conversation_audit
 from jcpg_spark.operators.subgraph import graph_diff, induced_subgraph
@@ -138,6 +139,9 @@ __all__ = [
     "bm25_topk",
     "construct",
     "match_pattern",
+    "owl_entail",
+    "rdfs_entail",
+    "shacl_validate",
     "match_query",
     "union_patterns",
     "bitext_mine",

@@ -140,6 +140,151 @@ def rdfs_entail(
     )
 
 
+OWL_INVERSE = "owl.inverseOf"
+OWL_SYMMETRIC = "owl.SymmetricProperty"
+OWL_TRANSITIVE = "owl.TransitiveProperty"
+
+
+def owl_entail(
+    instance: DataFrame,
+    schema: DataFrame,
+    type_pred: str = "rdf.type",
+    max_depth: int = 8,
+    max_hops: int = 8,
+) -> DataFrame:
+    """Materialize the OWL-RL property rules over ``instance`` (src,
+    pred, dst) under ``schema``: prp-inv1/prp-inv2 ((P owl.inverseOf Q),
+    (x P y) -> (y Q x) and the converse), prp-symp ((P type
+    owl.SymmetricProperty), (x P y) -> (y P x)), and prp-trp ((P type
+    owl.TransitiveProperty), (x P y), (y P z) -> (x P z)). Complements
+    ``rdfs_entail`` (class/property hierarchies) with the property-level
+    half of OWL 2 RL's prp-* table.
+
+    Schema rows: (P, owl.inverseOf, Q), (P, <type_pred>,
+    owl.SymmetricProperty), (P, <type_pred>, owl.TransitiveProperty).
+
+    Completeness without an instance-side fixpoint: inverse and
+    symmetric rules only ever RENAME a triple's predicate and possibly
+    SWAP its endpoints, so their interaction is closed on the schema
+    side — each rule is an edge (P -> Q, parity) in a rule graph
+    (symmetric: P -> P parity 1; inverseOf: both directions parity 1)
+    and rule COMPOSITION is path concatenation with parity XOR
+    ((x P y), P inverseOf Q, Q symmetric |= (x Q y): path P->Q->Q,
+    parity 1^1=0). The rule graph is ontology-sized, so its
+    ``max_depth``-bounded closure is computed on the DRIVER and
+    broadcast;
+    every instance triple then crosses ONE broadcast join, never a
+    per-rule pass. The transitive stratum runs after (OWL-RL has no rule
+    deriving new symmetric/inverse facts from prp-trp output on a fixed
+    schema... the closure of a renamed-swapped relation equals the
+    renamed-swapped closure, so ordering transitivity last is the
+    complete stratification): hop-bounded frontier expansion keyed by
+    (pred, endpoint) over ONLY the transitive predicates' triples
+    (broadcast semi-join prune), the same device as
+    query.py::_closure — each derived pair crosses the shuffle once,
+    and ``max_hops`` bounds the damage a cyclic 10^12-edge graph could
+    do. Result: DISTINCT input ∪ derived triples."""
+    inst = instance.select("src", "pred", "dst")
+    spark = instance.sparkSession
+
+    # --- schema-side rule graph: (frm -> dst rename, parity swap) ------
+    inv = schema.where(F.col("pred") == OWL_INVERSE).select("src", "dst")
+    sym = (
+        schema.where(
+            (F.col("pred") == type_pred) & (F.col("dst") == OWL_SYMMETRIC)
+        ).select("src")
+    )
+    base_rules = {
+        (r["frm"], r["to"])
+        for r in (
+            inv.select(F.col("src").alias("frm"), F.col("dst").alias("to"))
+            .unionByName(
+                inv.select(F.col("dst").alias("frm"), F.col("src").alias("to"))
+            )
+            .unionByName(
+                sym.select(F.col("src").alias("frm"), F.col("src").alias("to"))
+            )
+            .collect()  # ontology-sized by contract (KBs, never data-scale)
+        )
+    }
+    # parity closure on the driver: the rule graph is the ONTOLOGY's
+    # property graph, so closing it in python costs microseconds and
+    # sidesteps a live Catalyst failure (a frontier loop of lazy
+    # localCheckpoints feeding a broadcast join under a downstream union
+    # trips UnionBase.rewriteConstraints: "key not found: pred#15") —
+    # the same dimension-sized-collect posture as the dictionary
+    # surfaces (VERDICT r3 adjudication).
+    closure: set[tuple[str, str, int]] = {(f, t, 1) for f, t in base_rules}
+    for _d in range(2, max_depth + 1):
+        nxt = {
+            (f1, t2, (p1 + 1) % 2)
+            for (f1, t1, p1) in closure
+            for (f2, t2) in base_rules
+            if t1 == f2
+        } - closure
+        if not nxt:
+            break
+        closure |= nxt
+    rule_rows = [(f, t, p) for (f, t, p) in sorted(closure)
+                 if f != t or p == 1]  # (P->P, 0) would re-emit as-is
+    reach = spark.createDataFrame(
+        rule_rows or [("", "", 0)], "frm string, to string, parity int"
+    )
+    if not rule_rows:
+        reach = reach.limit(0)
+
+    # --- one broadcast join applies every composed rename/swap rule ----
+    ruled = inst.join(F.broadcast(reach), inst["pred"] == reach["frm"]).select(
+        F.when(F.col("parity") == 1, F.col("dst")).otherwise(F.col("src")).alias("src"),
+        F.col("to").alias("pred"),
+        F.when(F.col("parity") == 1, F.col("src")).otherwise(F.col("dst")).alias("dst"),
+    )
+    with_ruled = inst.unionByName(ruled)
+
+    # --- transitive stratum: hop-bounded closure per transitive pred ---
+    tprops = (
+        schema.where(
+            (F.col("pred") == type_pred) & (F.col("dst") == OWL_TRANSITIVE)
+        ).select(F.col("src").alias("pred")).distinct()
+    )
+    # NO localCheckpoint anywhere downstream of with_ruled: converting
+    # a plan that contains a self-referential union (inst UNION
+    # (inst JOIN broadcast)) to a checkpoint RDD trips Catalyst's Union
+    # constraint rewrite ("key not found: pred#15" — the join condition
+    # leaks a non-output attribute into the union child's constraints;
+    # observed live on Spark 4.1.2, same shape compiles fine under
+    # normal execution — rdfs_entail proves it). The frontier loop is
+    # bounded by max_hops, so unrolled lineage stays O(max_hops) plan
+    # nodes; swap_persist (plan-preserving) controls recompute instead.
+    from jcpg_spark.caching import swap_persist
+
+    base = swap_persist(
+        "owl.trans.base",
+        with_ruled.join(F.broadcast(tprops), "pred")
+        .select("src", "pred", "dst")
+        .distinct(),
+    )
+    thop = base.select(
+        F.col("src").alias("m"), F.col("pred").alias("tp"), F.col("dst").alias("o2")
+    )
+    treach, tfrontier = base, base
+    for _h in range(2, max_hops + 1):
+        nxt = (
+            tfrontier.join(
+                thop,
+                (tfrontier["pred"] == thop["tp"]) & (tfrontier["dst"] == thop["m"]),
+            )
+            .select("src", "pred", F.col("o2").alias("dst"))
+            .distinct()
+            .join(treach, ["src", "pred", "dst"], "left_anti")
+        )
+        nxt = swap_persist(f"owl.trans.frontier.{_h}", nxt)
+        treach = treach.unionByName(nxt)
+        tfrontier = nxt
+
+    return with_ruled.unionByName(treach).distinct()
+
+
 def shacl_validate(
     edges: DataFrame,
     shapes: DataFrame,

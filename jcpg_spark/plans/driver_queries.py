@@ -4130,6 +4130,58 @@ SELECT DISTINCT src, pred, dst FROM (
 """
 
 
+def q_kg_owl_entail(spark, sf_dir):
+    """OWL-RL property-rule entailment (prp-inv1/2 + prp-trp) of the
+    call/return + sequential-flow layers: call owl.inverseOf return
+    derives the missing direction of every call/return pair (a call
+    whose run never returned still gets its inverse edge), and
+    flow.next marked owl.TransitiveProperty closes 1..3-hop
+    reachability (hop-bounded like kg_path_closure, so the oracle
+    unrolls to two self-joins). The inverse/symmetric rule composition
+    is closed on the broadcast schema side; the instance table crosses
+    one broadcast join plus the bounded transitive frontier
+    (operators/reasoning.py::owl_entail)."""
+    from jcpg_spark.operators import reasoning
+
+    t = transcripts_from_events(spark, sf_dir)
+    inst = (
+        calls.call_triples(t)
+        .select("src", "pred", "dst")
+        .unionByName(calls.return_triples(t).select("src", "pred", "dst"))
+        .unionByName(flow.flow_next(t).select("src", "pred", "dst"))
+    )
+    schema = spark.createDataFrame(
+        [
+            ("call", reasoning.OWL_INVERSE, "return"),
+            ("flow.next", "rdf.type", reasoning.OWL_TRANSITIVE),
+        ],
+        "src string, pred string, dst string",
+    )
+    return reasoning.owl_entail(inst, schema, max_hops=3)
+
+
+SQL_KG_OWL_ENTAIL = f"""
+WITH cr AS ({SQL_KG_CALL_RETURN}),
+o AS ({_SQL_ORDERED}),
+fn AS (SELECT 't:' || conv_id || ':' || CAST(idx AS VARCHAR) AS src,
+              't:' || conv_id || ':' || CAST(nxt AS VARCHAR) AS dst
+       FROM (SELECT conv_id, idx,
+                    lead(idx) OVER (PARTITION BY conv_id ORDER BY idx) AS nxt
+             FROM o)
+       WHERE nxt IS NOT NULL),
+h2 AS (SELECT a.src, b.dst FROM fn a JOIN fn b ON b.src = a.dst),
+h3 AS (SELECT a.src, b.dst FROM h2 a JOIN fn b ON b.src = a.dst)
+SELECT DISTINCT src, pred, dst FROM (
+  SELECT src, pred, dst FROM cr
+  UNION ALL SELECT src, 'flow.next', dst FROM fn
+  UNION ALL SELECT dst AS src, 'return' AS pred, src AS dst
+            FROM cr WHERE pred = 'call'
+  UNION ALL SELECT dst, 'call', src FROM cr WHERE pred = 'return'
+  UNION ALL SELECT src, 'flow.next', dst FROM h2
+  UNION ALL SELECT src, 'flow.next', dst FROM h3)
+"""
+
+
 def q_kg_shacl_report(spark, sf_dir):
     """SHACL-core validation report over the call/return + act.role KG:
     assistant turns must carry 1-2 call values matching ^tool: (turns
@@ -4492,6 +4544,8 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_node2vec": (q_kg_node2vec, SQL_KG_NODE2VEC),
     # RDFS entailment materialization (ρdf rules 2/3/7/9, broadcast schema)
     "kg_rdfs_entail": (q_kg_rdfs_entail, SQL_KG_RDFS_ENTAIL),
+    # OWL-RL property rules: inverseOf + hop-bounded TransitiveProperty
+    "kg_owl_entail": (q_kg_owl_entail, SQL_KG_OWL_ENTAIL),
     # SHACL-core node-shape validation report (broadcast shapes)
     "kg_shacl_report": (q_kg_shacl_report, SQL_KG_SHACL_REPORT),
     # PPMI weighting over skip-gram counts (the SGNS-implicit matrix)

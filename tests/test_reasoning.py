@@ -118,3 +118,66 @@ def test_rdfs_entail_empty_schema_is_identity_and_depth_bounds(spark):
     assert got == {"C1", "C2", "C3"}  # C4 is 3 hops up
     full = {r["dst"] for r in rdfs_entail(inst, schema, max_depth=8).collect()}
     assert full == {"C1", "C2", "C3", "C4"}
+
+
+def test_owl_entail_inverse_symmetric_and_composition(spark):
+    """prp-inv both directions, prp-symp, and the schema-side rule
+    COMPOSITION: P inverseOf Q with Q symmetric entails (x Q y) from
+    (x P y) via P->Q (swap) then Q->Q (swap) — net parity 0."""
+    from jcpg_spark.operators.reasoning import owl_entail
+
+    schema = _df(spark, [
+        ("p", "owl.inverseOf", "q"),
+        ("q", "rdf.type", "owl.SymmetricProperty"),
+    ])
+    inst = _df(spark, [("x", "p", "y"), ("u", "q", "v")])
+    got = {tuple(r) for r in owl_entail(inst, schema).collect()}
+    assert got == {
+        ("x", "p", "y"), ("u", "q", "v"),   # asserted
+        ("y", "q", "x"),                    # prp-inv1 on p
+        ("v", "p", "u"),                    # prp-inv2 on q
+        ("x", "q", "y"),                    # composed: inverse then symmetric
+        ("v", "q", "u"),                    # prp-symp on q
+        ("u", "p", "v"),                    # composed: symmetric then inverse
+        ("y", "p", "x"),                    # p->q->q->p parity 1: the inverse
+                                            # of a symmetric property is itself
+                                            # symmetric — depth-3 composition
+    }
+
+
+def test_owl_entail_transitive_is_hop_bounded_and_cycle_safe(spark):
+    from jcpg_spark.operators.reasoning import owl_entail
+
+    schema = _df(spark, [("t", "rdf.type", "owl.TransitiveProperty")])
+    chain = _df(spark, [("a", "t", "b"), ("b", "t", "c"), ("c", "t", "d"),
+                        ("d", "t", "a"),      # cycle
+                        ("a", "other", "b")])  # non-transitive pred untouched
+    got = {tuple(r) for r in owl_entail(chain, schema, max_hops=2).collect()}
+    # 2 hops: every length-2 pair present, no length-3 pairs
+    assert ("a", "t", "c") in got and ("b", "t", "d") in got
+    assert ("c", "t", "a") in got and ("d", "t", "b") in got
+    assert ("a", "t", "d") not in got
+    assert ("a", "other", "c") not in got
+    full = {tuple(r) for r in owl_entail(chain, schema, max_hops=8).collect()}
+    # the 4-cycle closes to all 16 ordered pairs (incl. self-loops)
+    assert sum(1 for s, p, o in full if p == "t") == 16
+
+
+def test_owl_entail_empty_schema_identity_and_transitive_over_derived(spark):
+    """No schema rows -> distinct(input); and the transitive stratum
+    sees inverse-DERIVED triples (the stratification contract)."""
+    from jcpg_spark.operators.reasoning import owl_entail
+
+    inst = _df(spark, [("x", "p", "y"), ("x", "p", "y")])
+    out = owl_entail(inst, _df(spark, []).limit(0))
+    assert sorted(tuple(r) for r in out.collect()) == [("x", "p", "y")]
+
+    schema = _df(spark, [
+        ("p", "owl.inverseOf", "q"),
+        ("q", "rdf.type", "owl.TransitiveProperty"),
+    ])
+    # q edges exist only via inversion of p: y<-x and z<-y, so the
+    # closure must derive (z q x)... inverse gives (y q x), (z q y)
+    inst2 = _df(spark, [("x", "p", "y"), ("y", "p", "z")])
+    got = {tuple(r) for r in owl_entail(inst2, schema).collect()}
+    assert ("z", "q", "x") in got
