@@ -67,6 +67,8 @@ from jcpg_spark.operators.similarity import (
     pq_topk,
 )
 from jcpg_spark.operators.graph_analytics import (
+    harmonic_centrality,
+    link_predict_scores,
     bfs_distances,
     modularity,
     neighbor_sample,
@@ -138,6 +140,8 @@ __all__ = [
     "rank_eval",
     "bm25_topk",
     "construct",
+    "harmonic_centrality",
+    "link_predict_scores",
     "match_pattern",
     "owl_entail",
     "rdfs_entail",

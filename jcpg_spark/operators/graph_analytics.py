@@ -931,6 +931,134 @@ def link_predict_resource_allocation(
     )
 
 
+def link_predict_scores(
+    edges: DataFrame,
+    min_common: int = 1,
+    max_center_degree: int = 1000,
+) -> DataFrame:
+    """-> (a, b, n_common, ra_score, aa_score, jaccard), a < b: every
+    classical neighborhood link-prediction index over non-adjacent pairs
+    in ONE wedge pass — common neighbors, Resource Allocation
+    (sum 1/deg(z)), Adamic-Adar (sum 1/ln deg(z); a common neighbor has
+    degree >= 2 by construction, so ln never sees 1), and neighborhood
+    Jaccard (n_common / (deg(a)+deg(b)-n_common)).
+
+    Why one operator instead of four: the wedge self-join + pair hash-agg
+    is ~all the cost of any of these indices; computing the three sums in
+    the same aggregation and attaching endpoint degrees with two keyed
+    joins gives the whole scorer family for one shuffle family (the
+    separate ``link_predict_common_neighbors`` /
+    ``link_predict_resource_allocation`` remain for single-index use).
+    Hub centers capped like the single-index versions (scores become
+    lower bounds for pairs whose shared neighbors include dropped hubs —
+    the stated trade); endpoint degrees are TRUE degrees (computed before
+    the cap), so Jaccard's denominator is never understated. floats are
+    6-dp-pinned for the cross-engine oracle (pagerank convention)."""
+    e = edges.select("a", "b")
+    adj = e.select(F.col("a").alias("s"), F.col("b").alias("t")).unionByName(
+        e.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    from jcpg_spark.caching import swap_persist
+
+    deg = swap_persist(
+        "link_scores.deg", adj.groupBy("s").agg(F.count("*").alias("deg"))
+    )
+    adj = swap_persist(
+        "link_scores.adj",
+        adj.join(deg.where(F.col("deg") <= max_center_degree), "s"),
+    )
+    wedges = (
+        adj.select("s", "deg", F.col("t").alias("x"))
+        .join(adj.select("s", F.col("t").alias("y")), "s")
+        .where(F.col("x") < F.col("y"))
+    )
+    scored = wedges.groupBy(F.col("x").alias("a"), F.col("y").alias("b")).agg(
+        F.count("*").alias("n_common"),
+        F.sum(F.lit(1.0) / F.col("deg")).alias("ra"),
+        F.sum(F.lit(1.0) / F.log(F.col("deg"))).alias("aa"),
+    )
+    nonadj = scored.join(e, ["a", "b"], "left_anti").where(
+        F.col("n_common") >= min_common
+    )
+    deg_a = deg.select(F.col("s").alias("a"), F.col("deg").alias("deg_a"))
+    deg_b = deg.select(F.col("s").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        nonadj.join(deg_a, "a")
+        .join(deg_b, "b")
+        .select(
+            "a", "b", "n_common",
+            F.round(F.col("ra"), 6).alias("ra_score"),
+            F.round(F.col("aa"), 6).alias("aa_score"),
+            F.round(
+                F.col("n_common")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def harmonic_centrality(
+    edges: DataFrame, n_seeds: int = 8, max_hops: int = 3
+) -> DataFrame:
+    """-> (item, h_sum, n_seen): sampled harmonic centrality — for each
+    vertex, sum over the seed landmarks l (md5-picked, deterministic) of
+    1 / dist(l, item) within ``max_hops``, plus how many landmarks
+    reached it. The Eppstein-Wang estimator shape: at 10^12 edges,
+    exact closeness is all-pairs BFS (off the table); k landmark BFS
+    sweeps give an unbiased sample whose per-vertex sums rank vertices
+    by centrality, and k controls cost linearly.
+
+    Seeds are the ``n_seeds`` vertices with the smallest md5(vertex) —
+    no RNG state, so the sample is resumable, partitioning-invariant and
+    cross-engine reproducible (the negative-sampling convention). The
+    per-seed BFS keeps (seed, item) pairs: each round joins the frontier
+    to the adjacency on the frontier vertex and anti-joins the visited
+    set — frontier size is bounded by n_seeds * V, so cost scales
+    linearly in the seed budget; rounds are bounded by ``max_hops`` (the
+    unrolled plan stays SQL-mirrorable). Landmarks do not score
+    themselves (dist 0 is excluded from the sum). 6-dp-pinned."""
+    if n_seeds < 1:
+        raise ValueError("n_seeds must be >= 1")
+    from jcpg_spark.caching import swap_persist
+
+    e = edges.select("a", "b")
+    adj = e.select(F.col("a").alias("s"), F.col("b").alias("t")).unionByName(
+        e.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    if max_hops > 1:
+        adj = swap_persist("harmonic.adj", adj)
+    verts = adj.select(F.col("s").alias("v")).distinct()
+    seeds = verts.orderBy(F.md5(F.col("v").cast("string")), F.col("v")).limit(
+        n_seeds
+    )
+    visited = seeds.select(
+        F.col("v").alias("seed"), F.col("v").alias("item"),
+        F.lit(0).cast("int").alias("dist"),
+    )
+    frontier = visited.select("seed", F.col("item").alias("s"))
+    for h in range(1, max_hops + 1):
+        new = (
+            adj.join(frontier, "s")
+            .select("seed", F.col("t").alias("item"))
+            .distinct()
+            .join(visited.select("seed", "item"), ["seed", "item"], "left_anti")
+        )
+        new = new.localCheckpoint(eager=False)
+        visited = visited.unionByName(
+            new.withColumn("dist", F.lit(h).cast("int"))
+        )
+        frontier = new.select("seed", F.col("item").alias("s"))
+    return (
+        visited.where(F.col("dist") > 0)
+        .groupBy("item")
+        .agg(
+            F.round(F.sum(F.lit(1.0) / F.col("dist")), 6).alias("h_sum"),
+            F.count("*").alias("n_seen"),
+        )
+    )
+
+
 def vertex_features(edges: DataFrame) -> DataFrame:
     """-> (item, degree, n_tri, clustering): per-vertex structural feature
     table — degree, triangle participation, and local clustering

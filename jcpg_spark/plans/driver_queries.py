@@ -2061,6 +2061,72 @@ WHERE n_common >= 2
 """
 
 
+def q_kg_link_scores(spark, sf_dir):
+    """The whole classical link-prediction index family in one wedge
+    pass: common neighbors, Resource Allocation, Adamic-Adar, and
+    neighborhood Jaccard over non-adjacent co-mention pairs — three sums
+    in one pair hash-agg plus two keyed degree joins (one shuffle family
+    for four scorers). 6 dp pins the IEEE sums/divisions; ln's operand is
+    always an integer degree >= 2, so both engines evaluate the same
+    libm-exact points."""
+    edges = _comention_edges(spark, sf_dir, min_weight=2)
+    return graph_analytics.link_predict_scores(edges, min_common=2)
+
+
+SQL_KG_LINK_SCORES = f"""
+WITH e AS ({_SQL_COMENTION}),
+adj AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT s, count(*) AS deg FROM adj GROUP BY s),
+adj2 AS (SELECT adj.s, adj.t, deg.deg FROM adj JOIN deg USING (s)
+         WHERE deg.deg <= 1000),
+cand AS (SELECT x.t AS a, y.t AS b, count(*) AS n_common,
+                sum(1e0 / x.deg) AS ra, sum(1e0 / ln(x.deg)) AS aa
+         FROM adj2 x JOIN adj2 y ON x.s = y.s AND x.t < y.t
+         GROUP BY 1, 2),
+nonadj AS (SELECT * FROM cand
+           WHERE n_common >= 2
+             AND NOT EXISTS (SELECT 1 FROM e
+                             WHERE e.a = cand.a AND e.b = cand.b))
+SELECT n.a, n.b, n.n_common, round(n.ra, 6) AS ra_score,
+       round(n.aa, 6) AS aa_score,
+       round(CAST(n.n_common AS DOUBLE)
+             / (da.deg + db.deg - n.n_common), 6) AS jaccard
+FROM nonadj n JOIN deg da ON da.s = n.a JOIN deg db ON db.s = n.b
+"""
+
+
+def q_kg_harmonic(spark, sf_dir):
+    """Sampled harmonic centrality (Eppstein-Wang estimator shape): 4
+    md5-picked landmark BFS sweeps (<= 3 hops) over the co-mention
+    graph; per vertex, sum of 1/dist over the landmarks that reach it.
+    The per-seed BFS keeps (seed, item) pairs with first-visit pruning;
+    the oracle unrolls the hops and takes min(d) per (seed, item) — both
+    are the BFS layer distance, so the 1/dist sums agree at 6 dp."""
+    edges = _comention_edges(spark, sf_dir, min_weight=2)
+    return graph_analytics.harmonic_centrality(edges, n_seeds=4, max_hops=3)
+
+
+SQL_KG_HARMONIC = f"""
+WITH e AS ({_SQL_COMENTION}),
+adj AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+seeds AS (SELECT v FROM (SELECT DISTINCT s AS v FROM adj)
+          ORDER BY md5(CAST(v AS VARCHAR)), v LIMIT 4),
+l0 AS (SELECT v AS seed, v AS item, 0 AS d FROM seeds),
+l1 AS (SELECT DISTINCT l0.seed, adj.t AS item, 1 AS d
+       FROM l0 JOIN adj ON adj.s = l0.item),
+l2 AS (SELECT DISTINCT l1.seed, adj.t AS item, 2 AS d
+       FROM l1 JOIN adj ON adj.s = l1.item),
+l3 AS (SELECT DISTINCT l2.seed, adj.t AS item, 3 AS d
+       FROM l2 JOIN adj ON adj.s = l2.item),
+md AS (SELECT seed, item, min(d) AS dist FROM (
+         SELECT * FROM l0 UNION ALL SELECT * FROM l1
+         UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3)
+       GROUP BY seed, item)
+SELECT item, round(sum(1e0 / dist), 6) AS h_sum, count(*) AS n_seen
+FROM md WHERE dist > 0 GROUP BY item
+"""
+
+
 def q_kg_vertex_features(spark, sf_dir):
     """Per-entity structural feature table on the co-mention graph:
     degree, triangle participation, local clustering coefficient.
@@ -4456,6 +4522,10 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_link_predict": (q_kg_link_predict, SQL_KG_LINK_PREDICT),
     # degree-discounted (Resource-Allocation) link prediction
     "kg_link_predict_ra": (q_kg_link_predict_ra, SQL_KG_LINK_PREDICT_RA),
+    # all four classical link-prediction indices in one wedge pass
+    "kg_link_scores": (q_kg_link_scores, SQL_KG_LINK_SCORES),
+    # sampled harmonic centrality (md5-picked landmark BFS sweeps)
+    "kg_harmonic": (q_kg_harmonic, SQL_KG_HARMONIC),
     # SCD-2 as-of linking against a versioned dictionary
     "j1_link_asof": (q_j1_link_asof, SQL_J1_LINK_ASOF),
     # per-entity structural features (degree/triangles/clustering)

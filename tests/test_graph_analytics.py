@@ -1071,3 +1071,63 @@ def test_node2vec_walks_match_naive_and_bias_applies(spark):
     again = node2vec_walks(path.repartition(4), walks_per_node=3, length=2,
                            ret_w=500, base_w=1, out_w=1).collect()
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, again))
+
+
+def test_link_predict_scores_closed_forms_and_cap(spark):
+    """Graph (1-2),(1-3),(2-3),(2-4),(3-4): the only non-adjacent pair is
+    (1,4) with common neighbors {2,3} (deg 3 each), deg(1)=deg(4)=2:
+    ra = 2/3, aa = 2/ln 3, jaccard = 2/(2+2-2) = 1.0."""
+    import math
+
+    from jcpg_spark.operators import graph_analytics as ga
+
+    edges = _edges_df(spark, [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)])
+    rows = ga.link_predict_scores(edges).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a"], r["b"], r["n_common"]) == (1, 4, 2)
+    assert r["ra_score"] == round(2 / 3, 6)
+    assert r["aa_score"] == round(2 / math.log(3), 6)
+    assert r["jaccard"] == 1.0
+    # capping out the degree-3 centers removes every wedge through 2, 3;
+    # the surviving centers (1, 4) only generate the adjacent pair (2,3)
+    assert ga.link_predict_scores(edges, max_center_degree=2).count() == 0
+
+
+def test_harmonic_centrality_exact_on_path(spark):
+    """Path 1-2-3-4-5 with all five vertices as seeds and enough hops is
+    EXACT harmonic centrality: h(3) = 1+1+1/2+1/2 = 3.0 etc."""
+    from jcpg_spark.operators import graph_analytics as ga
+
+    edges = _edges_df(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    got = {r["item"]: (r["h_sum"], r["n_seen"])
+           for r in ga.harmonic_centrality(edges, n_seeds=5, max_hops=4).collect()}
+    assert got == {
+        1: (round(1 + 1 / 2 + 1 / 3 + 1 / 4, 6), 4),
+        2: (round(1 + 1 + 1 / 2 + 1 / 3, 6), 4),
+        3: (3.0, 4),
+        4: (round(1 + 1 + 1 / 2 + 1 / 3, 6), 4),
+        5: (round(1 + 1 / 2 + 1 / 3 + 1 / 4, 6), 4),
+    }
+    # hop bound truncates: 1 hop -> h_sum = degree, n_seen = degree
+    hop1 = {r["item"]: (r["h_sum"], r["n_seen"])
+            for r in ga.harmonic_centrality(edges, n_seeds=5, max_hops=1).collect()}
+    assert hop1[3] == (2.0, 2) and hop1[1] == (1.0, 1)
+
+
+def test_harmonic_centrality_seed_sample_is_deterministic(spark):
+    """n_seeds < |V| picks the md5-smallest vertices — the same sample at
+    any partitioning — and landmarks never score themselves."""
+    import hashlib
+
+    from jcpg_spark.operators import graph_analytics as ga
+
+    edges = _edges_df(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    seed = min(range(1, 6), key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), str(v)))
+    out1 = sorted(tuple(r) for r in
+                  ga.harmonic_centrality(edges, n_seeds=1, max_hops=4).collect())
+    out7 = sorted(tuple(r) for r in
+                  ga.harmonic_centrality(edges.repartition(7), n_seeds=1, max_hops=4).collect())
+    assert out1 == out7
+    assert all(item != seed for item, _, _ in out1)  # dist-0 excluded
+    assert all(n == 1 for _, _, n in out1)
