@@ -1366,6 +1366,37 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def community_graph(
+    edges: DataFrame, labels: DataFrame, weight_col: str = "w"
+) -> DataFrame:
+    """-> (label_a, label_b, n_edges, w_sum), label_a <= label_b: the
+    QUOTIENT super-graph of a vertex partition — every edge rolled up to
+    the community pair it connects (label_a == label_b rows are the
+    intra-community mass). The graph-summarization primitive: at 10^12
+    edges nobody plots the vertex graph, they plot this (communities
+    from ``label_propagation``, types from ``schema_graph`` — any
+    (item, label) partition works).
+
+    Two keyed joins attach endpoint labels, one hash-agg on the
+    canonicalized (least, greatest) label pair — exact integers, so the
+    oracle mirrors it bit-for-bit. Vertices missing from ``labels`` drop
+    their edges (inner joins — loud would mean a data-scale count; the
+    composition with label_propagation labels every vertex that has an
+    edge, so nothing drops on the standard path)."""
+    e = edges.select("a", "b", F.col(weight_col).alias("w"))
+    la = labels.select(F.col("item").alias("a"), F.col("label").alias("la"))
+    lb = labels.select(F.col("item").alias("b"), F.col("label").alias("lb"))
+    return (
+        e.join(la, "a")
+        .join(lb, "b")
+        .groupBy(
+            F.least("la", "lb").alias("label_a"),
+            F.greatest("la", "lb").alias("label_b"),
+        )
+        .agg(F.count("*").alias("n_edges"), F.sum("w").alias("w_sum"))
+    )
+
+
 def rank_eval(candidates: DataFrame, heldout: DataFrame, k: int = 10) -> DataFrame:
     """Link-prediction ranking evaluation (the TransE/DistMult protocol,
     unfiltered setting): for every held-out edge, the rank of its far

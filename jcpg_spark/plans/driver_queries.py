@@ -3632,6 +3632,37 @@ FROM ds LEFT JOIN win USING (label) CROSS JOIN m
 """
 
 
+def q_kg_community_graph(spark, sf_dir):
+    """Quotient super-graph of the 1-round LPA partition over the
+    w>=3 co-mention graph: one row per community pair with edge count
+    and weight mass (label_a == label_b rows are the intra-community
+    mass) — the summarization view a 10^12-edge graph is actually
+    inspected through. One LPA round on the heavier-edge subgraph
+    keeps several communities alive at every test SF (two rounds
+    collapse sf0.01 to a single community, a 1-row oracle). Two keyed
+    label joins + one canonicalized-pair hash-agg, exact integers end
+    to end."""
+    edges = _comention_edges(spark, sf_dir, min_weight=3)
+    labels = graph_analytics.label_propagation(edges, iters=1)
+    return graph_analytics.community_graph(edges, labels)
+
+
+SQL_KG_COMMUNITY_GRAPH = f"""
+WITH e0 AS ({_SQL_COMENTION}),
+e AS (SELECT * FROM e0 WHERE w >= 3),
+adj AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+l0 AS (SELECT DISTINCT s AS v, s AS label FROM adj),
+{_lpa_iter_sql(1)},
+lab AS (SELECT v AS item, label FROM l1)
+SELECT least(la.label, lb.label) AS label_a,
+       greatest(la.label, lb.label) AS label_b,
+       count(*) AS n_edges, sum(e.w) AS w_sum
+FROM e JOIN lab la ON la.item = e.a
+       JOIN lab lb ON lb.item = e.b
+GROUP BY 1, 2
+"""
+
+
 def q_kg_rank_eval(spark, sf_dir):
     """Link-prediction ranking eval (the KG-embedding MRR/Hits@k protocol,
     unfiltered): hold out the co-mention edges whose pair-md5 starts with
@@ -4586,6 +4617,8 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_conv_wellformed": (q_kg_conv_wellformed, SQL_KG_CONV_WELLFORMED),
     # Newman modularity of the LPA partition (grades kg_labelprop)
     "kg_modularity": (q_kg_modularity, SQL_KG_MODULARITY),
+    # quotient super-graph of the LPA partition (graph summarization)
+    "kg_community_graph": (q_kg_community_graph, SQL_KG_COMMUNITY_GRAPH),
     # link-prediction MRR/Hits@k ranking eval over held-out edges
     "kg_rank_eval": (q_kg_rank_eval, SQL_KG_RANK_EVAL),
     # SPARQL-style basic-graph-pattern query (conjunctive triple patterns)

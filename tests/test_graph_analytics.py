@@ -1131,3 +1131,29 @@ def test_harmonic_centrality_seed_sample_is_deterministic(spark):
     assert out1 == out7
     assert all(item != seed for item, _, _ in out1)  # dist-0 excluded
     assert all(n == 1 for _, _, n in out1)
+
+
+def test_community_graph_quotient_rollup(spark):
+    """Two triangles joined by one bridge, labels = triangle id: two
+    intra rows (3 edges each) and one inter row (the bridge)."""
+    from jcpg_spark.operators import graph_analytics as ga
+
+    edges = spark.createDataFrame(
+        [(1, 2, 2.0), (2, 3, 1.0), (1, 3, 1.0),
+         (4, 5, 1.0), (5, 6, 1.0), (4, 6, 3.0),
+         (3, 4, 7.0)],
+        "a int, b int, w double",
+    )
+    labels = spark.createDataFrame(
+        [(v, "c1") for v in (1, 2, 3)] + [(v, "c2") for v in (4, 5, 6)],
+        "item int, label string",
+    )
+    got = {(r["label_a"], r["label_b"]): (r["n_edges"], r["w_sum"])
+           for r in ga.community_graph(edges, labels).collect()}
+    assert got == {("c1", "c1"): (3, 4.0), ("c2", "c2"): (3, 5.0),
+                   ("c1", "c2"): (1, 7.0)}
+    # an unlabeled endpoint drops its edge (inner-join contract)
+    part = labels.where(F.col("item") != 6)
+    got2 = {(r["label_a"], r["label_b"]): r["n_edges"]
+            for r in ga.community_graph(edges, part).collect()}
+    assert got2 == {("c1", "c1"): 3, ("c2", "c2"): 1, ("c1", "c2"): 1}
