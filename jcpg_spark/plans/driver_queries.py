@@ -3136,6 +3136,49 @@ def _sql_kcore(k: int, rounds: int) -> str:
 SQL_KG_KCORE = _sql_kcore(25, 12)
 
 
+def q_kg_ktruss(spark, sf_dir):
+    """k-truss of the co-mention graph (iterative peel of edges with
+    < k-2 triangles in the surviving subgraph) — the cohesion filter one
+    level above kg_kcore: trussness demands the supporting neighbors
+    also know each other, so star-shaped cores are rejected. The oracle
+    unrolls the peel as 8 CTE rounds; peeling is IDEMPOTENT past its
+    fixpoint, so any unroll >= the true peel depth (4 at sf0.001, 2 at
+    sf0.01, pytest-pinned) is exact. -> (a, b, support) within the
+    truss."""
+    edges = _comention_edges(spark, sf_dir, min_weight=4)
+    return graph_analytics.k_truss(edges, k=25)[0]
+
+
+def _sql_ktruss(k: int, rounds: int) -> str:
+    com = _sql_comention_where().replace("count(*) >= 2", "count(*) >= 4")
+    parts = [f"WITH e0 AS MATERIALIZED (SELECT a, b FROM ({com}))"]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        # MATERIALIZED is load-bearing, as in _sql_kcore: each round's
+        # edge set feeds three triangle-join branches + the support agg
+        parts.append(
+            f""",
+t{i} AS MATERIALIZED (
+  SELECT w1.a AS x, w1.b AS y, w2.b AS z
+  FROM {prev} w1 JOIN {prev} w2 ON w2.a = w1.a AND w2.b > w1.b
+  JOIN {prev} c ON c.a = w1.b AND c.b = w2.b),
+s{i} AS MATERIALIZED (
+  SELECT a, b, count(*) AS support FROM (
+    SELECT x AS a, y AS b FROM t{i}
+    UNION ALL SELECT x AS a, z AS b FROM t{i}
+    UNION ALL SELECT y AS a, z AS b FROM t{i}) GROUP BY a, b),
+e{i} AS MATERIALIZED (SELECT a, b FROM s{i} WHERE support >= {k - 2})"""
+        )
+        prev = f"e{i}"
+    parts.append(
+        f"\nSELECT a, b, support FROM s{rounds} WHERE support >= {k - 2}"
+    )
+    return "".join(parts)
+
+
+SQL_KG_KTRUSS = _sql_ktruss(25, 8)
+
+
 def q_kg_graph_diff(spark, sf_dir):
     """Snapshot delta after a deletion purge: rebuild the co-mention graph
     without every 10th user's conversations and diff edge sets keyed on
@@ -4586,6 +4629,8 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     # k-core peel on the co-mention graph (oracle: idempotent 12-round
     # CTE unroll of the peel — exact for any peel depth <= 12)
     "kg_kcore": (q_kg_kcore, SQL_KG_KCORE),
+    # k-truss cohesive-subgraph peel (triangle-support edge pruning)
+    "kg_ktruss": (q_kg_ktruss, SQL_KG_KTRUSS),
     # sketch-state audit profile (HLL++/quantile-summary; rows-only by
     # design, tolerance + invariance gates in pytest) and the Zipf
     # power-law fit (exact OLS oracle via DuckDB regr_* closed forms)

@@ -1157,3 +1157,62 @@ def test_community_graph_quotient_rollup(spark):
     got2 = {(r["label_a"], r["label_b"]): r["n_edges"]
             for r in ga.community_graph(edges, part).collect()}
     assert got2 == {("c1", "c1"): 3, ("c2", "c2"): 1, ("c1", "c2"): 1}
+
+
+def test_k_truss_peels_to_fixpoint(spark):
+    """Two triangles sharing vertex 3 + a pendant edge: the 3-truss
+    keeps both triangles and drops the pendant; the 4-truss (every edge
+    in >= 2 triangles) is empty because the triangles only share a
+    vertex, not an edge."""
+    from jcpg_spark.operators import graph_analytics as ga
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (3, 5), (4, 5), (5, 6)],
+        "a int, b int",
+    )
+    t3, rounds3, conv3 = ga.k_truss(edges, k=3)
+    got3 = {(r["a"], r["b"]): r["support"] for r in t3.collect()}
+    assert conv3
+    assert got3 == {(1, 2): 1, (2, 3): 1, (1, 3): 1,
+                    (3, 4): 1, (3, 5): 1, (4, 5): 1}
+    t4, _, conv4 = ga.k_truss(edges, k=4)
+    assert conv4 and t4.count() == 0
+
+
+def test_k_truss_cascading_peel(spark):
+    """K4 plus a triangle hanging off one K4 edge: the 4-truss keeps the
+    K4 (every K4 edge sits in 2 triangles) and peels the hanging
+    triangle, whose removal must NOT cascade into the K4 — and support
+    is reported WITHIN the truss (K4 edge (1,2) loses the triangle it
+    had through vertex 5)."""
+    from jcpg_spark.operators import graph_analytics as ga
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    hang = [(1, 5), (2, 5)]
+    edges = spark.createDataFrame(k4 + hang, "a int, b int")
+    t4, _, conv = ga.k_truss(edges, k=4)
+    got = {(r["a"], r["b"]): r["support"] for r in t4.collect()}
+    assert conv
+    assert got == {(a, b): 2 for a, b in k4}
+
+
+def test_k_truss_rejects_k2(spark):
+    from jcpg_spark.operators import graph_analytics as ga
+
+    edges = spark.createDataFrame([(1, 2)], "a int, b int")
+    with pytest.raises(ValueError):
+        ga.k_truss(edges, k=2)
+
+
+def test_ktruss_oracle_unroll_depth_assumption_holds(spark):
+    """kg_ktruss's DuckDB oracle unrolls the peel as 8 MATERIALIZED CTE
+    rounds — pin that the true peel depth at the folded-test scale stays
+    under the unroll and that the entry is non-trivial (some edges kept,
+    some peeled)."""
+    from jcpg_spark.plans.driver_queries import _comention_edges
+
+    edges = _comention_edges(spark, "/root/testdata/sf0.001", min_weight=4)
+    truss, rounds, converged = graph_analytics.k_truss(edges, k=25)
+    assert converged and rounds <= 8, (rounds, converged)
+    kept = truss.count()
+    assert 0 < kept < edges.count(), kept
