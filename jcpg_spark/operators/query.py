@@ -202,6 +202,7 @@ def match_query(
     edges: DataFrame,
     bgp: Sequence[TriplePattern],
     optional: Sequence[Sequence[TriplePattern]] = (),
+    exists: Sequence[Sequence[TriplePattern]] = (),
     minus: Sequence[Sequence[TriplePattern]] = (),
     filters: Sequence[str] = (),
     distinct: bool = False,
@@ -212,9 +213,19 @@ def match_query(
     order_by: Sequence[str] = (),
     limit: int | None = None,
 ) -> DataFrame:
-    """SPARQL SELECT core: required BGP, then OPTIONAL groups, MINUS
-    groups, FILTERs, GROUP BY / aggregates / HAVING, ORDER BY / LIMIT,
-    and optional DISTINCT — each mapped onto its exact relational dual.
+    """SPARQL SELECT core: required BGP, then OPTIONAL groups, FILTER
+    EXISTS groups, MINUS groups, FILTERs, GROUP BY / aggregates / HAVING,
+    ORDER BY / LIMIT, and optional DISTINCT — each mapped onto its exact
+    relational dual.
+
+    - every group in ``exists`` is a BGP; solutions are KEPT iff the
+      group has at least one compatible solution (SPARQL's FILTER
+      EXISTS) — executed as a LEFT SEMI join on the shared variables,
+      exact in the same shared-vars-bound regime as MINUS below, and
+      witness-multiplicity-free by construction (a semi join never
+      duplicates the left side, matching EXISTS's boolean-filter
+      semantics where a plain inner join would multiply solutions by
+      the number of witnesses).
 
     - every group in ``optional`` is itself a BGP; it is attached with a
       LEFT OUTER join on the variables it shares with what is already
@@ -275,6 +286,24 @@ def match_query(
             )
         result = result.join(gdf, on=shared, how="left")
         bound |= gvars
+    for group in exists:
+        gdf = match_pattern(edges, group, max_hops)
+        shared = sorted(bound & set(gdf.columns))
+        if not shared:
+            raise ValueError(
+                f"EXISTS group {[tuple(p) for p in group]!r} shares no "
+                f"variable with the bound set {sorted(bound)} — an "
+                "unconnected EXISTS is a constant (true iff the group has "
+                "any solution); test it separately instead of hiding a "
+                "cartesian probe in a filter"
+            )
+        # positive FILTER EXISTS = LEFT SEMI join on the shared variables
+        # (the dual of MINUS's anti-join, exact in the same
+        # shared-vars-bound regime); projecting the shared columns keeps
+        # the group's fresh variables out of the shuffle, and the semi
+        # join dedupes multiple witnesses for free, so a solution is
+        # never multiplied by how many ways the EXISTS matches
+        result = result.join(gdf.select(*shared), on=shared, how="semi")
     for group in minus:
         gdf = match_pattern(edges, group, max_hops)
         shared = sorted(bound & set(gdf.columns))

@@ -3968,6 +3968,37 @@ WHERE NOT EXISTS (SELECT 1 FROM cr re
 """
 
 
+def q_kg_exists_match(spark, sf_dir):
+    """SPARQL FILTER EXISTS (the positive dual of kg_minus_match): tool
+    calls whose run DID return to the call site — (?c call ?tool)
+    FILTER EXISTS {?c ^return ?r}. Executed as a LEFT SEMI join on the
+    shared variable, so a call followed by several returns appears
+    ONCE (EXISTS is a boolean filter, not a join — an inner join here
+    would multiply each call by its witness count)."""
+    from jcpg_spark.operators import query as bgp
+
+    t = transcripts_from_events(spark, sf_dir)
+    edges = (
+        calls.call_triples(t)
+        .select("src", "pred", "dst")
+        .unionByName(calls.return_triples(t).select("src", "pred", "dst"))
+    )
+    return bgp.match_query(
+        edges,
+        [("?c", "call", "?tool")],
+        exists=[[("?c", "^return", "?r")]],
+    )
+
+
+SQL_KG_EXISTS_MATCH = f"""
+WITH cr AS ({SQL_KG_CALL_RETURN})
+SELECT ca.src AS c, ca.dst AS tool
+FROM (SELECT src, dst FROM cr WHERE pred = 'call') ca
+WHERE EXISTS (SELECT 1 FROM cr re
+              WHERE re.pred = 'return' AND re.dst = ca.src)
+"""
+
+
 def q_kg_ordered_topk(spark, sf_dir):
     """SPARQL solution modifiers ORDER BY + LIMIT over a GROUP BY query:
     the single most-called tool with its return counts, ordered by call
@@ -4678,6 +4709,8 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_group_agg": (q_kg_group_agg, SQL_KG_GROUP_AGG),
     # SPARQL MINUS / FILTER NOT EXISTS (left anti join on shared vars)
     "kg_minus_match": (q_kg_minus_match, SQL_KG_MINUS_MATCH),
+    # SPARQL FILTER EXISTS (positive semi-join dual of MINUS)
+    "kg_exists_match": (q_kg_exists_match, SQL_KG_EXISTS_MATCH),
     # SPARQL ORDER BY + LIMIT solution modifiers (TakeOrderedAndProject)
     "kg_ordered_topk": (q_kg_ordered_topk, SQL_KG_ORDERED_TOPK),
     # SPARQL CONSTRUCT: rule-derived KG layer as a composable edges table

@@ -341,6 +341,33 @@ def test_match_query_minus_is_anti_join(spark):
         match_query(e, [("?c", "call", "?t")], minus=[[("?x", "loops", "?y")]])
 
 
+def test_match_query_exists_is_semi_join(spark):
+    """FILTER EXISTS keeps solutions with at least one compatible group
+    solution — and never multiplies them by the witness count: 'a' has
+    TWO outgoing flow.next edges below but appears once."""
+    import pytest
+
+    from jcpg_spark.operators.query import match_query
+
+    e = _bgp_edges(spark).unionByName(
+        spark.createDataFrame(
+            [("z", "call", "tool:fs"), ("a", "flow.next", "c")],
+            "src string, pred string, dst string",
+        )
+    )
+    out = match_query(e, [("?c", "call", "?t")],
+                      exists=[[("?c", "flow.next", "?n")]]).collect()
+    # a (two witnesses -> once) and b kept; z (no flow edge) dropped
+    assert sorted((r["c"], r["t"]) for r in out) == [
+        ("a", "tool:db"), ("b", "tool:db")]
+    # EXISTS and MINUS with the same group partition the solution set
+    anti = match_query(e, [("?c", "call", "?t")],
+                       minus=[[("?c", "flow.next", "?n")]]).collect()
+    assert sorted((r["c"], r["t"]) for r in anti) == [("z", "tool:fs")]
+    with pytest.raises(ValueError, match="EXISTS group"):
+        match_query(e, [("?c", "call", "?t")], exists=[[("?x", "loops", "?y")]])
+
+
 def test_match_query_order_by_limit(spark):
     import pytest
 
