@@ -201,6 +201,106 @@ def gml_per_conversation(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
+def _xml_esc(col):
+    """Escape the five XML-reserved characters for GraphML content and
+    attribute values (& first so the encoding round-trips)."""
+    out = F.regexp_replace(col, r"&", "&amp;")
+    out = F.regexp_replace(out, r"<", "&lt;")
+    out = F.regexp_replace(out, r">", "&gt;")
+    out = F.regexp_replace(out, r'"', "&quot;")
+    return F.regexp_replace(out, r"'", "&apos;")
+
+
+_GRAPHML_HEADER = (
+    '<?xml version="1.0" encoding="UTF-8"?>\n'
+    '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">\n'
+    '  <key id="kind" for="node" attr.name="kind" attr.type="string"/>\n'
+    '  <key id="label" for="edge" attr.name="label" attr.type="string"/>\n'
+)
+
+
+def graphml_per_conversation(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """-> (conv_id, graphml): one standalone GraphML document per
+    conversation — the lingua-franca XML graph interchange (NetworkX /
+    igraph / Gephi / yEd all read it), completing the sink family next to
+    DOT/GML/JSON/N-Quads (reference: CodePropertyGraph.java exports
+    DOT/GML/JSON; GraphML is the format its users convert to for graph
+    IDEs). Same distributed shape as ``gml_per_conversation``: nodes keyed
+    by their content node_id (GraphML ids are strings, so no integer-rank
+    window is needed), globals referenced by the conversation's edges
+    declared per document, node/edge lines assembled with one
+    array_sort(collect_list) per conversation. All ids and values pass
+    through ``_xml_esc`` — pytest-gated on hostile labels."""
+    owned = nodes.filter(F.col("conv_id").isNotNull()).select(
+        "conv_id", "node_id", "kind", F.lit(0).alias("is_global")
+    )
+    glob_catalog = nodes.filter(F.col("conv_id").isNull()).select("node_id", "kind")
+    endpoints = (
+        edges.filter(F.col("conv_id").isNotNull())
+        .select("conv_id", F.explode(F.array("src", "dst")).alias("node_id"))
+        .distinct()
+    )
+    referenced_globals = endpoints.join(glob_catalog, "node_id").select(
+        "conv_id", "node_id", "kind", F.lit(1).alias("is_global")
+    )
+    n = owned.unionByName(referenced_globals)
+    node_lines = n.select(
+        "conv_id",
+        F.lit(0).alias("section"),
+        F.concat(
+            F.lit('    <node id="'), _xml_esc(F.col("node_id")),
+            F.lit('"><data key="kind">'), _xml_esc(F.col("kind")),
+            F.lit("</data></node>"),
+        ).alias("line"),
+        F.concat(F.col("is_global").cast("string"), F.lit("|"), F.col("node_id")).alias("ord"),
+    )
+    edge_lines = edges.filter(F.col("conv_id").isNotNull()).select(
+        "conv_id",
+        F.lit(1).alias("section"),
+        F.concat(
+            F.lit('    <edge source="'), _xml_esc(F.col("src")),
+            F.lit('" target="'), _xml_esc(F.col("dst")),
+            F.lit('"><data key="label">'), _xml_esc(F.col("pred")),
+            F.lit("</data></edge>"),
+        ).alias("line"),
+        F.lit("").alias("ord"),
+    )
+    lines = node_lines.unionByName(edge_lines)
+    body = lines.groupBy("conv_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("section", "ord", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("body")
+    )
+    return body.select(
+        "conv_id",
+        F.concat(
+            F.lit(_GRAPHML_HEADER),
+            F.lit('  <graph id="'), _xml_esc(F.col("conv_id")),
+            F.lit('" edgedefault="directed">\n'),
+            F.col("body"),
+            F.lit("\n  </graph>\n</graphml>\n"),
+        ).alias("graphml"),
+    )
+
+
+def to_graphml(nodes: DataFrame, edges: DataFrame, conv_id: str) -> str:
+    row = graphml_per_conversation(
+        nodes.filter(F.col("conv_id") == conv_id),
+        edges.filter(F.col("conv_id") == conv_id),
+    ).collect()
+    if row:
+        return row[0]["graphml"]
+    return (
+        _GRAPHML_HEADER
+        + f'  <graph id="{conv_id}" edgedefault="directed">\n'
+        + "\n  </graph>\n</graphml>\n"
+    )
+
+
 def to_gml(nodes: DataFrame, edges: DataFrame, conv_id: str) -> str:
     row = (
         gml_per_conversation(

@@ -458,6 +458,48 @@ FROM al GROUP BY conv_id
 """
 
 
+def q_kg_export_graphml(spark, sf_dir):
+    """GraphML export sink (the XML interchange NetworkX/Gephi/yEd read;
+    completes the sink family next to DOT/GML/JSON/N-Quads): one
+    standalone document per conversation over the turn nodes and the flow
+    layer. Exact string oracle, like kg_export_dot/kg_export_gml."""
+    from jcpg_spark import export
+    from jcpg_spark.operators import structural
+
+    t = transcripts_from_events(spark, sf_dir)
+    return export.graphml_per_conversation(structural.turn_nodes(t), flow.flow_next(t))
+
+
+_GRAPHML_HEADER_SQL = (
+    "'<?xml version=\"1.0\" encoding=\"UTF-8\"?>' || chr(10) || "
+    "'<graphml xmlns=\"http://graphml.graphdrawing.org/xmlns\">' || chr(10) || "
+    "'  <key id=\"kind\" for=\"node\" attr.name=\"kind\" attr.type=\"string\"/>' || chr(10) || "
+    "'  <key id=\"label\" for=\"edge\" attr.name=\"label\" attr.type=\"string\"/>' || chr(10)"
+)
+
+SQL_KG_EXPORT_GRAPHML = f"""
+WITH o AS ({_SQL_ORDERED}),
+n AS (SELECT conv_id, idx,
+             't:' || conv_id || ':' || CAST(idx AS VARCHAR) AS node_id
+      FROM o),
+nl AS (SELECT conv_id, 0 AS section, '0|' || node_id AS ord,
+              '    <node id="' || node_id
+              || '"><data key="kind">turn</data></node>' AS line
+       FROM n),
+el AS (SELECT a.conv_id, 1 AS section, '' AS ord,
+              '    <edge source="' || a.node_id || '" target="' || b.node_id
+              || '"><data key="label">flow.next</data></edge>' AS line
+       FROM n a JOIN n b ON a.conv_id = b.conv_id AND b.idx = a.idx + 1),
+al AS (SELECT * FROM nl UNION ALL SELECT * FROM el)
+SELECT conv_id,
+       {_GRAPHML_HEADER_SQL}
+       || '  <graph id="' || conv_id || '" edgedefault="directed">' || chr(10)
+       || string_agg(line, chr(10) ORDER BY section, ord, line)
+       || chr(10) || '  </graph>' || chr(10) || '</graphml>' || chr(10) AS graphml
+FROM al GROUP BY conv_id
+"""
+
+
 def q_kg_full_pipeline_sql(spark, sf_dir):
     """The flagship pipeline, SQL-checkable slice: every edge layer except
     same_as (iterative CC is the one non-SQL-expressible stage; on events
@@ -4662,6 +4704,8 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_kcore": (q_kg_kcore, SQL_KG_KCORE),
     # k-truss cohesive-subgraph peel (triangle-support edge pruning)
     "kg_ktruss": (q_kg_ktruss, SQL_KG_KTRUSS),
+    # GraphML XML sink (exact-string oracle, like DOT/GML)
+    "kg_export_graphml": (q_kg_export_graphml, SQL_KG_EXPORT_GRAPHML),
     # sketch-state audit profile (HLL++/quantile-summary; rows-only by
     # design, tolerance + invariance gates in pytest) and the Zipf
     # power-law fit (exact OLS oracle via DuckDB regr_* closed forms)

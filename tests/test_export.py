@@ -225,3 +225,71 @@ def test_nquads_roundtrip_read_nquads(spark, graph3):
     )
     back2 = sorted(map(tuple, export.read_nquads(export.nquads_lines(hostile)).collect()))
     assert back2 == sorted(map(tuple, hostile.collect()))
+
+
+def test_graphml_roundtrip_parses_and_declares_globals(spark, graph3):
+    """Every per-conversation GraphML document must parse as XML, declare
+    every edge endpoint (including referenced globals) as a node, and
+    carry the kind/label data keys."""
+    import xml.etree.ElementTree as ET
+
+    res = graph3
+    out = {r.conv_id: r.graphml
+           for r in export.graphml_per_conversation(res.nodes, res.edges).collect()}
+    assert out
+    ns = {"g": "http://graphml.graphdrawing.org/xmlns"}
+    for conv, doc in out.items():
+        root = ET.fromstring(doc)
+        graph = root.find("g:graph", ns)
+        assert graph is not None and graph.get("edgedefault") == "directed"
+        node_ids = {n.get("id") for n in graph.findall("g:node", ns)}
+        kinds = {n.get("id"): n.find("g:data", ns).text
+                 for n in graph.findall("g:node", ns)}
+        assert all(kinds.values())
+        edges = graph.findall("g:edge", ns)
+        assert edges
+        for e in edges:
+            assert e.get("source") in node_ids, e.get("source")
+            assert e.get("target") in node_ids, e.get("target")
+            assert e.find("g:data", ns).text  # label
+        # globals (tool:/role:/e:/ns:) referenced by edges are declared
+        assert any(i.split(":")[0] in ("tool", "role", "e", "ns")
+                   for i in node_ids)
+
+
+def test_graphml_escapes_hostile_labels(spark):
+    """XML-reserved characters in node ids / kinds / predicates must be
+    entity-escaped so the document still parses and round-trips the raw
+    strings."""
+    import xml.etree.ElementTree as ET
+
+    hostile = 'a<b>&"\'c'
+    nodes = spark.createDataFrame(
+        [("c1", hostile, "k<&>", None), ("c1", "plain", "turn", None)],
+        "conv_id string, node_id string, kind string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [("c1", hostile, "plain", 'p&<"x')],
+        "conv_id string, src string, dst string, pred string",
+    )
+    doc = export.to_graphml(nodes, edges, "c1")
+    root = ET.fromstring(doc)
+    ns = {"g": "http://graphml.graphdrawing.org/xmlns"}
+    graph = root.find("g:graph", ns)
+    ids = {n.get("id") for n in graph.findall("g:node", ns)}
+    assert hostile in ids
+    e = graph.find("g:edge", ns)
+    assert e.get("source") == hostile and e.get("target") == "plain"
+    assert e.find("g:data", ns).text == 'p&<"x'
+
+
+def test_graphml_empty_conversation_is_valid_xml(spark):
+    import xml.etree.ElementTree as ET
+
+    nodes = spark.createDataFrame(
+        [], "conv_id string, node_id string, kind string, props map<string,string>")
+    edges = spark.createDataFrame(
+        [], "conv_id string, src string, dst string, pred string")
+    doc = export.to_graphml(nodes, edges, "nope")
+    root = ET.fromstring(doc)
+    assert root.tag.endswith("graphml")
