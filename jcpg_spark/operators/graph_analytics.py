@@ -1128,6 +1128,105 @@ def harmonic_centrality(
     )
 
 
+def betweenness_centrality(
+    edges: DataFrame, n_seeds: int = 8, max_hops: int = 3
+) -> DataFrame:
+    """-> (item, bc, n_seen): sampled betweenness centrality — Brandes'
+    dependency accumulation from ``n_seeds`` md5-picked pivot vertices
+    (the Brandes-Pich estimator shape), hop-bounded at ``max_hops`` so
+    both passes unroll into a fixed, SQL-mirrorable number of rounds.
+    At 10^12 edges exact betweenness is all-pairs shortest paths (off
+    the table); k pivots give the standard unbiased sample whose
+    per-vertex sums rank the brokers, and k controls cost linearly.
+
+    Seeds are the ``n_seeds`` vertices with the smallest md5(vertex)
+    (same convention as ``harmonic_centrality`` — no RNG state, so the
+    sample is resumable, partitioning-invariant, cross-engine exact).
+
+    Forward pass (per hop): frontier x adjacency join, shortest-path
+    counts sigma summed per (seed, vertex) BEFORE the visited anti-join
+    (a contribution to an already-settled vertex is a non-shortest
+    path and is discarded). Backward pass (per hop, deepest first):
+    Brandes' rule delta(v) = sum over successors w of
+    sigma(v)/sigma(w) * (1 + delta(w)) — one join of level h against
+    the delta'd level h+1 through the adjacency, one hash-agg.
+    bc(v) = sum of delta over seeds and dist >= 1 rows (pivots don't
+    score themselves), halved for the undirected double-count;
+    ``n_seen`` = how many pivots reached v. 6-dp-pinned (sigma ratios
+    are small exact rationals; the rounding absorbs double-sum order).
+    Cost: 2 * max_hops rounds, each one join + one hash-agg, frontier
+    bounded by n_seeds * V — linear in the pivot budget, no all-pairs
+    state anywhere."""
+    if n_seeds < 1:
+        raise ValueError("n_seeds must be >= 1")
+    from jcpg_spark.caching import swap_persist
+
+    e = edges.select("a", "b")
+    adj = e.select(F.col("a").alias("s"), F.col("b").alias("t")).unionByName(
+        e.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    if max_hops > 1:
+        adj = swap_persist("betweenness.adj", adj)
+    verts = adj.select(F.col("s").alias("v")).distinct()
+    seeds = verts.orderBy(F.md5(F.col("v").cast("string")), F.col("v")).limit(
+        n_seeds
+    )
+    levels = [
+        seeds.select(
+            F.col("v").alias("seed"), F.col("v").alias("item"),
+            F.lit(1).cast("bigint").alias("sigma"),
+        ).localCheckpoint(eager=False)
+    ]
+    visited = levels[0].select("seed", "item")
+    for _ in range(1, max_hops + 1):
+        frontier = levels[-1].select(
+            "seed", F.col("item").alias("s"), "sigma"
+        )
+        new = (
+            adj.join(frontier, "s")
+            .groupBy("seed", F.col("t").alias("item"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited, ["seed", "item"], "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        levels.append(new)
+        visited = visited.unionByName(new.select("seed", "item"))
+    # backward dependency accumulation, deepest level first
+    deltas = [None] * (max_hops + 1)
+    deltas[max_hops] = levels[max_hops].withColumn(
+        "delta", F.lit(0.0)
+    )
+    for h in range(max_hops - 1, -1, -1):
+        nxt = deltas[h + 1].select(
+            "seed", F.col("item").alias("t"),
+            F.col("sigma").alias("sigma_w"), F.col("delta").alias("delta_w"),
+        )
+        contrib = (
+            levels[h].join(adj, levels[h]["item"] == adj["s"])
+            .join(nxt, ["seed", "t"])
+            .groupBy("seed", "item")
+            .agg(
+                F.sum(
+                    F.col("sigma") / F.col("sigma_w") * (F.lit(1.0) + F.col("delta_w"))
+                ).alias("delta")
+            )
+        )
+        deltas[h] = (
+            levels[h]
+            .join(contrib, ["seed", "item"], "left")
+            .fillna(0.0, subset=["delta"])
+            .localCheckpoint(eager=False)
+        )
+    scored = None
+    for h in range(1, max_hops + 1):
+        part = deltas[h].select("seed", "item", "delta")
+        scored = part if scored is None else scored.unionByName(part)
+    return scored.groupBy("item").agg(
+        F.round(F.sum("delta") / 2.0, 6).alias("bc"),
+        F.count("*").alias("n_seen"),
+    )
+
+
 def vertex_features(edges: DataFrame) -> DataFrame:
     """-> (item, degree, n_tri, clustering): per-vertex structural feature
     table — degree, triangle participation, and local clustering

@@ -2169,6 +2169,60 @@ FROM md WHERE dist > 0 GROUP BY item
 """
 
 
+def q_kg_betweenness(spark, sf_dir):
+    """Sampled betweenness centrality (Brandes-Pich pivot estimator): 4
+    md5-picked pivots, hop-bounded BFS forward pass (shortest-path
+    counts sigma) + Brandes dependency back-propagation, over the
+    co-mention graph. The oracle unrolls both passes level by level —
+    forward levels via sigma sums with NOT-EXISTS first-visit pruning,
+    backward deltas via one LEFT JOIN per level — and the /2 undirected
+    halving + 6 dp pin make the engines exact-comparable."""
+    edges = _comention_edges(spark, sf_dir, min_weight=2)
+    return graph_analytics.betweenness_centrality(edges, n_seeds=4, max_hops=3)
+
+
+SQL_KG_BETWEENNESS = f"""
+WITH e AS ({_SQL_COMENTION}),
+adj AS MATERIALIZED (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+seeds AS (SELECT v FROM (SELECT DISTINCT s AS v FROM adj)
+          ORDER BY md5(CAST(v AS VARCHAR)), v LIMIT 4),
+l0 AS MATERIALIZED (SELECT v AS seed, v AS item, CAST(1 AS BIGINT) AS sigma FROM seeds),
+l1 AS MATERIALIZED (
+  SELECT f.* FROM (SELECT l.seed, a.t AS item, sum(l.sigma) AS sigma
+                   FROM l0 l JOIN adj a ON a.s = l.item GROUP BY 1, 2) f
+  WHERE NOT EXISTS (SELECT 1 FROM l0 p WHERE p.seed = f.seed AND p.item = f.item)),
+l2 AS MATERIALIZED (
+  SELECT f.* FROM (SELECT l.seed, a.t AS item, sum(l.sigma) AS sigma
+                   FROM l1 l JOIN adj a ON a.s = l.item GROUP BY 1, 2) f
+  WHERE NOT EXISTS (SELECT 1 FROM l0 p WHERE p.seed = f.seed AND p.item = f.item)
+    AND NOT EXISTS (SELECT 1 FROM l1 p WHERE p.seed = f.seed AND p.item = f.item)),
+l3 AS MATERIALIZED (
+  SELECT f.* FROM (SELECT l.seed, a.t AS item, sum(l.sigma) AS sigma
+                   FROM l2 l JOIN adj a ON a.s = l.item GROUP BY 1, 2) f
+  WHERE NOT EXISTS (SELECT 1 FROM l0 p WHERE p.seed = f.seed AND p.item = f.item)
+    AND NOT EXISTS (SELECT 1 FROM l1 p WHERE p.seed = f.seed AND p.item = f.item)
+    AND NOT EXISTS (SELECT 1 FROM l2 p WHERE p.seed = f.seed AND p.item = f.item)),
+d3 AS MATERIALIZED (SELECT seed, item, sigma, 0e0 AS delta FROM l3),
+d2 AS MATERIALIZED (
+  SELECT l.seed, l.item, l.sigma,
+         coalesce(sum(l.sigma / n.sigma * (1e0 + n.delta)), 0e0) AS delta
+  FROM l2 l LEFT JOIN adj a ON a.s = l.item
+            LEFT JOIN d3 n ON n.seed = l.seed AND n.item = a.t
+  GROUP BY l.seed, l.item, l.sigma),
+d1 AS MATERIALIZED (
+  SELECT l.seed, l.item, l.sigma,
+         coalesce(sum(l.sigma / n.sigma * (1e0 + n.delta)), 0e0) AS delta
+  FROM l1 l LEFT JOIN adj a ON a.s = l.item
+            LEFT JOIN d2 n ON n.seed = l.seed AND n.item = a.t
+  GROUP BY l.seed, l.item, l.sigma)
+SELECT item, round(sum(delta) / 2, 6) AS bc, count(*) AS n_seen
+FROM (SELECT seed, item, delta FROM d1
+      UNION ALL SELECT seed, item, delta FROM d2
+      UNION ALL SELECT seed, item, delta FROM d3)
+GROUP BY item
+"""
+
+
 def q_kg_vertex_features(spark, sf_dir):
     """Per-entity structural feature table on the co-mention graph:
     degree, triangle participation, local clustering coefficient.
@@ -4673,6 +4727,8 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_link_scores": (q_kg_link_scores, SQL_KG_LINK_SCORES),
     # sampled harmonic centrality (md5-picked landmark BFS sweeps)
     "kg_harmonic": (q_kg_harmonic, SQL_KG_HARMONIC),
+    # sampled Brandes betweenness (pivot estimator, hop-bounded)
+    "kg_betweenness": (q_kg_betweenness, SQL_KG_BETWEENNESS),
     # SCD-2 as-of linking against a versioned dictionary
     "j1_link_asof": (q_j1_link_asof, SQL_J1_LINK_ASOF),
     # per-entity structural features (degree/triangles/clustering)

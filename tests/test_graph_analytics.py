@@ -1216,3 +1216,55 @@ def test_ktruss_oracle_unroll_depth_assumption_holds(spark):
     assert converged and rounds <= 8, (rounds, converged)
     kept = truss.count()
     assert 0 < kept < edges.count(), kept
+
+
+def test_betweenness_path_and_star_closed_forms(spark):
+    """All-pivots betweenness on closed forms: path a-b-c gives the
+    middle vertex exactly 1 (the one (a,c) pair), endpoints 0; a star
+    gives the hub one per leaf pair."""
+    from jcpg_spark.operators import graph_analytics as ga
+
+    path = spark.createDataFrame([(1, 2), (2, 3)], "a int, b int")
+    got = {r["item"]: r["bc"] for r in
+           ga.betweenness_centrality(path, n_seeds=3, max_hops=3).collect()}
+    assert got == {1: 0.0, 2: 1.0, 3: 0.0}
+
+    star = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "a int, b int")
+    got = {r["item"]: r["bc"] for r in
+           ga.betweenness_centrality(star, n_seeds=4, max_hops=3).collect()}
+    assert got == {0: 3.0, 1: 0.0, 2: 0.0, 3: 0.0}  # C(3,2) leaf pairs
+
+
+def test_betweenness_splits_over_equal_shortest_paths(spark):
+    """4-cycle 1-2-4-3-1: the two opposite-corner pairs each split their
+    two shortest paths, so every vertex brokers 2 * (1/2) / ... -> each
+    vertex gets 0.5."""
+    from jcpg_spark.operators import graph_analytics as ga
+
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 4), (3, 4), (1, 3)], "a int, b int")
+    got = {r["item"]: r["bc"] for r in
+           ga.betweenness_centrality(cyc, n_seeds=4, max_hops=3).collect()}
+    assert got == {1: 0.5, 2: 0.5, 3: 0.5, 4: 0.5}
+
+
+def test_betweenness_hop_bound_and_seed_sample(spark):
+    """Hop bound truncates dependency flow: on a 5-path with max_hops=1
+    no vertex sees a 2-hop pair, so all bc are 0; with the full budget
+    interior vertices dominate. Pivot sampling (n_seeds < V) stays
+    deterministic under repartitioning."""
+    from jcpg_spark.operators import graph_analytics as ga
+
+    p5 = spark.createDataFrame([(i, i + 1) for i in range(1, 5)], "a int, b int")
+    h1 = {r["item"]: r["bc"] for r in
+          ga.betweenness_centrality(p5, n_seeds=5, max_hops=1).collect()}
+    assert set(h1.values()) == {0.0}
+    full = {r["item"]: r["bc"] for r in
+            ga.betweenness_centrality(p5, n_seeds=5, max_hops=4).collect()}
+    assert full[3] > full[2] > full[1] == full[5] == 0.0 or full[3] >= full[2]
+    assert full[1] == 0.0 and full[5] == 0.0
+    s1 = ga.betweenness_centrality(p5, n_seeds=2, max_hops=4).collect()
+    s7 = ga.betweenness_centrality(
+        spark.createDataFrame([(i, i + 1) for i in range(1, 5)], "a int, b int")
+        .repartition(7), n_seeds=2, max_hops=4).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s7))
