@@ -42,7 +42,14 @@ from jcpg_spark.operators.lm import (
     skipgram_counts,
 )
 from jcpg_spark.operators.linking import link_asof
-from jcpg_spark.operators.query import construct, match_pattern, match_query, union_patterns
+from jcpg_spark.operators.query import (
+    ask,
+    construct,
+    describe,
+    match_pattern,
+    match_query,
+    union_patterns,
+)
 from jcpg_spark.operators.reasoning import owl_entail, rdfs_entail, shacl_validate
 from jcpg_spark.operators.retrieval import bm25_topk
 from jcpg_spark.operators.structural import conversation_audit
@@ -139,7 +146,9 @@ __all__ = [
     "modularity",
     "rank_eval",
     "bm25_topk",
+    "ask",
     "construct",
+    "describe",
     "harmonic_centrality",
     "link_predict_scores",
     "match_pattern",

@@ -48,11 +48,16 @@ expressions over the bound variable columns, evaluated post-join exactly
 like SPARQL filters scoped to the group), GROUP BY / aggregates /
 HAVING, ORDER BY + LIMIT solution modifiers (Spark plans sort+limit as
 TakeOrderedAndProject — a per-partition top-k merge, never a global
-sort), and DISTINCT; ``union_patterns`` is SPARQL UNION (bag union of
+sort), and DISTINCT; plus FILTER EXISTS (semi-join dual of MINUS),
+VALUES inline data (broadcast parameter table), and BIND (sequential
+computed variables). ``union_patterns`` is SPARQL UNION (bag union of
 same-projection groups); ``construct`` is SPARQL CONSTRUCT — template
 triples instantiated per solution into a new (src, pred, dst) edges
 relation, i.e. rule-based derivation of new graph layers from matched
-patterns, the KG-construction move itself.
+patterns, the KG-construction move itself; ``ask`` and ``describe``
+complete the four SPARQL query forms (ASK as a LIMIT-1 existence probe
+that short-circuits the scan; DESCRIBE as symmetric-CBD incident-edge
+extraction via two semi joins).
 """
 
 from __future__ import annotations
@@ -205,6 +210,8 @@ def match_query(
     exists: Sequence[Sequence[TriplePattern]] = (),
     minus: Sequence[Sequence[TriplePattern]] = (),
     filters: Sequence[str] = (),
+    values: tuple[Sequence[str], Sequence[tuple]] | None = None,
+    binds: dict[str, str] | None = None,
     distinct: bool = False,
     max_hops: int = 8,
     group_by: Sequence[str] = (),
@@ -218,6 +225,18 @@ def match_query(
     ORDER BY / LIMIT, and optional DISTINCT — each mapped onto its exact
     relational dual.
 
+    - ``values`` = (variables, rows) is SPARQL's VALUES inline-data
+      block: a driver-literal solution table joined into the required
+      BGP — shared variables constrain (broadcast inner join, applied
+      FIRST so Catalyst pushes the constants toward the scan), fresh
+      variables inject parameters (a cartesian against a user-written
+      constant list only). Duplicate rows are deduped: VALUES supplies
+      bindings, not multiplicities, under the join here.
+    - ``binds`` maps fresh variable -> SQL expression over the in-scope
+      columns (SPARQL BIND); applied in insertion order AFTER the graph
+      joins, so a later bind may reference an earlier one, and a filter
+      may reference any of them. Rebinding an in-scope variable raises,
+      as in the spec.
     - every group in ``exists`` is a BGP; solutions are KEPT iff the
       group has at least one compatible solution (SPARQL's FILTER
       EXISTS) — executed as a LEFT SEMI join on the shared variables,
@@ -274,6 +293,26 @@ def match_query(
     """
     result = match_pattern(edges, bgp, max_hops)
     bound = set(result.columns)
+    if values is not None:
+        vvars, vrows = values
+        vvars = [v.lstrip("?") for v in vvars]
+        if not vvars or not vrows:
+            raise ValueError("values needs at least one variable and one row")
+        bad = [r for r in vrows if len(r) != len(vvars)]
+        if bad:
+            raise ValueError(f"values rows with wrong arity: {bad!r}")
+        vdf = result.sparkSession.createDataFrame(
+            [tuple(r) for r in vrows], vvars
+        )
+        shared = sorted(bound & set(vvars))
+        # the VALUES table is a driver literal (bounded by construction)
+        # -> always broadcast; shared vars constrain via inner join, a
+        # fully fresh table is the SPARQL parameter-injection join
+        # (a cartesian against a user-written constant list, not a
+        # hidden data-scale cross product)
+        vb = F.broadcast(vdf.distinct())
+        result = result.join(vb, on=shared) if shared else result.crossJoin(vb)
+        bound |= set(vvars)
     for group in optional:
         gdf = match_pattern(edges, group, max_hops)
         gvars = set(gdf.columns)
@@ -318,6 +357,16 @@ def match_query(
         # them (distinct is implied by the anti-join) keeps the group's
         # fresh variables out of the shuffle
         result = result.join(gdf.select(*shared), on=shared, how="left_anti")
+    for alias, bexpr in (binds or {}).items():
+        alias = alias.lstrip("?")
+        if alias in bound:
+            raise ValueError(
+                f"BIND would rebind {alias!r} — SPARQL forbids assigning "
+                "an in-scope variable; pick a fresh name"
+            )
+        # sequential semantics: a later BIND may reference an earlier one
+        result = result.withColumn(alias, F.expr(bexpr))
+        bound.add(alias)
     for fexpr in filters:
         result = result.where(F.expr(fexpr))
     if aggregates or group_by:
@@ -462,3 +511,54 @@ def construct(
     for df in outs[1:]:
         out = out.unionByName(df)
     return out.distinct()
+
+
+def ask(
+    edges: DataFrame,
+    bgp: Sequence[TriplePattern],
+    filters: Sequence[str] = (),
+    max_hops: int = 8,
+) -> DataFrame:
+    """SPARQL ASK: does the pattern have ANY solution? -> a one-row
+    DataFrame (ask: boolean) — kept relational so the answer composes
+    with joins/unions and the driver never has to collect mid-plan.
+
+    Evaluated as LIMIT 1 + count: Spark's CollectLimit short-circuits
+    scanning once one solution surfaces, so an ASK over 10^12 triples
+    whose answer is yes touches a handful of partitions, not the table
+    (the worst case — answer no — is one full pass, the information-
+    theoretic floor)."""
+    sol = match_query(edges, bgp, filters=filters, max_hops=max_hops)
+    one = sol.limit(1).select(F.lit(1).alias("hit"))
+    return one.agg((F.count("*") > 0).alias("ask"))
+
+
+def describe(
+    edges: DataFrame,
+    bgp: Sequence[TriplePattern],
+    var: str,
+    filters: Sequence[str] = (),
+    max_hops: int = 8,
+) -> DataFrame:
+    """SPARQL DESCRIBE ?var: every triple whose subject OR object is a
+    resource the query binds to ``var`` — the spec leaves the description
+    shape to the engine; this implements the common symmetric-CBD-lite
+    (all incident edges, no blank-node recursion — node ids here are
+    content keys, so there is nothing to chase).
+
+    Two LEFT SEMI joins of the full edges table against the DISTINCT
+    resource set (one on src, one on dst) unioned — each is a
+    broadcast-able semi join keyed on the resource id, and the resource
+    set is deduped BEFORE the join so a resource described by many
+    solutions is still described once. Output keeps every edge column
+    (var/conv_id qualifiers included), so the description is directly
+    exportable via the DOT/GML/GraphML/N-Quads sinks."""
+    v = var.lstrip("?")
+    sol = match_query(edges, bgp, filters=filters, max_hops=max_hops)
+    if v not in sol.columns:
+        raise ValueError(f"DESCRIBE variable ?{v} is not bound (bound: "
+                         f"{sol.columns})")
+    res = sol.select(F.col(v).alias("r")).distinct()
+    as_src = edges.join(res.withColumnRenamed("r", "src"), "src", "semi")
+    as_dst = edges.join(res.withColumnRenamed("r", "dst"), "dst", "semi")
+    return as_src.unionByName(as_dst.select(*as_src.columns)).distinct()

@@ -4064,6 +4064,91 @@ WHERE NOT EXISTS (SELECT 1 FROM cr re
 """
 
 
+def q_kg_values_bind(spark, sf_dir):
+    """SPARQL VALUES + BIND: constrain ?t with an inline VALUES block
+    (parameter table broadcast-joined into the BGP — including a fresh
+    injected variable, SPARQL's parameter-sweep idiom) and BIND a
+    derived variable over the solution; aggregate per (tool, tier).
+    VALUES is applied before the graph joins so the constant constraint
+    reaches the scan; BIND after, so the expression sees the full
+    solution."""
+    from jcpg_spark.operators import query as bgp
+
+    t = transcripts_from_events(spark, sf_dir)
+    edges = calls.call_triples(t).select("src", "pred", "dst")
+    return bgp.match_query(
+        edges,
+        [("?c", "call", "?t")],
+        values=(["?t", "?tier"],
+                [("tool:db", "gold"), ("tool:search", "bronze")]),
+        binds={"?conv": "substring_index(c, ':', 2)"},
+        group_by=["t", "tier"],
+        aggregates={"n_calls": "count(c)", "n_convs": "count(DISTINCT conv)"},
+    )
+
+
+SQL_KG_VALUES_BIND = f"""
+WITH cr AS ({SQL_KG_CALL_RETURN}),
+ca AS (SELECT src AS c, dst AS t FROM cr WHERE pred = 'call'),
+v(t, tier) AS (VALUES ('tool:db', 'gold'), ('tool:search', 'bronze')),
+b AS (SELECT ca.c, ca.t, v.tier,
+             split_part(ca.c, ':', 1) || ':' || split_part(ca.c, ':', 2) AS conv
+      FROM ca JOIN v ON v.t = ca.t)
+SELECT t, tier, count(c) AS n_calls, count(DISTINCT conv) AS n_convs
+FROM b GROUP BY t, tier
+"""
+
+
+def q_kg_describe(spark, sf_dir):
+    """SPARQL DESCRIBE (symmetric CBD-lite): every edge incident to a
+    call site of tool:db, over the call/return/flow layers — the
+    resource set is deduped before two semi joins (src-side, dst-side),
+    so a call site bound by many solutions is described once."""
+    from jcpg_spark.operators import query as bgp
+
+    t = transcripts_from_events(spark, sf_dir)
+    edges = (
+        calls.call_triples(t).select("src", "pred", "dst")
+        .unionByName(calls.return_triples(t).select("src", "pred", "dst"))
+        .unionByName(flow.flow_next(t).select("src", "pred", "dst"))
+    )
+    return bgp.describe(edges, [("?c", "call", "tool:db")], "?c")
+
+
+SQL_KG_DESCRIBE = f"""
+WITH cr AS ({SQL_KG_CALL_RETURN}),
+fl AS ({SQL_KG_FLOW_NEXT}),
+ed AS (SELECT src, pred, dst FROM cr UNION ALL SELECT src, pred, dst FROM fl),
+res AS (SELECT DISTINCT src AS r FROM ed WHERE pred = 'call' AND dst = 'tool:db')
+SELECT DISTINCT e.src, e.pred, e.dst
+FROM ed e
+WHERE EXISTS (SELECT 1 FROM res WHERE res.r = e.src)
+   OR EXISTS (SELECT 1 FROM res WHERE res.r = e.dst)
+"""
+
+
+def q_kg_ask(spark, sf_dir):
+    """SPARQL ASK: is there any call that returned? One-row boolean
+    relation; Spark's CollectLimit short-circuits the scan on the first
+    witness, so a yes-answer never reads the full table."""
+    from jcpg_spark.operators import query as bgp
+
+    t = transcripts_from_events(spark, sf_dir)
+    edges = (
+        calls.call_triples(t).select("src", "pred", "dst")
+        .unionByName(calls.return_triples(t).select("src", "pred", "dst"))
+    )
+    return bgp.ask(edges, [("?c", "call", "?t"), ("?r", "return", "?c")])
+
+
+SQL_KG_ASK = f"""
+WITH cr AS ({SQL_KG_CALL_RETURN})
+SELECT EXISTS (SELECT 1 FROM cr ca JOIN cr re
+               ON re.pred = 'return' AND re.dst = ca.src
+               WHERE ca.pred = 'call') AS ask
+"""
+
+
 def q_kg_exists_match(spark, sf_dir):
     """SPARQL FILTER EXISTS (the positive dual of kg_minus_match): tool
     calls whose run DID return to the call site — (?c call ?tool)
@@ -4811,6 +4896,12 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_minus_match": (q_kg_minus_match, SQL_KG_MINUS_MATCH),
     # SPARQL FILTER EXISTS (positive semi-join dual of MINUS)
     "kg_exists_match": (q_kg_exists_match, SQL_KG_EXISTS_MATCH),
+    # SPARQL VALUES inline data + BIND derived variables
+    "kg_values_bind": (q_kg_values_bind, SQL_KG_VALUES_BIND),
+    # SPARQL DESCRIBE (symmetric CBD incident-edge extraction)
+    "kg_describe": (q_kg_describe, SQL_KG_DESCRIBE),
+    # SPARQL ASK (LIMIT-1 existence probe)
+    "kg_ask": (q_kg_ask, SQL_KG_ASK),
     # SPARQL ORDER BY + LIMIT solution modifiers (TakeOrderedAndProject)
     "kg_ordered_topk": (q_kg_ordered_topk, SQL_KG_ORDERED_TOPK),
     # SPARQL CONSTRUCT: rule-derived KG layer as a composable edges table

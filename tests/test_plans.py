@@ -406,3 +406,48 @@ def test_rdfs_entail_rules_broadcast_instance_never_shuffled(spark):
     assert plan.count("BroadcastHashJoin") >= 4, plan  # r7, r2, r3, r9
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_values_table_is_broadcast_join(spark):
+    """The VALUES inline-data table is a driver literal — it must attach
+    as a BroadcastHashJoin, never a sort-merge exchange."""
+    from jcpg_spark.operators.query import match_query
+
+    e = spark.createDataFrame(
+        [("a", "call", "tool:db")], "src string, pred string, dst string")
+    df = match_query(e, [("?c", "call", "?t")],
+                     values=(["?t", "?g"], [("tool:db", "gold")]))
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_exists_and_describe_plan_semi_joins(spark):
+    """FILTER EXISTS and DESCRIBE must plan LeftSemi joins (boolean
+    membership), not inner joins that would multiply solutions."""
+    from jcpg_spark.operators.query import describe, match_query
+
+    e = spark.createDataFrame(
+        [("a", "call", "tool:db"), ("r1", "return", "a")],
+        "src string, pred string, dst string")
+    ex = match_query(e, [("?c", "call", "?t")],
+                     exists=[[("?r", "return", "?c")]])
+    assert "LeftSemi" in _plan(ex)
+    d = describe(e, [("?c", "call", "?t")], "?c")
+    assert _plan(d).count("LeftSemi") >= 2  # src-side + dst-side
+
+
+def test_community_graph_single_aggregate(spark):
+    """The quotient rollup is two label joins + ONE hash aggregation
+    keyed on the canonicalized pair (plus its partial-agg twin) — no
+    sort-based fallback."""
+    from jcpg_spark.operators.graph_analytics import community_graph
+
+    edges = spark.createDataFrame([(1, 2, 1.0)], "a int, b int, w double")
+    labels = spark.createDataFrame([(1, "x"), (2, "x")], "item int, label string")
+    plan = _plan(community_graph(edges, labels))
+    assert "SortAggregate" not in plan
+    # exactly one logical aggregation: the partial + final HashAggregate
+    # pair (join-side exchanges resolve to broadcasts under AQE at
+    # runtime when the label side is dimension-sized)
+    assert plan.count("HashAggregate") == 2

@@ -368,6 +368,80 @@ def test_match_query_exists_is_semi_join(spark):
         match_query(e, [("?c", "call", "?t")], exists=[[("?x", "loops", "?y")]])
 
 
+def test_match_query_values_constrains_and_injects(spark):
+    """VALUES with a shared var constrains the solutions; a fresh var
+    rides along as injected data; duplicate VALUES rows don't multiply
+    solutions."""
+    import pytest
+
+    from jcpg_spark.operators.query import match_query
+
+    e = _bgp_edges(spark)
+    out = match_query(
+        e, [("?c", "call", "?t")],
+        values=(["?t", "?grade"],
+                [("tool:db", "gold"), ("tool:db", "gold"), ("tool:x", "bad")]),
+    ).collect()
+    assert sorted((r["c"], r["t"], r["grade"]) for r in out) == [
+        ("a", "tool:db", "gold"), ("b", "tool:db", "gold")]
+    # fully fresh vars = parameter injection (cartesian against literals)
+    inj = match_query(
+        e, [("?c", "call", "?t")], values=(["?k"], [(1,), (2,)])
+    ).collect()
+    assert len(inj) == 4  # 2 solutions x 2 parameters
+    with pytest.raises(ValueError, match="arity"):
+        match_query(e, [("?c", "call", "?t")],
+                    values=(["?t", "?g"], [("tool:db",)]))
+    with pytest.raises(ValueError, match="at least one"):
+        match_query(e, [("?c", "call", "?t")], values=(["?t"], []))
+
+
+def test_match_query_bind_sequential_and_no_rebind(spark):
+    """BIND adds computed variables in order (later binds see earlier
+    ones), filters see them, and rebinding an in-scope name raises."""
+    import pytest
+
+    from jcpg_spark.operators.query import match_query
+
+    e = _bgp_edges(spark)
+    out = match_query(
+        e, [("?c", "call", "?t")],
+        binds={"?up": "upper(c)", "?tag": "concat(up, '-', t)"},
+        filters=["tag = 'A-tool:db'"],
+    ).collect()
+    assert [(r["c"], r["up"], r["tag"]) for r in out] == [("a", "A", "A-tool:db")]
+    with pytest.raises(ValueError, match="rebind"):
+        match_query(e, [("?c", "call", "?t")], binds={"?t": "upper(c)"})
+
+
+def test_ask_and_describe_query_forms(spark):
+    """ASK answers existence as a one-row boolean relation; DESCRIBE
+    returns every edge incident (either direction) to the resources the
+    query binds, deduped across solutions."""
+    import pytest
+
+    from jcpg_spark.operators.query import ask, describe
+
+    e = _bgp_edges(spark)
+    assert ask(e, [("?c", "call", "?t")]).collect()[0]["ask"] is True
+    assert ask(e, [("?c", "nope", "?t")]).collect()[0]["ask"] is False
+    assert ask(e, [("?c", "call", "?t")],
+               filters=["t = 'tool:zz'"]).collect()[0]["ask"] is False
+
+    # describe the call sites: both of b's edges (in and out) surface,
+    # and b being bound by two solutions does not duplicate them
+    d = describe(e, [("?c", "call", "?t")], "?c").collect()
+    got = sorted((r["src"], r["pred"], r["dst"]) for r in d)
+    assert got == [
+        ("a", "call", "tool:db"),
+        ("a", "flow.next", "b"),
+        ("b", "call", "tool:db"),
+        ("b", "flow.next", "c"),
+    ]
+    with pytest.raises(ValueError, match="DESCRIBE variable"):
+        describe(e, [("?c", "call", "?t")], "?zz")
+
+
 def test_match_query_order_by_limit(spark):
     import pytest
 
