@@ -27,17 +27,27 @@ DISTINCT and like SQL — so an exact SQL oracle can mirror results
 row-for-row.
 
 Beyond plain BGPs (r4), the predicate position of a pattern accepts the
-core SPARQL 1.1 property-path forms that stay relational:
+SPARQL 1.1 property-path grammar (minus parentheses), each form mapped
+to its relational dual, with the spec's precedence — ``|`` loosest,
+then ``/``, then the unary forms — so ``a|b/c`` is a | (b/c):
 
-- ``a|b``     alternation  -> an IN-list filter on the same edges scan;
+- ``a|b``     alternation  -> an IN-list filter on the same edges scan
+  when every alternative is a bare predicate (one pass, pushed filter);
+  otherwise the union of the alternatives' pair relations;
+- ``a/b``     sequence     -> the atoms' (src, dst) relations joined
+  mid-node to mid-node (the BGP {s a ?m . ?m b o} with ?m projected
+  away — bag semantics, multiplicity = number of mid paths);
 - ``^p``      inverse      -> the same scan with src/dst swapped;
 - ``p+``      one-or-more  -> the hop-bounded transitive closure of ``p``
-  (DISTINCT (src, dst) pairs — SPARQL property paths are set-semantics —
+  (DISTINCT (src, dst) pairs — SPARQL closures are set-semantics —
   computed by frontier expansion: per round, join the newly-reached pairs
   to the base relation and anti-join the already-reached set, so a pair
   crosses the shuffle once; rounds are bounded by ``max_hops``, which
   keeps the unrolled plan finite and SQL-mirrorable, and caps the blow-up
-  a cyclic 10^12-edge graph would otherwise feed an unbounded ``+``).
+  a cyclic 10^12-edge graph would otherwise feed an unbounded ``+``);
+- ``p?`` / ``p*`` zero-or-one / zero-or-more -> the above unioned with
+  the zero-length path = identity over every term occurring in the
+  graph (one distinct over the endpoint columns), set semantics.
 
 ``match_query`` adds the other half of the SPARQL algebra that maps
 directly onto DataFrame operators: OPTIONAL groups (left outer join on
@@ -74,14 +84,16 @@ def _is_var(term: str) -> bool:
     return term.startswith("?")
 
 
-def _closure(edges: DataFrame, term: str, max_hops: int) -> DataFrame:
-    """Hop-bounded transitive closure of a constant predicate term:
-    DISTINCT (src, dst) pairs connected by a directed path of 1..max_hops
-    edges matching ``term`` (itself possibly ``^``-inverted or an
-    ``a|b`` alternation). Set semantics per the SPARQL property-path
-    spec — two paths between the same endpoints yield ONE row, which is
-    also what keeps the pair count O(V * max_hops) on chain graphs
-    instead of path-count exponential on diamonds.
+_PATH_META = "^+*?/|"
+
+
+def _closure(base: DataFrame, max_hops: int) -> DataFrame:
+    """Hop-bounded transitive closure of a 1-hop (src, dst) relation:
+    DISTINCT pairs connected by a directed path of 1..max_hops base
+    steps. Set semantics per the SPARQL property-path spec — two paths
+    between the same endpoints yield ONE row, which is also what keeps
+    the pair count O(V * max_hops) on chain graphs instead of
+    path-count exponential on diamonds.
 
     Frontier expansion (the bfs_distances move, on pairs): each round
     joins only the PREVIOUS round's new pairs against the 1-hop base and
@@ -93,7 +105,7 @@ def _closure(edges: DataFrame, term: str, max_hops: int) -> DataFrame:
         raise ValueError("max_hops must be >= 1")
     from jcpg_spark.caching import swap_persist
 
-    base = _const_pred_pairs(edges, term).distinct()
+    base = base.distinct()
     if max_hops > 1:
         base = swap_persist("query.closure.base", base)
     hop = base.select(F.col("src").alias("m"), F.col("dst").alias("o2"))
@@ -111,31 +123,112 @@ def _closure(edges: DataFrame, term: str, max_hops: int) -> DataFrame:
     return reach
 
 
-def _const_pred_pairs(edges: DataFrame, term: str, max_hops: int = 1) -> DataFrame:
-    """(src, dst) relation for a CONSTANT predicate term, honoring the
-    property-path forms: ``^`` inverse (applies to the whole rest of the
-    term), trailing ``+`` hop-bounded closure, ``|`` alternation."""
-    if term.startswith("^"):
-        inner = _const_pred_pairs(edges, term[1:], max_hops)
-        return inner.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst")
-        )
-    if term.endswith("+"):
-        return _closure(edges, term[:-1], max_hops)
-    preds = term.split("|")
-    cond = (
-        F.col("pred").isin(preds) if len(preds) > 1 else F.col("pred") == F.lit(term)
+def _identity_pairs(edges: DataFrame) -> DataFrame:
+    """(n, n) for every term that occurs in the graph — SPARQL's
+    zero-length path, the zero half of ``p?`` / ``p*``. One distinct
+    over the union of both endpoint columns (a single shuffle, node-id
+    width only); the spec's "terms mentioned in the query" extension is
+    intentionally not modeled — graph terms only, documented."""
+    nodes = (
+        edges.select("src")
+        .unionByName(edges.select(F.col("dst").alias("src")))
+        .distinct()
     )
-    return edges.where(cond).select("src", "dst")
+    return nodes.select("src", F.col("src").alias("dst"))
+
+
+def _bare_pairs(edges: DataFrame, pred: str) -> DataFrame:
+    """(src, dst) scan for one literal predicate name — the leaf of the
+    path grammar. Rejects leftover metacharacters loudly: nested
+    modifiers (``p+?``) and grouping need parentheses, which this
+    grammar does not have — compose via match_query instead."""
+    if not pred or any(c in pred for c in _PATH_META):
+        raise ValueError(
+            f"unsupported path atom {pred!r} — nested modifiers/grouping "
+            "need parentheses, which this grammar does not support; "
+            "compose the path from multiple patterns instead"
+        )
+    return edges.where(F.col("pred") == F.lit(pred)).select("src", "dst")
+
+
+def _atom_pairs(edges: DataFrame, atom: str, max_hops: int) -> DataFrame:
+    """One path atom: ``^`` inverse prefix wrapping the whole atom (the
+    SPARQL PathEltOrInverse rule, so ``^p+`` = inverse of the closure —
+    identical to the closure of the inverse), then one optional postfix
+    modifier ``+`` / ``*`` / ``?`` on a bare predicate. ``*`` and ``?``
+    include the zero-length path (identity over graph terms) and are
+    set-semantics like ``+``; a bare atom stays a bag scan."""
+    if not atom:
+        raise ValueError("empty path atom (doubled '|' or '/'?)")
+    if atom.startswith("^"):
+        inner = _atom_pairs(edges, atom[1:], max_hops)
+        return inner.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    if atom.endswith("+"):
+        return _closure(_bare_pairs(edges, atom[:-1]), max_hops)
+    if atom.endswith("*"):
+        return (
+            _identity_pairs(edges)
+            .unionByName(_closure(_bare_pairs(edges, atom[:-1]), max_hops))
+            .distinct()
+        )
+    if atom.endswith("?"):
+        return (
+            _identity_pairs(edges)
+            .unionByName(_bare_pairs(edges, atom[:-1]))
+            .distinct()
+        )
+    return _bare_pairs(edges, atom)
+
+
+def _seq_pairs(edges: DataFrame, term: str, max_hops: int) -> DataFrame:
+    """``a/b/...`` sequence path: the atoms' pair relations joined
+    mid-node to mid-node, left to right — SPARQL's SequencePath, which
+    is exactly the BGP {s a ?m . ?m b o} with ?m projected away, so it
+    keeps bag semantics (multiplicity = number of distinct mid paths).
+    Each step is a hash join keyed on the mid node; nothing widens
+    beyond (src, dst) between steps."""
+    steps = term.split("/")
+    out = _atom_pairs(edges, steps[0], max_hops)
+    for step in steps[1:]:
+        nxt = _atom_pairs(edges, step, max_hops).select(
+            F.col("src").alias("__m"), F.col("dst").alias("__o")
+        )
+        out = out.join(nxt, out["dst"] == nxt["__m"]).select(
+            out["src"], F.col("__o").alias("dst")
+        )
+    return out
+
+
+def _const_pred_pairs(edges: DataFrame, term: str, max_hops: int = 1) -> DataFrame:
+    """(src, dst) relation for a CONSTANT predicate term — the SPARQL
+    1.1 property-path grammar without parentheses, standard precedence
+    (loosest to tightest): ``|`` alternation, ``/`` sequence, then the
+    unary forms ``^p`` / ``p+`` / ``p*`` / ``p?``. So ``a|b/c`` is
+    a | (b/c) and ``^p+`` is ^(p+), as in the spec.
+
+    All-bare alternation (``a|b``) keeps its single-scan IN-list fast
+    path — one pass over the edges relation, the filter pushed to the
+    scan — instead of one scan per alternative unioned."""
+    alts = term.split("|")
+    if len(alts) > 1:
+        if all(a and not any(c in a for c in _PATH_META) for a in alts):
+            return edges.where(F.col("pred").isin(alts)).select("src", "dst")
+        outs = [_seq_pairs(edges, a, max_hops) for a in alts]
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
+    return _seq_pairs(edges, term, max_hops)
 
 
 def _pattern_df(edges: DataFrame, pat: TriplePattern, max_hops: int = 8) -> DataFrame:
     """One triple pattern -> DataFrame with one column per DISTINCT
     variable. Constants filter; a variable repeated inside the pattern
     (e.g. ``(?x, loops, ?x)``) becomes an equality filter. A constant
-    predicate may use the property-path forms ``a|b`` / ``^p`` / ``p+``
-    (see module docstring); a VARIABLE predicate binds the plain edge
-    scan (no path forms — a variable cannot name a path)."""
+    predicate may use the property-path forms ``a|b`` / ``a/b`` / ``^p``
+    / ``p+`` / ``p?`` / ``p*`` (see module docstring); a VARIABLE
+    predicate binds the plain edge scan (no path forms — a variable
+    cannot name a path)."""
     if len(pat) != 3:
         raise ValueError(f"triple pattern must have 3 terms, got {pat!r}")
     if _is_var(pat[1]):

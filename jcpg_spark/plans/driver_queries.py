@@ -3934,6 +3934,87 @@ FROM ca JOIN cl ON cl.src = ca.src
 """
 
 
+def q_kg_path_seq(spark, sf_dir):
+    """SPARQL 1.1 sequence path: (?p flow.next/call ?tool) — per turn,
+    the tool the NEXT turn calls, the mid turn projected away. `/` is
+    the mid-node hash join of the two atoms' pair relations (bag
+    semantics, exactly the BGP {p flow.next ?m . ?m call tool}
+    unrolling), routed through the path parser so precedence and the
+    join shape are what the grammar promises."""
+    from jcpg_spark.operators import query as bgp
+
+    t = transcripts_from_events(spark, sf_dir)
+    edges = (
+        flow.flow_next(t)
+        .select("src", "pred", "dst")
+        .unionByName(calls.call_triples(t).select("src", "pred", "dst"))
+    )
+    return bgp.match_pattern(edges, [("?p", "flow.next/call", "?tool")])
+
+
+SQL_KG_PATH_SEQ = f"""
+WITH o AS ({_SQL_ORDERED}),
+r AS (SELECT conv_id, idx, {_SQL_ROLE} AS role, {_SQL_TOOL} AS tool FROM o),
+fn AS (SELECT 't:' || conv_id || ':' || CAST(idx AS VARCHAR) AS src,
+              't:' || conv_id || ':' || CAST(nxt AS VARCHAR) AS dst
+       FROM (SELECT conv_id, idx,
+                    lead(idx) OVER (PARTITION BY conv_id ORDER BY idx) AS nxt
+             FROM o)
+       WHERE nxt IS NOT NULL),
+ca AS (SELECT 't:' || conv_id || ':' || CAST(idx AS VARCHAR) AS src,
+              'tool:' || tool AS dst
+       FROM r WHERE role = 'assistant' AND tool IS NOT NULL)
+SELECT fn.src AS p, ca.dst AS tool
+FROM fn JOIN ca ON ca.src = fn.dst
+"""
+
+
+def q_kg_path_star(spark, sf_dir):
+    """SPARQL 1.1 zero-or-more path: (?c call ?tool) ∧ (?c flow.next* ?n)
+    hop-bounded at 3 — kg_path_closure's query with the zero-length path
+    included, so every call site also reaches itself. The zero half is
+    the identity relation over every term occurring in the graph (one
+    distinct over the endpoint columns); set semantics per the spec."""
+    from jcpg_spark.operators import query as bgp
+
+    t = transcripts_from_events(spark, sf_dir)
+    edges = (
+        flow.flow_next(t)
+        .select("src", "pred", "dst")
+        .unionByName(calls.call_triples(t).select("src", "pred", "dst"))
+    )
+    return bgp.match_pattern(
+        edges,
+        [("?c", "call", "?tool"), ("?c", "flow.next*", "?n")],
+        max_hops=3,
+    )
+
+
+SQL_KG_PATH_STAR = f"""
+WITH o AS ({_SQL_ORDERED}),
+r AS (SELECT conv_id, idx, {_SQL_ROLE} AS role, {_SQL_TOOL} AS tool FROM o),
+fn AS (SELECT 't:' || conv_id || ':' || CAST(idx AS VARCHAR) AS src,
+              't:' || conv_id || ':' || CAST(nxt AS VARCHAR) AS dst
+       FROM (SELECT conv_id, idx,
+                    lead(idx) OVER (PARTITION BY conv_id ORDER BY idx) AS nxt
+             FROM o)
+       WHERE nxt IS NOT NULL),
+ca AS (SELECT 't:' || conv_id || ':' || CAST(idx AS VARCHAR) AS src,
+              'tool:' || tool AS dst
+       FROM r WHERE role = 'assistant' AND tool IS NOT NULL),
+ed AS (SELECT src, dst FROM fn UNION ALL SELECT src, dst FROM ca),
+ids AS (SELECT DISTINCT n AS src, n AS dst
+        FROM (SELECT src AS n FROM ed UNION ALL SELECT dst FROM ed)),
+h2 AS (SELECT a.src, b.dst FROM fn a JOIN fn b ON b.src = a.dst),
+h3 AS (SELECT a.src, b.dst FROM h2 a JOIN fn b ON b.src = a.dst),
+cl AS (SELECT DISTINCT src, dst FROM (
+         SELECT * FROM ids UNION ALL SELECT * FROM fn
+         UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3))
+SELECT ca.src AS c, cl.dst AS n, ca.dst AS tool
+FROM ca JOIN cl ON cl.src = ca.src
+"""
+
+
 def q_kg_optional_match(spark, sf_dir):
     """SPARQL OPTIONAL + inverse path + FILTER: required (?c call ?tool),
     OPTIONAL (?c ^return ?r) — the tool-run end that returns to the call
@@ -4886,6 +4967,10 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_bgp_match": (q_kg_bgp_match, SQL_KG_BGP_MATCH),
     # SPARQL 1.1 property-path closure (hop-bounded p+, set semantics)
     "kg_path_closure": (q_kg_path_closure, SQL_KG_PATH_CLOSURE),
+    # SPARQL sequence path a/b (mid-node join through the path grammar)
+    "kg_path_seq": (q_kg_path_seq, SQL_KG_PATH_SEQ),
+    # SPARQL zero-or-more path p* (identity over graph terms + closure)
+    "kg_path_star": (q_kg_path_star, SQL_KG_PATH_STAR),
     # SPARQL OPTIONAL (LeftJoin) + ^inverse path + post-join FILTER
     "kg_optional_match": (q_kg_optional_match, SQL_KG_OPTIONAL_MATCH),
     # SPARQL UNION of same-projection groups (bag semantics)

@@ -451,3 +451,15 @@ def test_community_graph_single_aggregate(spark):
     # pair (join-side exchanges resolve to broadcasts under AQE at
     # runtime when the label side is dimension-sized)
     assert plan.count("HashAggregate") == 2
+
+
+def test_bare_alternation_is_single_scan(spark):
+    """`a|b` with bare predicates must stay ONE scan with an IN-list
+    filter — the fast path — not a per-alternative union of scans."""
+    from jcpg_spark.operators.query import match_pattern
+
+    e = spark.createDataFrame(
+        [("a", "call", "t"), ("a", "loops", "a")],
+        "src string, pred string, dst string")
+    plan = _plan(match_pattern(e, [("?s", "call|loops", "?o")]))
+    assert "Union" not in plan, plan

@@ -196,6 +196,51 @@ def test_path_closure_alternation_inverse(spark):
     }
 
 
+def test_path_sequence_zero_or_one_zero_or_more(spark):
+    """The rest of the SPARQL 1.1 path grammar: `/` sequence (bag, the
+    mid-node join), `?` zero-or-one and `*` zero-or-more (set, identity
+    over graph terms unioned in), standard precedence (| < / < unary),
+    and loud rejection of nested modifiers."""
+    import pytest
+
+    from jcpg_spark.operators.query import match_pattern
+
+    e = _bgp_edges(spark)
+    nodes = {"a", "b", "c", "tool:db", "x", "y", "z"}
+
+    # sequence: next-turn's tool call
+    seq = match_pattern(e, [("?s", "flow.next/call", "?o")]).collect()
+    assert {(r["s"], r["o"]) for r in seq} == {("a", "tool:db")}
+    # sequence with an inverse atom: call sites sharing a tool
+    co = match_pattern(e, [("?s", "call/^call", "?o")]).collect()
+    assert {(r["s"], r["o"]) for r in co} == {
+        ("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")
+    }
+    # precedence: a|b/c parses as a | (b/c), not (a|b)/c
+    pre = match_pattern(e, [("?s", "loops|flow.next/call", "?o")]).collect()
+    assert {(r["s"], r["o"]) for r in pre} == {
+        ("x", "x"), ("y", "z"), ("a", "tool:db")
+    }
+    # zero-or-one: identity over every graph term, plus the base pairs
+    zo = match_pattern(e, [("?s", "flow.next?", "?o")]).collect()
+    assert {(r["s"], r["o"]) for r in zo} == {(n, n) for n in nodes} | {
+        ("a", "b"), ("b", "c")
+    }
+    # zero-or-more: identity plus the bounded closure, set semantics
+    zm = match_pattern(e, [("?s", "flow.next*", "?o")], max_hops=2).collect()
+    assert {(r["s"], r["o"]) for r in zm} == {(n, n) for n in nodes} | {
+        ("a", "b"), ("b", "c"), ("a", "c")
+    }
+    assert len(zm) == len(nodes) + 3  # no duplicate identity rows
+    # nested modifiers and empty atoms are grammar errors, not silent preds
+    with pytest.raises(ValueError, match="unsupported path atom"):
+        match_pattern(e, [("?s", "flow.next+?", "?o")])
+    with pytest.raises(ValueError, match="empty path atom"):
+        match_pattern(e, [("?s", "call||loops", "?o")])
+    with pytest.raises(ValueError, match="empty path atom"):
+        match_pattern(e, [("?s", "call/", "?o")])
+
+
 def test_path_closure_cycle_terminates_with_set_semantics(spark):
     """A cycle must not loop or duplicate: closure pairs are DISTINCT and
     rounds are hop-bounded (the anti-join empties the frontier once the
