@@ -90,6 +90,7 @@ from jcpg_spark.operators.graph_analytics import (
     co_mention_edges,
     component_sizes,
     cooccurrence_lift,
+    scc,
     entity_salience,
     fastrp,
     hits,
@@ -140,6 +141,7 @@ __all__ = [
     "class_centroids",
     "co_mention_edges",
     "component_sizes",
+    "scc",
     "cooccurrence_lift",
     "link_predict_common_neighbors",
     "entity_salience",

@@ -362,6 +362,54 @@ def component_sizes(edges: DataFrame) -> DataFrame:
     )
 
 
+def scc(edges: DataFrame, max_hops: int = 8) -> DataFrame:
+    """-> (item, scc_id, scc_size): strongly connected components of the
+    DIRECTED graph (a, b), hop-bounded. scc_id = the smallest vertex id
+    mutually reachable within ``max_hops`` (every vertex reaches itself
+    in 0 hops, so acyclic and isolated vertices are singleton components
+    under their own id); scc_size = member count.
+
+    The directed dual of ``component_sizes``: cycles in this KG come
+    from return/retry back-edges closing sequential-flow spans
+    (reference emits the loop structure via its CFG back-edges,
+    ``JavacpgCFGBuilder``-family), so a component is a call-to-return
+    span — bounded, conversation-local. That regime picks the
+    algorithm: ONE hop-bounded directed closure (frontier expansion,
+    each pair crosses the shuffle once — ``query._closure``), a semi
+    join of the pair set against its own transpose for mutuality, a min
+    aggregation, a size rollup. Node ids are conv-prefixed, so closure
+    pairs never cross conversations and the pair count is O(span^2) per
+    conversation, not O(V^2). Exact SCC whenever ``max_hops`` >= the
+    longest shortest path inside any component; the hop bound is the
+    contract that keeps the unrolled plan finite and SQL-mirrorable.
+    For graphs with giant strongly connected components (web graphs),
+    iterative forward-backward decomposition is the right tool instead —
+    this closure-pairs form is for the bounded-component regime the
+    transcripts KG actually has.
+    """
+    from jcpg_spark.operators.query import _closure
+
+    base = edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    reach = _closure(base, max_hops)
+    nodes = (
+        base.select("src")
+        .unionByName(base.select(F.col("dst").alias("src")))
+        .distinct()
+    )
+    # zero-hop self-reach; a self-loop edge may duplicate an identity
+    # pair, harmless under the min/count-by-item aggregations below
+    reach = reach.unionByName(nodes.select("src", F.col("src").alias("dst")))
+    rev = reach.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = reach.join(rev, ["src", "dst"], "left_semi")
+    assign = (
+        mutual.groupBy("src")
+        .agg(F.min("dst").alias("scc_id"))
+        .select(F.col("src").alias("item"), "scc_id")
+    )
+    sizes = assign.groupBy("scc_id").agg(F.count("*").alias("scc_size"))
+    return assign.join(sizes, "scc_id").select("item", "scc_id", "scc_size")
+
+
 def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
     """-> (item, label): K synchronous rounds of label propagation over the
     symmetrized graph. Labels start as the vertex's own id; each round every

@@ -2347,6 +2347,51 @@ SELECT canonical, count(*) AS size FROM canon GROUP BY canonical
 """
 
 
+def q_kg_scc(spark, sf_dir):
+    """Strongly connected components of the directed flow+return graph:
+    return back-edges (run end -> call site) close the sequential-flow
+    span they cover into a directed cycle, so each SCC is exactly one
+    tool-run span; everything outside a run is a singleton. The directed
+    dual of kg_component_sizes — hop-bounded bidirectional closure, min
+    mutual partner as the component id (graph_analytics.scc)."""
+    t = transcripts_from_events(spark, sf_dir)
+    edges = (
+        flow.flow_next(t)
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(
+            calls.return_triples(t)
+            .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        )
+    )
+    return graph_analytics.scc(edges, max_hops=6)
+
+
+SQL_KG_SCC = f"""
+WITH RECURSIVE
+-- the embedded statements carry their own WITH lists; under a top-level
+-- WITH RECURSIVE DuckDB mis-scopes a nested WITH whose body is a UNION,
+-- so each is wrapped as a derived table
+cr AS (SELECT * FROM ({SQL_KG_CALL_RETURN}) AS _cr),
+fl AS (SELECT * FROM ({SQL_KG_FLOW_NEXT}) AS _fl),
+ed AS (SELECT DISTINCT src, dst FROM (
+         SELECT src, dst FROM fl
+         UNION ALL SELECT src, dst FROM cr WHERE pred = 'return')),
+rr AS (SELECT src, dst, 1 AS h FROM ed
+       UNION
+       SELECT rr.src, ed.dst, rr.h + 1
+       FROM rr JOIN ed ON ed.src = rr.dst WHERE rr.h < 6),
+nodes AS (SELECT DISTINCT n FROM (
+            SELECT src AS n FROM ed UNION ALL SELECT dst FROM ed)),
+reach AS (SELECT DISTINCT src, dst FROM rr
+          UNION SELECT n, n FROM nodes),
+mut AS (SELECT a.src, a.dst FROM reach a
+        JOIN reach b ON b.src = a.dst AND b.dst = a.src),
+asg AS (SELECT src AS item, min(dst) AS scc_id FROM mut GROUP BY src)
+SELECT item, scc_id, count(*) OVER (PARTITION BY scc_id) AS scc_size
+FROM asg
+"""
+
+
 def q_kg_pagerank(spark, sf_dir):
     """Entity centrality on the co-mention graph: 3 rounds of power
     iteration (damping 0.85), pure DataFrame joins. The oracle unrolls the
@@ -4883,6 +4928,8 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     # weighted bounded shortest paths (improvements-only Bellman-Ford)
     "kg_shortest_path": (q_kg_shortest_path, SQL_KG_SHORTEST_PATH),
     "kg_component_sizes": (q_kg_component_sizes, SQL_KG_COMPONENT_SIZES),
+    # strongly connected components (directed dual; return-edge cycles)
+    "kg_scc": (q_kg_scc, SQL_KG_SCC),
     "doc_boilerplate": (q_doc_boilerplate, SQL_DOC_BOILERPLATE),
     # span REMOVAL composition (detection -> positional excision)
     "doc_scrub_spans": (q_doc_scrub_spans, SQL_DOC_SCRUB_SPANS),

@@ -1268,3 +1268,40 @@ def test_betweenness_hop_bound_and_seed_sample(spark):
         spark.createDataFrame([(i, i + 1) for i in range(1, 5)], "a int, b int")
         .repartition(7), n_seeds=2, max_hops=4).collect()
     assert sorted(map(tuple, s1)) == sorted(map(tuple, s7))
+
+
+def test_scc_cycles_singletons_and_hop_bound(spark):
+    """SCC: a directed cycle is one component under its min id, acyclic
+    tails and self-loop-only vertices are singletons, and the hop bound
+    is honored (a cycle longer than max_hops splits into hop-local
+    mutual groups, the documented truncation contract)."""
+    from jcpg_spark.operators.graph_analytics import scc
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("x", "x")],
+        "a string, b string",
+    )
+    out = sorted(
+        (r["item"], r["scc_id"], r["scc_size"])
+        for r in scc(e, max_hops=4).collect()
+    )
+    assert out == [
+        ("a", "a", 3), ("b", "a", 3), ("c", "a", 3),
+        ("d", "d", 1), ("x", "x", 1),
+    ]
+    # partitioning invariance: same assignment at 1 and 7 partitions
+    out7 = sorted(
+        (r["item"], r["scc_id"], r["scc_size"])
+        for r in scc(e.repartition(7), max_hops=4).collect()
+    )
+    assert out7 == out
+    # hop bound: on a 4-cycle with max_hops=2 no vertex reaches all
+    # others bidirectionally within 2 hops -> hop-local mutual pairs
+    ring = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "a string, b string",
+    )
+    trunc = {r["item"]: r["scc_size"] for r in scc(ring, max_hops=2).collect()}
+    full = {r["item"]: r["scc_size"] for r in scc(ring, max_hops=4).collect()}
+    assert full == {"a": 4, "b": 4, "c": 4, "d": 4}
+    assert all(s < 4 for s in trunc.values())
