@@ -49,6 +49,7 @@ from jcpg_spark.operators.query import (
     match_pattern,
     match_query,
     union_patterns,
+    update_graph,
 )
 from jcpg_spark.operators.reasoning import owl_entail, rdfs_entail, shacl_validate
 from jcpg_spark.operators.retrieval import bm25_topk
@@ -159,6 +160,7 @@ __all__ = [
     "shacl_validate",
     "match_query",
     "union_patterns",
+    "update_graph",
     "bitext_mine",
     "neighbor_sample",
     "random_walks",

@@ -575,6 +575,19 @@ def construct(
         edges, bgp, optional=optional, minus=minus, filters=filters,
         max_hops=max_hops,
     )
+    return _instantiate(sol, template).distinct()
+
+
+def _instantiate(sol: DataFrame, template: Sequence[TriplePattern]) -> DataFrame:
+    """Template triples -> (src, pred, dst) instances, one per solution
+    per template entry (bag — callers apply RDF set semantics where the
+    spec asks for it). Variable slots are filled from the solution,
+    constants pass through; an instance with an unbound (NULL) slot — an
+    OPTIONAL variable that did not match — is SKIPPED, not emitted with
+    a hole. Each template triple is one projection of the one solution
+    relation (computed once, reused N ways under Spark's plan reuse)."""
+    if not template:
+        raise ValueError("empty template")
     bound = set(sol.columns)
     outs = []
     for tpat in template:
@@ -603,7 +616,43 @@ def construct(
     out = outs[0]
     for df in outs[1:]:
         out = out.unionByName(df)
-    return out.distinct()
+    return out
+
+
+def update_graph(
+    edges: DataFrame,
+    where: Sequence[TriplePattern],
+    delete: Sequence[TriplePattern] = (),
+    insert: Sequence[TriplePattern] = (),
+    filters: Sequence[str] = (),
+    max_hops: int = 8,
+) -> DataFrame:
+    """SPARQL 1.1 Update (DELETE/INSERT WHERE) as a pure function: the
+    input edges relation -> the updated (src, pred, dst) relation. No
+    in-place mutation — at 10^12 triples "update" means commit the next
+    graph version, which is exactly how the Iceberg materialize seam
+    works (atomic snapshot swap, never row edits); compose with
+    ``subgraph.graph_diff`` to audit what a rule changed.
+
+    Spec semantics: WHERE is evaluated ONCE against the pre-update
+    graph; both templates are instantiated from those solutions; deletes
+    apply before inserts, so a triple matched by both templates
+    survives. The result is an RDF graph — a SET: DISTINCT base, minus
+    the instantiated deletes (one anti join keyed on the whole triple),
+    union the instantiated inserts, one final distinct. Shuffle budget:
+    the match itself + two triple-keyed exchanges, independent of how
+    many template entries instantiate (projections of one solution
+    relation)."""
+    if not delete and not insert:
+        raise ValueError("update_graph needs a DELETE and/or INSERT template")
+    sol = match_query(edges, where, filters=filters, max_hops=max_hops)
+    out = edges.select("src", "pred", "dst").distinct()
+    if delete:
+        dels = _instantiate(sol, delete)
+        out = out.join(dels, ["src", "pred", "dst"], "left_anti")
+    if insert:
+        out = out.unionByName(_instantiate(sol, insert)).distinct()
+    return out
 
 
 def ask(

@@ -4346,6 +4346,50 @@ LIMIT 1
 """
 
 
+def q_kg_update(spark, sf_dir):
+    """SPARQL 1.1 Update (DELETE/INSERT WHERE) as next-graph-version
+    derivation: call edges whose run threw are retired and re-emitted
+    as call.failed — DELETE {{ ?c call ?t }} INSERT {{ ?c call.failed
+    ?t }} WHERE {{ ?c call ?t . ?r flow.throws ?c }}. WHERE evaluates
+    once against the pre-update graph; deletes before inserts; the
+    result is the full updated triple SET (base minus deletes union
+    inserts, one anti join + one distinct on the triple key)."""
+    from jcpg_spark.operators import query as bgp
+
+    t = transcripts_from_events(spark, sf_dir)
+    edges = (
+        calls.call_triples(t)
+        .select("src", "pred", "dst")
+        .unionByName(calls.return_triples(t).select("src", "pred", "dst"))
+        .unionByName(
+            calls.throw_triples(t, failure_rx=r"^event error")
+            .select("src", "pred", "dst")
+        )
+    )
+    return bgp.update_graph(
+        edges,
+        where=[("?c", "call", "?t"), ("?r", "flow.throws", "?c")],
+        delete=[("?c", "call", "?t")],
+        insert=[("?c", "call.failed", "?t")],
+    )
+
+
+SQL_KG_UPDATE = f"""
+WITH cr AS ({SQL_KG_CALL_RETURN}),
+th AS ({SQL_KG_THROWS}),
+ed AS (SELECT src, pred, dst FROM cr
+       UNION ALL SELECT src, pred, dst FROM th),
+sol AS (SELECT ca.src AS c, ca.dst AS t
+        FROM ed ca JOIN ed tt ON tt.pred = 'flow.throws' AND tt.dst = ca.src
+        WHERE ca.pred = 'call'),
+base AS (SELECT DISTINCT src, pred, dst FROM ed)
+SELECT src, pred, dst FROM (
+  SELECT * FROM base
+  EXCEPT SELECT c, 'call', t FROM sol
+  UNION SELECT c, 'call.failed', t FROM sol)
+"""
+
+
 def q_kg_construct_rule(spark, sf_dir):
     """SPARQL CONSTRUCT — rule-based derivation of a new KG layer:
     CONSTRUCT {{ ?tool tool.followed_by ?n . ?tool rdf.type Tool }}
@@ -5038,6 +5082,8 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_ordered_topk": (q_kg_ordered_topk, SQL_KG_ORDERED_TOPK),
     # SPARQL CONSTRUCT: rule-derived KG layer as a composable edges table
     "kg_construct_rule": (q_kg_construct_rule, SQL_KG_CONSTRUCT_RULE),
+    # SPARQL 1.1 Update: DELETE/INSERT WHERE -> next graph version
+    "kg_update": (q_kg_update, SQL_KG_UPDATE),
     # margin-based bitext mining (ratio margin + mutual-best flag)
     "emb_bitext_mine": (q_emb_bitext_mine, SQL_EMB_BITEXT_MINE),
     # GraphSAGE layered neighbor sampling (md5-deterministic)

@@ -552,3 +552,39 @@ def test_bgp_bag_semantics_preserves_duplicates(spark):
     )
     out = match_pattern(e, [("?c", "call", "?t"), ("?c", "flow.next", "?n")]).collect()
     assert len(out) == 2
+
+
+def test_update_graph_delete_insert_where(spark):
+    """SPARQL 1.1 Update semantics: WHERE evaluated once against the
+    pre-update graph, deletes before inserts (a triple matched by both
+    survives), set-semantics result, loud error on empty update."""
+    import pytest
+
+    from jcpg_spark.operators.query import update_graph
+
+    e = _bgp_edges(spark)
+    out = update_graph(
+        e,
+        where=[("?c", "call", "?t"), ("?c", "flow.next", "?n")],
+        delete=[("?c", "call", "?t")],
+        insert=[("?c", "call.archived", "?t")],
+    ).collect()
+    got = sorted((r["src"], r["pred"], r["dst"]) for r in out)
+    assert ("a", "call", "tool:db") not in got
+    assert ("b", "call", "tool:db") not in got
+    assert ("a", "call.archived", "tool:db") in got
+    assert ("b", "call.archived", "tool:db") in got
+    # untouched layers survive
+    assert ("x", "loops", "x") in got and ("a", "flow.next", "b") in got
+    # delete+insert the same triple -> it survives (inserts after deletes)
+    keep = update_graph(
+        e,
+        where=[("?c", "call", "?t")],
+        delete=[("?c", "call", "?t")],
+        insert=[("?c", "call", "?t")],
+    ).collect()
+    kept = {(r["src"], r["pred"], r["dst"]) for r in keep}
+    assert ("a", "call", "tool:db") in kept and ("b", "call", "tool:db") in kept
+    assert len(keep) == len(kept)  # set semantics: no duplicate rows
+    with pytest.raises(ValueError, match="DELETE and/or INSERT"):
+        update_graph(e, where=[("?c", "call", "?t")])
