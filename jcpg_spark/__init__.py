@@ -91,6 +91,7 @@ from jcpg_spark.operators.graph_analytics import (
     co_mention_edges,
     component_sizes,
     cooccurrence_lift,
+    graph_stats,
     scc,
     entity_salience,
     fastrp,
@@ -143,6 +144,7 @@ __all__ = [
     "co_mention_edges",
     "component_sizes",
     "scc",
+    "graph_stats",
     "cooccurrence_lift",
     "link_predict_common_neighbors",
     "entity_salience",

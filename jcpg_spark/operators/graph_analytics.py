@@ -1303,6 +1303,107 @@ def vertex_features(edges: DataFrame) -> DataFrame:
     )
 
 
+def graph_stats(edges: DataFrame) -> DataFrame:
+    """-> ONE row of whole-graph structural statistics for the directed
+    graph (a, b): n_nodes, n_edges (distinct directed non-self pairs),
+    n_self (distinct self-loops), n_mutual (directed pairs whose reverse
+    is also present), density (directed, n_edges / n(n-1)), reciprocity
+    (n_mutual / n_edges, Garlaschelli-Loffredo), assortativity (Newman
+    degree-degree Pearson r over the symmetrized simple graph, both
+    orientations per undirected edge), and transitivity (global
+    clustering, 3*triangles / wedges).
+
+    The publish-gate audit card for any KG snapshot: hub-and-spoke call
+    graphs read strongly disassortative, a reciprocity jump flags a
+    symmetric-edge emission bug, a transitivity collapse flags broken
+    co-mention pairing. Every aggregate is an exact INTEGER sum
+    (count/degree arithmetic); the handful of final ratios are single
+    IEEE-double expressions over those integers, so the result is
+    bit-deterministic across engines and partitionings — an exact SQL
+    oracle mirrors it to the last ulp. Ratios with a zero denominator
+    (empty graph, degree-regular variance 0) are NULL on both sides.
+    Shuffle budget: one pair dedup, one degree agg, two degree joins,
+    one transpose semi join, plus the triangle kernel — all keyed on
+    node/pair ids, nothing driver-side; one-row aggregates combine via
+    literal cross joins of single-row frames."""
+    from jcpg_spark.caching import swap_persist
+
+    d = swap_persist("graph_stats.pairs", edges.select("a", "b").distinct())
+    simple = d.where(F.col("a") != F.col("b"))
+    rev = simple.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    sym = swap_persist("graph_stats.sym", simple.unionByName(rev).distinct())
+    deg = sym.groupBy(F.col("a").alias("v")).agg(F.count("*").alias("deg"))
+
+    counts = d.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("a") != F.col("b"), 1).otherwise(0)), F.lit(0)
+        ).alias("n_edges"),
+        F.coalesce(
+            F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0)), F.lit(0)
+        ).alias("n_self"),
+    )
+    n_nodes = (
+        d.select(F.col("a").alias("v"))
+        .unionByName(d.select(F.col("b").alias("v")))
+        .distinct()
+        .agg(F.count("*").alias("n_nodes"))
+    )
+    n_mutual = (
+        simple.join(rev, ["a", "b"], "left_semi")
+        .agg(F.count("*").alias("n_mutual"))
+    )
+    pairs_deg = sym.join(
+        deg.select(F.col("v").alias("a"), F.col("deg").alias("dx")), "a"
+    ).join(deg.select(F.col("v").alias("b"), F.col("deg").alias("dy")), "b")
+    sums = pairs_deg.agg(
+        F.count("*").alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    und = sym.where(F.col("a") < F.col("b"))
+    tri3 = (
+        triangle_counts(und)
+        .agg(F.coalesce(F.sum("n_tri"), F.lit(0)).alias("tri3"))
+    )  # sum over vertices = 3 * triangle count
+    wedges2 = deg.agg(
+        F.coalesce(F.sum(F.col("deg") * (F.col("deg") - 1)), F.lit(0)).alias(
+            "wedges2"
+        )
+    )  # 2 * wedge count
+
+    row = (
+        counts.crossJoin(n_nodes)
+        .crossJoin(n_mutual)
+        .crossJoin(sums)
+        .crossJoin(tri3)
+        .crossJoin(wedges2)
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    denom_d = dbl("n_nodes") * (dbl("n_nodes") - 1)
+    cov = dbl("m") * dbl("sxy") - dbl("sx") * dbl("sy")
+    varx = dbl("m") * dbl("sxx") - dbl("sx") * dbl("sx")
+    vary = dbl("m") * dbl("syy") - dbl("sy") * dbl("sy")
+    return row.select(
+        "n_nodes",
+        "n_edges",
+        "n_self",
+        "n_mutual",
+        F.when(denom_d > 0, dbl("n_edges") / denom_d).alias("density"),
+        F.when(F.col("n_edges") > 0, dbl("n_mutual") / dbl("n_edges")).alias(
+            "reciprocity"
+        ),
+        F.when(
+            (varx > 0) & (vary > 0), cov / F.sqrt(varx * vary)
+        ).alias("assortativity"),
+        F.when(F.col("wedges2") > 0, 2 * dbl("tri3") / dbl("wedges2")).alias(
+            "transitivity"
+        ),
+    )
+
+
 def cardinality_audit(edges: DataFrame) -> DataFrame:
     """-> (pred, n_edges, n_subjects, max_fanout, n_multi_subjects,
     functional): per-predicate cardinality profile of a triple set — the

@@ -2392,6 +2392,79 @@ FROM asg
 """
 
 
+def q_kg_graph_stats(spark, sf_dir):
+    """Whole-graph audit card over the directed call/return/flow graph:
+    density, reciprocity (call->return spans make mutual pairs rare but
+    present), Newman degree assortativity (tool hubs -> strongly
+    disassortative), transitivity. Every aggregate is an exact integer
+    sum; the final ratios are single IEEE-double expressions over those
+    integers, so the oracle matches to the last ulp."""
+    t = transcripts_from_events(spark, sf_dir)
+    edges = (
+        flow.flow_next(t)
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(
+            calls.call_triples(t)
+            .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        )
+        .unionByName(
+            calls.return_triples(t)
+            .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        )
+    )
+    return graph_analytics.graph_stats(edges)
+
+
+SQL_KG_GRAPH_STATS = f"""
+WITH cr AS ({SQL_KG_CALL_RETURN}),
+fl AS ({SQL_KG_FLOW_NEXT}),
+d AS (SELECT DISTINCT src AS a, dst AS b FROM (
+        SELECT src, dst FROM fl UNION ALL SELECT src, dst FROM cr)),
+simple AS (SELECT a, b FROM d WHERE a <> b),
+sym AS (SELECT a, b FROM simple UNION SELECT b, a FROM simple),
+deg AS (SELECT a AS v, count(*) AS deg FROM sym GROUP BY a),
+nn AS (SELECT count(*) AS n_nodes FROM (
+         SELECT DISTINCT v FROM (SELECT a AS v FROM d UNION ALL SELECT b FROM d))),
+cnt AS (SELECT count(*) AS n_edges FROM simple),
+slf AS (SELECT count(*) AS n_self FROM d WHERE a = b),
+mut AS (SELECT count(*) AS n_mutual FROM simple s
+        WHERE EXISTS (SELECT 1 FROM simple r WHERE r.a = s.b AND r.b = s.a)),
+pd AS (SELECT dx.deg AS dx, dy.deg AS dy
+       FROM sym JOIN deg dx ON dx.v = sym.a JOIN deg dy ON dy.v = sym.b),
+sums AS (SELECT count(*) AS m, sum(dx) AS sx, sum(dy) AS sy,
+                sum(dx*dx) AS sxx, sum(dy*dy) AS syy, sum(dx*dy) AS sxy
+         FROM pd),
+und AS (SELECT a, b FROM sym WHERE a < b),
+tri AS (SELECT 3 * count(*) AS tri3
+        FROM und e1 JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+             JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+wd AS (SELECT coalesce(sum(deg*(deg-1)), 0) AS wedges2 FROM deg)
+SELECT n_nodes, n_edges, n_self, n_mutual,
+  CASE WHEN CAST(n_nodes AS DOUBLE) * (CAST(n_nodes AS DOUBLE) - 1) > 0
+       THEN CAST(n_edges AS DOUBLE)
+            / (CAST(n_nodes AS DOUBLE) * (CAST(n_nodes AS DOUBLE) - 1)) END
+    AS density,
+  CASE WHEN n_edges > 0
+       THEN CAST(n_mutual AS DOUBLE) / CAST(n_edges AS DOUBLE) END
+    AS reciprocity,
+  CASE WHEN (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        AND (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+       THEN (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END
+    AS assortativity,
+  CASE WHEN wedges2 > 0
+       THEN 2 * CAST(tri3 AS DOUBLE) / CAST(wedges2 AS DOUBLE) END
+    AS transitivity
+FROM cnt, nn, slf, mut, sums, tri, wd
+"""
+
+
 def q_kg_pagerank(spark, sf_dir):
     """Entity centrality on the co-mention graph: 3 rounds of power
     iteration (damping 0.85), pure DataFrame joins. The oracle unrolls the
@@ -4974,6 +5047,8 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_component_sizes": (q_kg_component_sizes, SQL_KG_COMPONENT_SIZES),
     # strongly connected components (directed dual; return-edge cycles)
     "kg_scc": (q_kg_scc, SQL_KG_SCC),
+    # whole-graph audit card (density/reciprocity/assortativity/transitivity)
+    "kg_graph_stats": (q_kg_graph_stats, SQL_KG_GRAPH_STATS),
     "doc_boilerplate": (q_doc_boilerplate, SQL_DOC_BOILERPLATE),
     # span REMOVAL composition (detection -> positional excision)
     "doc_scrub_spans": (q_doc_scrub_spans, SQL_DOC_SCRUB_SPANS),

@@ -1305,3 +1305,27 @@ def test_scc_cycles_singletons_and_hop_bound(spark):
     full = {r["item"]: r["scc_size"] for r in scc(ring, max_hops=4).collect()}
     assert full == {"a": 4, "b": 4, "c": 4, "d": 4}
     assert all(s < 4 for s in trunc.values())
+
+
+def test_graph_stats_hand_checked_and_empty(spark):
+    """Whole-graph stats against hand-computed values on a star (perfect
+    disassortativity) + mutual pair + self-loop + one triangle; empty
+    graph yields zero counts and NULL ratios, never a crash."""
+    from jcpg_spark.operators.graph_analytics import graph_stats
+
+    e = spark.createDataFrame(
+        [("h", "l1"), ("h", "l2"), ("h", "l3"), ("l1", "h"), ("s", "s"),
+         ("p", "q"), ("q", "r"), ("r", "p"), ("p", "q")],  # dup collapses
+        "a string, b string",
+    )
+    r = graph_stats(e).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_self"], r["n_mutual"]) == (8, 7, 1, 2)
+    assert abs(r["density"] - 7 / 56) < 1e-15
+    assert abs(r["reciprocity"] - 2 / 7) < 1e-15
+    # star contributes cov<0; triangle vertices sit exactly at the degree
+    # mean so they add nothing to cov or var -> r = -1 exactly
+    assert abs(r["assortativity"] - (-1.0)) < 1e-12
+    assert abs(r["transitivity"] - 0.5) < 1e-15  # 3 tri-slots / 6 wedges
+    r0 = graph_stats(spark.createDataFrame([], "a string, b string")).collect()[0]
+    assert (r0["n_nodes"], r0["n_edges"], r0["n_self"], r0["n_mutual"]) == (0, 0, 0, 0)
+    assert r0["density"] is None and r0["assortativity"] is None
