@@ -60,7 +60,11 @@ HAVING, ORDER BY + LIMIT solution modifiers (Spark plans sort+limit as
 TakeOrderedAndProject — a per-partition top-k merge, never a global
 sort), and DISTINCT; plus FILTER EXISTS (semi-join dual of MINUS),
 VALUES inline data (broadcast parameter table), and BIND (sequential
-computed variables). ``union_patterns`` is SPARQL UNION (bag union of
+computed variables), and the GRAPH clause over a named-graph column
+(conversations ARE the named graphs here: a constant graph is a pushed
+partition-pruning filter, a variable graph threads the graph name
+through every join and path closure as one more solution variable).
+``union_patterns`` is SPARQL UNION (bag union of
 same-projection groups); ``construct`` is SPARQL CONSTRUCT — template
 triples instantiated per solution into a new (src, pred, dst) edges
 relation, i.e. rule-based derivation of new graph layers from matched
@@ -85,6 +89,7 @@ def _is_var(term: str) -> bool:
 
 
 _PATH_META = "^+*?/|"
+_GCOL = "__g"  # internal column threading a variable GRAPH binding
 
 
 def _closure(base: DataFrame, max_hops: int) -> DataFrame:
@@ -100,22 +105,40 @@ def _closure(base: DataFrame, max_hops: int) -> DataFrame:
     anti-joins everything already reached, so a pair crosses the shuffle
     in exactly one round; lineage is cut per round with a lazy
     localCheckpoint. Bounded rounds keep the plan finite for the SQL
-    oracle and bound the damage of a cycle at 10^12 edges."""
+    oracle and bound the damage of a cycle at 10^12 edges.
+
+    Under a variable GRAPH clause the base carries the named-graph column
+    ``__g`` and every hop join adds graph equality, so a path never
+    crosses graphs — the per-graph closure the SPARQL dataset semantics
+    require."""
     if max_hops < 1:
         raise ValueError("max_hops must be >= 1")
     from jcpg_spark.caching import swap_persist
 
+    graphed = _GCOL in base.columns
+    keys = ["src", "dst"] + ([_GCOL] if graphed else [])
     base = base.distinct()
     if max_hops > 1:
         base = swap_persist("query.closure.base", base)
-    hop = base.select(F.col("src").alias("m"), F.col("dst").alias("o2"))
+    hop = base.select(
+        F.col("src").alias("m"),
+        F.col("dst").alias("o2"),
+        *([F.col(_GCOL).alias("hg")] if graphed else []),
+    )
     reach, frontier = base, base
     for _h in range(2, max_hops + 1):
+        cond = frontier["dst"] == hop["m"]
+        if graphed:
+            cond = cond & (frontier[_GCOL] == hop["hg"])
         nxt = (
-            frontier.join(hop, frontier["dst"] == hop["m"])
-            .select("src", F.col("o2").alias("dst"))
+            frontier.join(hop, cond)
+            .select(
+                frontier["src"],
+                F.col("o2").alias("dst"),
+                *([frontier[_GCOL]] if graphed else []),
+            )
             .distinct()
-            .join(reach, ["src", "dst"], "left_anti")
+            .join(reach, keys, "left_anti")
             .localCheckpoint(eager=False)
         )
         reach = reach.unionByName(nxt)
@@ -123,12 +146,22 @@ def _closure(base: DataFrame, max_hops: int) -> DataFrame:
     return reach
 
 
-def _identity_pairs(edges: DataFrame) -> DataFrame:
+def _identity_pairs(edges: DataFrame, gcol: str | None = None) -> DataFrame:
     """(n, n) for every term that occurs in the graph — SPARQL's
     zero-length path, the zero half of ``p?`` / ``p*``. One distinct
     over the union of both endpoint columns (a single shuffle, node-id
     width only); the spec's "terms mentioned in the query" extension is
-    intentionally not modeled — graph terms only, documented."""
+    intentionally not modeled — graph terms only, documented. Under a
+    variable GRAPH clause (``gcol``) the identity is per named graph."""
+    if gcol:
+        nodes = (
+            edges.select("src", F.col(gcol).alias(_GCOL))
+            .unionByName(
+                edges.select(F.col("dst").alias("src"), F.col(gcol).alias(_GCOL))
+            )
+            .distinct()
+        )
+        return nodes.select("src", F.col("src").alias("dst"), _GCOL)
     nodes = (
         edges.select("src")
         .unionByName(edges.select(F.col("dst").alias("src")))
@@ -137,9 +170,9 @@ def _identity_pairs(edges: DataFrame) -> DataFrame:
     return nodes.select("src", F.col("src").alias("dst"))
 
 
-def _bare_pairs(edges: DataFrame, pred: str) -> DataFrame:
-    """(src, dst) scan for one literal predicate name — the leaf of the
-    path grammar. Rejects leftover metacharacters loudly: nested
+def _bare_pairs(edges: DataFrame, pred: str, gcol: str | None = None) -> DataFrame:
+    """(src, dst[, __g]) scan for one literal predicate name — the leaf
+    of the path grammar. Rejects leftover metacharacters loudly: nested
     modifiers (``p+?``) and grouping need parentheses, which this
     grammar does not have — compose via match_query instead."""
     if not pred or any(c in pred for c in _PATH_META):
@@ -148,10 +181,15 @@ def _bare_pairs(edges: DataFrame, pred: str) -> DataFrame:
             "need parentheses, which this grammar does not support; "
             "compose the path from multiple patterns instead"
         )
-    return edges.where(F.col("pred") == F.lit(pred)).select("src", "dst")
+    out = edges.where(F.col("pred") == F.lit(pred))
+    if gcol:
+        return out.select("src", "dst", F.col(gcol).alias(_GCOL))
+    return out.select("src", "dst")
 
 
-def _atom_pairs(edges: DataFrame, atom: str, max_hops: int) -> DataFrame:
+def _atom_pairs(
+    edges: DataFrame, atom: str, max_hops: int, gcol: str | None = None
+) -> DataFrame:
     """One path atom: ``^`` inverse prefix wrapping the whole atom (the
     SPARQL PathEltOrInverse rule, so ``^p+`` = inverse of the closure —
     identical to the closure of the inverse), then one optional postfix
@@ -161,50 +199,66 @@ def _atom_pairs(edges: DataFrame, atom: str, max_hops: int) -> DataFrame:
     if not atom:
         raise ValueError("empty path atom (doubled '|' or '/'?)")
     if atom.startswith("^"):
-        inner = _atom_pairs(edges, atom[1:], max_hops)
-        return inner.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        inner = _atom_pairs(edges, atom[1:], max_hops, gcol)
+        return inner.select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            *([_GCOL] if gcol else []),
+        )
     if atom.endswith("+"):
-        return _closure(_bare_pairs(edges, atom[:-1]), max_hops)
+        return _closure(_bare_pairs(edges, atom[:-1], gcol), max_hops)
     if atom.endswith("*"):
         return (
-            _identity_pairs(edges)
-            .unionByName(_closure(_bare_pairs(edges, atom[:-1]), max_hops))
+            _identity_pairs(edges, gcol)
+            .unionByName(_closure(_bare_pairs(edges, atom[:-1], gcol), max_hops))
             .distinct()
         )
     if atom.endswith("?"):
         return (
-            _identity_pairs(edges)
-            .unionByName(_bare_pairs(edges, atom[:-1]))
+            _identity_pairs(edges, gcol)
+            .unionByName(_bare_pairs(edges, atom[:-1], gcol))
             .distinct()
         )
-    return _bare_pairs(edges, atom)
+    return _bare_pairs(edges, atom, gcol)
 
 
-def _seq_pairs(edges: DataFrame, term: str, max_hops: int) -> DataFrame:
+def _seq_pairs(
+    edges: DataFrame, term: str, max_hops: int, gcol: str | None = None
+) -> DataFrame:
     """``a/b/...`` sequence path: the atoms' pair relations joined
     mid-node to mid-node, left to right — SPARQL's SequencePath, which
     is exactly the BGP {s a ?m . ?m b o} with ?m projected away, so it
     keeps bag semantics (multiplicity = number of distinct mid paths).
-    Each step is a hash join keyed on the mid node; nothing widens
-    beyond (src, dst) between steps."""
+    Each step is a hash join keyed on the mid node (plus graph equality
+    under a variable GRAPH clause); nothing widens beyond (src, dst)
+    between steps."""
     steps = term.split("/")
-    out = _atom_pairs(edges, steps[0], max_hops)
+    out = _atom_pairs(edges, steps[0], max_hops, gcol)
     for step in steps[1:]:
-        nxt = _atom_pairs(edges, step, max_hops).select(
-            F.col("src").alias("__m"), F.col("dst").alias("__o")
+        nxt = _atom_pairs(edges, step, max_hops, gcol).select(
+            F.col("src").alias("__m"),
+            F.col("dst").alias("__o"),
+            *([F.col(_GCOL).alias("__g2")] if gcol else []),
         )
-        out = out.join(nxt, out["dst"] == nxt["__m"]).select(
-            out["src"], F.col("__o").alias("dst")
+        cond = out["dst"] == nxt["__m"]
+        if gcol:
+            cond = cond & (out[_GCOL] == nxt["__g2"])
+        out = out.join(nxt, cond).select(
+            out["src"],
+            F.col("__o").alias("dst"),
+            *([out[_GCOL]] if gcol else []),
         )
     return out
 
 
-def _const_pred_pairs(edges: DataFrame, term: str, max_hops: int = 1) -> DataFrame:
-    """(src, dst) relation for a CONSTANT predicate term — the SPARQL
-    1.1 property-path grammar without parentheses, standard precedence
-    (loosest to tightest): ``|`` alternation, ``/`` sequence, then the
-    unary forms ``^p`` / ``p+`` / ``p*`` / ``p?``. So ``a|b/c`` is
-    a | (b/c) and ``^p+`` is ^(p+), as in the spec.
+def _const_pred_pairs(
+    edges: DataFrame, term: str, max_hops: int = 1, gcol: str | None = None
+) -> DataFrame:
+    """(src, dst[, __g]) relation for a CONSTANT predicate term — the
+    SPARQL 1.1 property-path grammar without parentheses, standard
+    precedence (loosest to tightest): ``|`` alternation, ``/`` sequence,
+    then the unary forms ``^p`` / ``p+`` / ``p*`` / ``p?``. So ``a|b/c``
+    is a | (b/c) and ``^p+`` is ^(p+), as in the spec.
 
     All-bare alternation (``a|b``) keeps its single-scan IN-list fast
     path — one pass over the edges relation, the filter pushed to the
@@ -212,30 +266,46 @@ def _const_pred_pairs(edges: DataFrame, term: str, max_hops: int = 1) -> DataFra
     alts = term.split("|")
     if len(alts) > 1:
         if all(a and not any(c in a for c in _PATH_META) for a in alts):
-            return edges.where(F.col("pred").isin(alts)).select("src", "dst")
-        outs = [_seq_pairs(edges, a, max_hops) for a in alts]
+            out = edges.where(F.col("pred").isin(alts))
+            if gcol:
+                return out.select("src", "dst", F.col(gcol).alias(_GCOL))
+            return out.select("src", "dst")
+        outs = [_seq_pairs(edges, a, max_hops, gcol) for a in alts]
         out = outs[0]
         for o in outs[1:]:
             out = out.unionByName(o)
         return out
-    return _seq_pairs(edges, term, max_hops)
+    return _seq_pairs(edges, term, max_hops, gcol)
 
 
-def _pattern_df(edges: DataFrame, pat: TriplePattern, max_hops: int = 8) -> DataFrame:
+def _pattern_df(
+    edges: DataFrame,
+    pat: TriplePattern,
+    max_hops: int = 8,
+    gvar: str | None = None,
+    gcol: str = "conv_id",
+) -> DataFrame:
     """One triple pattern -> DataFrame with one column per DISTINCT
     variable. Constants filter; a variable repeated inside the pattern
     (e.g. ``(?x, loops, ?x)``) becomes an equality filter. A constant
     predicate may use the property-path forms ``a|b`` / ``a/b`` / ``^p``
     / ``p+`` / ``p?`` / ``p*`` (see module docstring); a VARIABLE
     predicate binds the plain edge scan (no path forms — a variable
-    cannot name a path)."""
+    cannot name a path). Under a variable GRAPH clause (``gvar``), the
+    named-graph column rides along as one more bound variable, so the
+    per-pattern joins thread graph equality for free."""
     if len(pat) != 3:
         raise ValueError(f"triple pattern must have 3 terms, got {pat!r}")
+    g = gvar[1:] if gvar else None
     if _is_var(pat[1]):
-        df = edges.select("src", "pred", "dst")
+        base_cols = ["src", "pred", "dst"]
+        if g:
+            df = edges.select(*base_cols, F.col(gcol).alias(_GCOL))
+        else:
+            df = edges.select(*base_cols)
         cols = ("src", "pred", "dst")
     else:
-        df = _const_pred_pairs(edges, pat[1], max_hops)
+        df = _const_pred_pairs(edges, pat[1], max_hops, gcol=gcol if g else None)
         pat = (pat[0], None, pat[2])
         cols = ("src", None, "dst")
     seen: dict[str, str] = {}
@@ -254,6 +324,11 @@ def _pattern_df(edges: DataFrame, pat: TriplePattern, max_hops: int = 8) -> Data
                 sel.append(F.col(col).alias(var))
         else:
             df = df.where(F.col(col) == F.lit(term))
+    if g:
+        if g in seen:  # GRAPH ?g where ?g is also a pattern variable
+            df = df.where(F.col(_GCOL) == F.col(seen[g]))
+        else:
+            sel.append(F.col(_GCOL).alias(g))
     if not sel:
         raise ValueError(
             f"all-constant pattern {pat!r}: an existence test binds nothing; "
@@ -263,7 +338,11 @@ def _pattern_df(edges: DataFrame, pat: TriplePattern, max_hops: int = 8) -> Data
 
 
 def match_pattern(
-    edges: DataFrame, patterns: Sequence[TriplePattern], max_hops: int = 8
+    edges: DataFrame,
+    patterns: Sequence[TriplePattern],
+    max_hops: int = 8,
+    graph: str | None = None,
+    graph_col: str = "conv_id",
 ) -> DataFrame:
     """Evaluate a basic graph pattern over ``edges`` (src, pred, dst).
 
@@ -273,13 +352,41 @@ def match_pattern(
     pattern must share at least one variable with the ones before it
     (see module docstring — accidental cartesian products are rejected).
     ``max_hops`` bounds any ``p+`` property-path closure in the patterns.
+
+    ``graph`` is the SPARQL GRAPH clause over the named-graph column
+    ``graph_col`` (this engine's graphs are conversation-scoped, so
+    conv_id IS the named graph by default):
+    - a CONSTANT scopes the whole group to that one graph — applied as a
+      pushed filter before anything joins, i.e. partition pruning when
+      the edges table is laid out by graph;
+    - a VARIABLE (``"?g"``) binds the graph name as one more solution
+      variable shared by EVERY pattern in the group — the per-pattern
+      joins (and property-path closures, sequences, identities) all
+      thread graph equality, so no solution ever mixes graphs, exactly
+      the SPARQL dataset semantics. Two patterns sharing only ?g is a
+      legitimate per-graph cross product (bounded by the graph size),
+      accepted, unlike the global cartesian which stays rejected.
     """
     if not patterns:
         raise ValueError("empty pattern list")
+    gvar = None
+    if graph is not None:
+        if graph_col not in edges.columns:
+            raise ValueError(
+                f"GRAPH clause needs a named-graph column {graph_col!r} on "
+                f"the edges relation (have: {edges.columns})"
+            )
+        if _is_var(graph):
+            gvar = graph
+        else:
+            # constant GRAPH: scope the whole group to one named graph —
+            # a plain pushed filter, the partition-pruning move when the
+            # edges table is partitioned/bucketed by the graph column
+            edges = edges.where(F.col(graph_col) == F.lit(graph))
     result: DataFrame | None = None
     bound: set[str] = set()
     for pat in patterns:
-        pdf = _pattern_df(edges, pat, max_hops)
+        pdf = _pattern_df(edges, pat, max_hops, gvar=gvar, gcol=graph_col)
         pvars = set(pdf.columns)
         if result is None:
             result, bound = pdf, pvars
@@ -312,6 +419,8 @@ def match_query(
     having: Sequence[str] = (),
     order_by: Sequence[str] = (),
     limit: int | None = None,
+    graph: str | None = None,
+    graph_col: str = "conv_id",
 ) -> DataFrame:
     """SPARQL SELECT core: required BGP, then OPTIONAL groups, FILTER
     EXISTS groups, MINUS groups, FILTERs, GROUP BY / aggregates / HAVING,
@@ -384,7 +493,7 @@ def match_query(
     - output columns = sorted variable names (or group keys + aggregate
       aliases); bag semantics unless ``distinct``.
     """
-    result = match_pattern(edges, bgp, max_hops)
+    result = match_pattern(edges, bgp, max_hops, graph=graph, graph_col=graph_col)
     bound = set(result.columns)
     if values is not None:
         vvars, vrows = values
@@ -407,7 +516,7 @@ def match_query(
         result = result.join(vb, on=shared) if shared else result.crossJoin(vb)
         bound |= set(vvars)
     for group in optional:
-        gdf = match_pattern(edges, group, max_hops)
+        gdf = match_pattern(edges, group, max_hops, graph=graph, graph_col=graph_col)
         gvars = set(gdf.columns)
         shared = sorted(bound & gvars)
         if not shared:
@@ -419,7 +528,7 @@ def match_query(
         result = result.join(gdf, on=shared, how="left")
         bound |= gvars
     for group in exists:
-        gdf = match_pattern(edges, group, max_hops)
+        gdf = match_pattern(edges, group, max_hops, graph=graph, graph_col=graph_col)
         shared = sorted(bound & set(gdf.columns))
         if not shared:
             raise ValueError(
@@ -437,7 +546,7 @@ def match_query(
         # never multiplied by how many ways the EXISTS matches
         result = result.join(gdf.select(*shared), on=shared, how="semi")
     for group in minus:
-        gdf = match_pattern(edges, group, max_hops)
+        gdf = match_pattern(edges, group, max_hops, graph=graph, graph_col=graph_col)
         shared = sorted(bound & set(gdf.columns))
         if not shared:
             raise ValueError(

@@ -4052,6 +4052,41 @@ FROM ca JOIN cl ON cl.src = ca.src
 """
 
 
+def q_kg_graph_named(spark, sf_dir):
+    """SPARQL GRAPH ?g clause over conversation-scoped named graphs
+    (conv_id IS the graph name): GRAPH ?g {{ ?c call ?t . ?c flow.next
+    ?n }} grouped per (graph, tool). The graph variable rides every
+    pattern's join, so no solution mixes conversations — the dataset
+    semantics — and a constant graph would instead push a partition-
+    pruning filter to the scan."""
+    from jcpg_spark.operators import query as bgp
+
+    t = transcripts_from_events(spark, sf_dir)
+    edges = (
+        calls.call_triples(t)
+        .select("src", "pred", "dst", "conv_id")
+        .unionByName(flow.flow_next(t).select("src", "pred", "dst", "conv_id"))
+    )
+    return bgp.match_query(
+        edges,
+        [("?c", "call", "?t"), ("?c", "flow.next", "?n")],
+        graph="?g",
+        group_by=["g", "t"],
+        aggregates={"n_next": "count(n)"},
+    )
+
+
+SQL_KG_GRAPH_NAMED = f"""
+WITH cr AS ({SQL_KG_CALL_RETURN}),
+fl AS ({SQL_KG_FLOW_NEXT}),
+ca AS (SELECT src, dst, conv_id FROM cr WHERE pred = 'call'),
+fn AS (SELECT src, dst, conv_id FROM fl)
+SELECT ca.conv_id AS g, ca.dst AS t, count(fn.dst) AS n_next
+FROM ca JOIN fn ON fn.src = ca.src AND fn.conv_id = ca.conv_id
+GROUP BY ca.conv_id, ca.dst
+"""
+
+
 def q_kg_path_seq(spark, sf_dir):
     """SPARQL 1.1 sequence path: (?p flow.next/call ?tool) — per turn,
     the tool the NEXT turn calls, the mid turn projected away. `/` is
@@ -5133,6 +5168,8 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_bgp_match": (q_kg_bgp_match, SQL_KG_BGP_MATCH),
     # SPARQL 1.1 property-path closure (hop-bounded p+, set semantics)
     "kg_path_closure": (q_kg_path_closure, SQL_KG_PATH_CLOSURE),
+    # SPARQL GRAPH clause: conversation-scoped named graphs
+    "kg_graph_named": (q_kg_graph_named, SQL_KG_GRAPH_NAMED),
     # SPARQL sequence path a/b (mid-node join through the path grammar)
     "kg_path_seq": (q_kg_path_seq, SQL_KG_PATH_SEQ),
     # SPARQL zero-or-more path p* (identity over graph terms + closure)

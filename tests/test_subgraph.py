@@ -588,3 +588,69 @@ def test_update_graph_delete_insert_where(spark):
     assert len(keep) == len(kept)  # set semantics: no duplicate rows
     with pytest.raises(ValueError, match="DELETE and/or INSERT"):
         update_graph(e, where=[("?c", "call", "?t")])
+
+
+def _quad_edges(spark):
+    return spark.createDataFrame(
+        [
+            ("a", "call", "tool:db", "g1"),
+            ("a", "flow.next", "b", "g1"),
+            ("b", "flow.next", "c", "g1"),
+            ("a", "call", "tool:db", "g2"),
+            ("a", "flow.next", "z", "g2"),
+        ],
+        "src string, pred string, dst string, conv_id string",
+    )
+
+
+def test_graph_clause_constant_and_variable(spark):
+    """SPARQL GRAPH over the conv_id named-graph column: a constant
+    scopes the group (pushed filter); a variable binds the graph name as
+    a shared solution variable so no solution mixes graphs — including
+    property-path closures, which must not cross graphs."""
+    import pytest
+
+    from jcpg_spark.operators.query import match_pattern, match_query
+
+    e = _quad_edges(spark)
+    # constant graph: only g1's flow chain
+    out = match_pattern(
+        e, [("?s", "flow.next", "?o")], graph="g1"
+    ).collect()
+    assert {(r["s"], r["o"]) for r in out} == {("a", "b"), ("b", "c")}
+    # variable graph: the same call site binds once per graph
+    out2 = match_pattern(
+        e, [("?c", "call", "?t"), ("?c", "flow.next", "?n")], graph="?g"
+    ).collect()
+    assert {(r["g"], r["c"], r["n"]) for r in out2} == {
+        ("g1", "a", "b"), ("g2", "a", "z")
+    }
+    # closure under GRAPH ?g must NOT cross graphs: a->b->c exists only
+    # inside g1; g2 has just a->z, no 2-hop pair
+    cl = match_pattern(
+        e, [("?s", "flow.next+", "?o")], graph="?g", max_hops=2
+    ).collect()
+    assert {(r["g"], r["s"], r["o"]) for r in cl} == {
+        ("g1", "a", "b"), ("g1", "b", "c"), ("g1", "a", "c"),
+        ("g2", "a", "z"),
+    }
+    # zero-length identity is per graph too: c exists only in g1
+    zo = match_pattern(
+        e, [("?s", "flow.next?", "?o")], graph="?g"
+    ).collect()
+    assert ("g1", "c", "c") in {(r["g"], r["s"], r["o"]) for r in zo}
+    assert ("g2", "c", "c") not in {(r["g"], r["s"], r["o"]) for r in zo}
+    # match_query threads the clause into OPTIONAL/EXISTS groups as well
+    mq = match_query(
+        e,
+        [("?c", "call", "?t")],
+        exists=[[("?c", "flow.next", "?n")]],
+        graph="?g",
+        group_by=["g"],
+        aggregates={"n": "count(c)"},
+    ).collect()
+    assert {(r["g"], r["n"]) for r in mq} == {("g1", 1), ("g2", 1)}
+    # missing named-graph column is a loud error
+    bare = e.select("src", "pred", "dst")
+    with pytest.raises(ValueError, match="named-graph column"):
+        match_pattern(bare, [("?s", "flow.next", "?o")], graph="?g")
