@@ -41,7 +41,7 @@ from jcpg_spark.operators.lm import (
     ppmi_weights,
     skipgram_counts,
 )
-from jcpg_spark.operators.linking import link_asof
+from jcpg_spark.operators.linking import fuzzy_link, link_asof
 from jcpg_spark.operators.query import (
     ask,
     construct,
@@ -187,6 +187,7 @@ __all__ = [
     "read_graph_edges",
     "run_pipeline",
     "link_asof",
+    "fuzzy_link",
     "vertex_features",
 ]
 __version__ = "0.1.0"

@@ -224,3 +224,80 @@ def link_asof(
         F.col("best.score").alias("score"),
         F.col("best.valid_from").alias("valid_from"),
     )
+
+
+def _del_variants(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """-> (id, v): the <=k-deletion neighborhood of each string — the
+    string itself plus every string reachable by deleting up to k
+    characters (FastSS indexing; Bocek et al., "Fast Similarity Search
+    in Large Dictionaries", 2007). Pure column expressions: one
+    transform-over-sequence per deletion round, exploded and deduped, so
+    the neighborhood never touches Python. ~len(s)^k variants per
+    string — that is the documented cost model, which is why k is capped
+    at 2."""
+    out = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("v"))
+    layers = [out]
+    cur = out
+    dels = (
+        "IF(length(v) = 0, array(), "
+        "transform(sequence(1, length(v)), "
+        "i -> concat(substring(v, 1, i-1), substring(v, i+1, length(v)))))"
+    )
+    for _ in range(k):
+        # the EMPTY variant is load-bearing: two length-1 strings at
+        # substitution distance 1 intersect only at '' (delete the
+        # edited position from both) — filtering empties would silently
+        # lose those pairs; an empty v contributes no further deletions
+        # (the IF guard yields array()), so rounds still terminate
+        cur = cur.select("id", F.explode(F.expr(dels)).alias("v")).distinct()
+        layers.append(cur)
+    all_ = layers[0]
+    for lay in layers[1:]:
+        all_ = all_.unionByName(lay)
+    return all_.distinct()
+
+
+def fuzzy_link(
+    queries: DataFrame,
+    dictionary: DataFrame,
+    k: int = 1,
+    q_id: str = "qid",
+    q_text: str = "qtext",
+    d_id: str = "did",
+    d_text: str = "dtext",
+) -> DataFrame:
+    """-> (qid, did, dist): EVERY pair with levenshtein(qtext, dtext)
+    <= k — exact, never all-pairs. The entity-resolution fuzzy join the
+    reference's exact-match dictionary lookup cannot express
+    (``JavacpgSymbolResolver``-family resolves identifiers literally;
+    transcripts carry typos).
+
+    FastSS deletion-neighborhood blocking: lev(u, v) <= k implies the
+    <=k-deletion neighborhoods of u and v intersect (delete the edited
+    positions from both sides), so an equi-join on the variant string is
+    a COMPLETE candidate generator — no false negatives by construction,
+    unlike first-letter or length-band blocking. False positives are
+    removed by verifying candidates with the JVM ``levenshtein``
+    builtin.
+
+    Scale posture: variants are ~len^k per string (k capped at 2);
+    candidates go through the shuffle as (qid, did) ID PAIRS ONLY
+    (the r3 LSH lesson — strings join back after the distinct); hub
+    variants (short strings share deletions) widen candidates but never
+    correctness, and the verify filter is a map-side column expression.
+    """
+    if k not in (1, 2):
+        raise ValueError(f"k={k}: FastSS neighborhoods are len^k per "
+                         "string; this engine caps k at 2")
+    qv = _del_variants(queries, q_id, q_text, k).select(
+        F.col("id").alias(q_id), "v"
+    )
+    dv = _del_variants(dictionary, d_id, d_text, k).select(
+        F.col("id").alias(d_id), "v"
+    )
+    cand = qv.join(dv, "v").select(q_id, d_id).distinct()
+    pairs = cand.join(
+        queries.select(q_id, q_text), q_id
+    ).join(dictionary.select(d_id, d_text), d_id)
+    dist = F.levenshtein(F.col(q_text), F.col(d_text))
+    return pairs.where(dist <= k).select(q_id, d_id, dist.alias("dist"))

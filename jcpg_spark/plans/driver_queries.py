@@ -4052,6 +4052,44 @@ FROM ca JOIN cl ON cl.src = ca.src
 """
 
 
+def q_kg_fuzzy_vocab(spark, sf_dir):
+    """Typo-pair mining over the corpus vocabulary: every unordered word
+    pair within Levenshtein distance 2, via linking.fuzzy_link — FastSS
+    deletion-neighborhood blocking (complete by construction), ids-only
+    candidates, JVM levenshtein verification. The oracle brute-forces
+    the same pairs with DuckDB's levenshtein; Spark must equal it
+    exactly — the completeness gate for the blocking scheme on real
+    data."""
+    from jcpg_spark.operators.linking import fuzzy_link
+
+    vocab = (
+        _docs(spark, sf_dir)
+        .select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("w")
+        )
+        .distinct()
+    )
+    q = vocab.select(F.col("w").alias("qid"), F.col("w").alias("qtext"))
+    d = vocab.select(F.col("w").alias("did"), F.col("w").alias("dtext"))
+    return (
+        fuzzy_link(q, d, k=2)
+        .where(F.col("qid") < F.col("did"))
+        .select(F.col("qid").alias("w1"), F.col("did").alias("w2"), "dist")
+    )
+
+
+SQL_KG_FUZZY_VOCAB = """
+WITH v AS (SELECT DISTINCT w FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents))
+SELECT a.w AS w1, b.w AS w2, levenshtein(a.w, b.w) AS dist
+FROM v a JOIN v b ON a.w < b.w
+WHERE levenshtein(a.w, b.w) <= 2
+"""
+
+
 def q_kg_graph_named(spark, sf_dir):
     """SPARQL GRAPH ?g clause over conversation-scoped named graphs
     (conv_id IS the graph name): GRAPH ?g {{ ?c call ?t . ?c flow.next
@@ -5170,6 +5208,8 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_path_closure": (q_kg_path_closure, SQL_KG_PATH_CLOSURE),
     # SPARQL GRAPH clause: conversation-scoped named graphs
     "kg_graph_named": (q_kg_graph_named, SQL_KG_GRAPH_NAMED),
+    # FastSS fuzzy join: every vocab pair within Levenshtein 2, exact
+    "kg_fuzzy_vocab": (q_kg_fuzzy_vocab, SQL_KG_FUZZY_VOCAB),
     # SPARQL sequence path a/b (mid-node join through the path grammar)
     "kg_path_seq": (q_kg_path_seq, SQL_KG_PATH_SEQ),
     # SPARQL zero-or-more path p* (identity over graph terms + closure)

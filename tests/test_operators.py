@@ -595,3 +595,38 @@ def test_bm25_prefers_term_dense_docs_and_ignores_absent_terms(spark):
     assert [(r["doc_id"], r["score"]) for r in rows] == [
         (r["doc_id"], r["score"]) for r in rows2
     ]
+
+
+def test_fuzzy_link_exact_vs_brute_force(spark):
+    """FastSS deletion-neighborhood join must equal brute-force
+    Levenshtein for k=1 and k=2 — including empty strings and
+    single-char substitutions (which intersect only at the empty
+    variant); k=3 is rejected loudly."""
+    from itertools import product
+
+    import pytest
+
+    from jcpg_spark.operators.linking import fuzzy_link
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (ca != cb))
+        return d[len(b)]
+
+    words = ["search", "serch", "saerch", "searches", "tool", "toll",
+             "tall", "databse", "database", "data", "date", "gate",
+             "a", "ab", "", "b"]
+    q = spark.createDataFrame([(w, w) for w in words], "qid string, qtext string")
+    d = spark.createDataFrame([(w, w) for w in words], "did string, dtext string")
+    for k in (1, 2):
+        got = {(r["qid"], r["did"], r["dist"])
+               for r in fuzzy_link(q, d, k=k).collect()}
+        want = {(a, b, lev(a, b))
+                for a, b in product(words, words) if lev(a, b) <= k}
+        assert got == want, (k, want ^ got)
+    with pytest.raises(ValueError, match="caps k at 2"):
+        fuzzy_link(q, d, k=3)
