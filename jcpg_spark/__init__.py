@@ -91,7 +91,9 @@ from jcpg_spark.operators.graph_analytics import (
     co_mention_edges,
     component_sizes,
     cooccurrence_lift,
+    effective_diameter,
     graph_stats,
+    neighborhood_function,
     scc,
     entity_salience,
     fastrp,
@@ -145,6 +147,8 @@ __all__ = [
     "component_sizes",
     "scc",
     "graph_stats",
+    "neighborhood_function",
+    "effective_diameter",
     "cooccurrence_lift",
     "link_predict_common_neighbors",
     "entity_salience",

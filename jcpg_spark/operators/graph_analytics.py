@@ -1303,6 +1303,93 @@ def vertex_features(edges: DataFrame) -> DataFrame:
     )
 
 
+def neighborhood_function(
+    edges: DataFrame, max_hops: int = 8, lgk: int = 12
+) -> DataFrame:
+    """HyperANF / HyperBall (Boldi & Vigna, WWW'11): -> (hop, n_pairs)
+    for hop 0..max_hops, where n_pairs estimates |{(u, v): directed
+    dist(u -> v) <= hop}| (self-pairs included). The neighborhood
+    function is THE whole-graph distance summary — effective diameter,
+    average distance, and connectivity growth all read off it — and the
+    exact version is O(V^2) state, which is why HyperBall is the
+    canonical planet-scale algorithm for it.
+
+    Entirely Spark-native sketches: ball_0(v) = HLL({v}) via
+    ``hll_sketch_agg``; each round unions every vertex's ball with its
+    out-neighbors' balls via ``hll_union_agg`` (one join + one hash
+    aggregation per round — mergeable-sketch state, a few KB per vertex
+    at lgk=12, never a node set); N(t) = sum of ``hll_sketch_estimate``
+    over vertices. Balls are eagerly checkpointed per round (iterative
+    lineage cut), and the loop stops early once the estimate stabilizes
+    — the one driver-side value per round is a single long, bounded by
+    max_hops. Rows for hops past convergence are omitted: N is
+    non-decreasing and constant from there on (documented contract).
+
+    Datasketches HLL is exact below its sparse-mode threshold (~2^lgk/4
+    items), so small-graph results are exact counts — the unit gate —
+    and large-ball error is the published ~1.04/sqrt(2^lgk) (1.6% at
+    lgk=12). Raise ``lgk`` for tighter estimates at linear sketch-size
+    cost."""
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = edges.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    nodes = (
+        e.select("v").unionByName(e.select(F.col("w").alias("v"))).distinct()
+    )
+    balls = (
+        nodes.groupBy("v")
+        .agg(F.hll_sketch_agg("v", F.lit(lgk)).alias("ball"))
+        .localCheckpoint()
+    )
+
+    def n_pairs(b: DataFrame) -> int:
+        return b.agg(
+            F.sum(F.hll_sketch_estimate("ball")).alias("n")
+        ).first()["n"]
+
+    hops = [(0, int(n_pairs(balls)))]
+    for h in range(1, max_hops + 1):
+        nb = e.join(balls.withColumnRenamed("v", "w"), "w").select("v", "ball")
+        balls = (
+            balls.unionByName(nb)
+            .groupBy("v")
+            .agg(F.hll_union_agg("ball", F.lit(True)).alias("ball"))
+            .localCheckpoint()
+        )
+        n = int(n_pairs(balls))
+        hops.append((h, n))
+        if n == hops[-2][1]:  # stabilized: N is non-decreasing, done
+            break
+    spark = edges.sparkSession
+    return spark.createDataFrame(hops, "hop int, n_pairs long")
+
+
+def effective_diameter(
+    edges: DataFrame, alpha: float = 0.9, max_hops: int = 8, lgk: int = 12
+) -> DataFrame:
+    """-> one row (effective_diameter, n_pairs_reached, n_pairs_total):
+    the smallest hop t with N(t) >= alpha * N(max_hops) — the standard
+    '90% effective diameter' read off the HyperBall neighborhood
+    function (integer hop, no interpolation; deterministic given the
+    sketches)."""
+    nf = neighborhood_function(edges, max_hops=max_hops, lgk=lgk)
+    total = nf.agg(F.max("n_pairs").alias("n_pairs_total"))
+    hit = (
+        nf.crossJoin(total)
+        .where(F.col("n_pairs") >= alpha * F.col("n_pairs_total"))
+        .agg(
+            F.min("hop").alias("effective_diameter"),
+            F.max("n_pairs_total").alias("n_pairs_total"),
+        )
+    )
+    reached = nf.select(
+        F.col("hop").alias("rh"), F.col("n_pairs").alias("n_pairs_reached")
+    )
+    return hit.join(reached, F.col("effective_diameter") == F.col("rh")).select(
+        "effective_diameter", "n_pairs_reached", "n_pairs_total"
+    )
+
+
 def graph_stats(edges: DataFrame) -> DataFrame:
     """-> ONE row of whole-graph structural statistics for the directed
     graph (a, b): n_nodes, n_edges (distinct directed non-self pairs),

@@ -2392,6 +2392,25 @@ FROM asg
 """
 
 
+def q_kg_neighborhood_fn(spark, sf_dir):
+    """HyperBall neighborhood function of the directed flow+call graph:
+    (hop, n_pairs) for hop 0..6 — mergeable HLL sketches via Spark's
+    datasketches builtins, one join + one union-agg per round. Rows-only
+    driver check (the estimates are sketch-based by design); exactness
+    is gated in pytest where the balls sit below the sparse-exact
+    threshold (test_graph_analytics)."""
+    t = transcripts_from_events(spark, sf_dir)
+    edges = (
+        flow.flow_next(t)
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(
+            calls.call_triples(t)
+            .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        )
+    )
+    return graph_analytics.neighborhood_function(edges, max_hops=6)
+
+
 def q_kg_graph_stats(spark, sf_dir):
     """Whole-graph audit card over the directed call/return/flow graph:
     density, reciprocity (call->return spans make mutual pairs rare but
@@ -4052,6 +4071,42 @@ FROM ca JOIN cl ON cl.src = ca.src
 """
 
 
+def q_kg_subquery(spark, sf_dir):
+    """SPARQL 1.1 subquery: the inner SELECT aggregates first, the outer
+    query consumes its solution relation — here, per tool, the busiest
+    conversation's call count and the mean over conversations:
+    SELECT ?t (max(?n) AS max_calls) (avg(?n) AS avg_calls) WHERE {{
+      SELECT ?g ?t (count(?c) AS ?n) WHERE {{ GRAPH ?g {{ ?c call ?t }} }}
+      GROUP BY ?g ?t }} GROUP BY ?t.
+    Subqueries need no new machinery: match_query returns a relation, so
+    the outer query is ordinary composition — evaluated bottom-up per the
+    spec, one extra hash aggregation, no extra scan."""
+    from jcpg_spark.operators import query as bgp
+
+    t = transcripts_from_events(spark, sf_dir)
+    edges = calls.call_triples(t).select("src", "pred", "dst", "conv_id")
+    inner = bgp.match_query(
+        edges,
+        [("?c", "call", "?t")],
+        graph="?g",
+        group_by=["g", "t"],
+        aggregates={"n": "count(c)"},
+    )
+    return inner.groupBy("t").agg(
+        F.max("n").alias("max_calls"),
+        F.avg("n").alias("avg_calls"),
+    )
+
+
+SQL_KG_SUBQUERY = f"""
+WITH cr AS ({SQL_KG_CALL_RETURN}),
+inner_q AS (SELECT conv_id AS g, dst AS t, count(src) AS n
+            FROM cr WHERE pred = 'call' GROUP BY conv_id, dst)
+SELECT t, max(n) AS max_calls, avg(n) AS avg_calls
+FROM inner_q GROUP BY t
+"""
+
+
 def q_kg_fuzzy_vocab(spark, sf_dir):
     """Typo-pair mining over the corpus vocabulary: every unordered word
     pair within Levenshtein distance 2, via linking.fuzzy_link — FastSS
@@ -5122,6 +5177,8 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_scc": (q_kg_scc, SQL_KG_SCC),
     # whole-graph audit card (density/reciprocity/assortativity/transitivity)
     "kg_graph_stats": (q_kg_graph_stats, SQL_KG_GRAPH_STATS),
+    # HyperBall neighborhood function (sketch-based; pytest exactness gate)
+    "kg_neighborhood_fn": (q_kg_neighborhood_fn, None),
     "doc_boilerplate": (q_doc_boilerplate, SQL_DOC_BOILERPLATE),
     # span REMOVAL composition (detection -> positional excision)
     "doc_scrub_spans": (q_doc_scrub_spans, SQL_DOC_SCRUB_SPANS),
@@ -5210,6 +5267,8 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_graph_named": (q_kg_graph_named, SQL_KG_GRAPH_NAMED),
     # FastSS fuzzy join: every vocab pair within Levenshtein 2, exact
     "kg_fuzzy_vocab": (q_kg_fuzzy_vocab, SQL_KG_FUZZY_VOCAB),
+    # SPARQL 1.1 subquery: inner aggregation consumed by the outer query
+    "kg_subquery": (q_kg_subquery, SQL_KG_SUBQUERY),
     # SPARQL sequence path a/b (mid-node join through the path grammar)
     "kg_path_seq": (q_kg_path_seq, SQL_KG_PATH_SEQ),
     # SPARQL zero-or-more path p* (identity over graph terms + closure)

@@ -1329,3 +1329,56 @@ def test_graph_stats_hand_checked_and_empty(spark):
     r0 = graph_stats(spark.createDataFrame([], "a string, b string")).collect()[0]
     assert (r0["n_nodes"], r0["n_edges"], r0["n_self"], r0["n_mutual"]) == (0, 0, 0, 0)
     assert r0["density"] is None and r0["assortativity"] is None
+
+
+def test_neighborhood_function_exact_and_early_stop(spark):
+    """HyperBall on a chain: datasketches HLL is exact below its
+    sparse-mode threshold, so the neighborhood function must equal the
+    hand-computed counts, stop one hop after stabilizing, and the
+    effective diameter reads off it."""
+    from jcpg_spark.operators.graph_analytics import (
+        effective_diameter,
+        neighborhood_function,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "a string, b string"
+    )
+    nf = sorted(
+        (r["hop"], r["n_pairs"])
+        for r in neighborhood_function(e, max_hops=8).collect()
+    )
+    assert nf == [(0, 4), (1, 7), (2, 9), (3, 10), (4, 10)]
+    ed = effective_diameter(e, alpha=0.9, max_hops=8).collect()[0]
+    # N(2)=9 >= 0.9*10 -> the 90% effective diameter is 2
+    assert (ed["effective_diameter"], ed["n_pairs_reached"],
+            ed["n_pairs_total"]) == (2, 9, 10)
+
+
+def test_neighborhood_function_expander_matches_exact(spark):
+    """600-vertex deterministic expander (i->2i+1, i->3i+7 mod n): the
+    sketch neighborhood function equals the exact python closure at
+    every hop (balls stay under the lgk=13 sparse-exact threshold) —
+    the correctness gate for the join/union/estimate round structure."""
+    from jcpg_spark.operators.graph_analytics import neighborhood_function
+
+    n = 600
+    rows = [(f"n{i:04d}", f"n{(2 * i + 1) % n:04d}") for i in range(n)] + [
+        (f"n{i:04d}", f"n{(3 * i + 7) % n:04d}") for i in range(n)
+    ]
+    e = spark.createDataFrame(rows, "a string, b string")
+    nf = {r["hop"]: r["n_pairs"]
+          for r in neighborhood_function(e, max_hops=6, lgk=13).collect()}
+    adj: dict = {}
+    for a, b in rows:
+        adj.setdefault(a, set()).add(b)
+    balls = {f"n{i:04d}": {f"n{i:04d}"} for i in range(n)}
+    exact = {0: n}
+    for h in range(1, 7):
+        prev = balls
+        balls = {
+            v: prev[v] | set().union(*[prev[w] for w in adj.get(v, set())])
+            for v in prev
+        }
+        exact[h] = sum(len(s) for s in balls.values())
+    assert nf == exact
