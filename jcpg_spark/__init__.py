@@ -55,6 +55,7 @@ from jcpg_spark.operators.reasoning import owl_entail, rdfs_entail, shacl_valida
 from jcpg_spark.operators.retrieval import bm25_topk
 from jcpg_spark.operators.structural import conversation_audit
 from jcpg_spark.operators.subgraph import graph_diff, induced_subgraph
+from jcpg_spark.operators.decontaminate import corpus_overlap
 from jcpg_spark.operators.dedup import (
     boilerplate_spans,
     boilerplate_texts,
@@ -117,6 +118,7 @@ __all__ = [
     "build_graph",
     "resolve_functional",
     "decontaminate",
+    "corpus_overlap",
     "characteristic_sets",
     "schema_graph",
     "edge_layers",

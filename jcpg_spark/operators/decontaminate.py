@@ -48,3 +48,51 @@ def contamination(
         F.count_distinct("shingle").alias("n_overlap"),
         F.min("eval_doc_id").alias("first_eval_match"),
     )
+
+
+def corpus_overlap(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "text",
+    lgk: int = 14,
+) -> DataFrame:
+    """-> ONE row (n_left, n_right, n_inter, n_union, jaccard,
+    containment_left): theta-sketch estimates of the overlap between two
+    corpora's key sets — the scalable screening pass in front of the
+    exact ``contamination`` join (run this first over 100 TB to decide
+    whether the n-gram containment sweep is even needed, and to size it).
+
+    ``key`` is any SQL expression producing the comparable unit per row
+    (normalized text, a shingle hash, a URL). Each side reduces to ONE
+    mergeable theta sketch via ``theta_sketch_agg`` (a map-side-combined
+    aggregation — the corpus never shuffles, only sketches move);
+    intersection/difference are then sketch-algebra column expressions
+    (``theta_intersection``/``theta_union``), which is the operation HLL
+    cannot do (HLL unions only; theta's sampling retains the set algebra
+    — the reason this is the right sketch here). Estimates are EXACT
+    below the 2^lgk retention threshold (the pytest gate) and carry the
+    published ~1/sqrt(2^lgk) relative error above it; ``containment_left``
+    = |L∩R| / |L|, the contamination-rate reading."""
+    ls = left.select(F.expr(key).alias("k")).agg(
+        F.theta_sketch_agg("k", F.lit(lgk)).alias("ls")
+    )
+    rs = right.select(F.expr(key).alias("k")).agg(
+        F.theta_sketch_agg("k", F.lit(lgk)).alias("rs")
+    )
+    row = ls.crossJoin(rs)
+    n_l = F.theta_sketch_estimate(F.col("ls"))
+    n_r = F.theta_sketch_estimate(F.col("rs"))
+    n_i = F.theta_sketch_estimate(F.theta_intersection("ls", "rs"))
+    n_u = F.theta_sketch_estimate(F.theta_union("ls", "rs"))
+    return row.select(
+        n_l.alias("n_left"),
+        n_r.alias("n_right"),
+        n_i.alias("n_inter"),
+        n_u.alias("n_union"),
+        F.when(n_u > 0, n_i.cast("double") / n_u.cast("double")).alias(
+            "jaccard"
+        ),
+        F.when(n_l > 0, n_i.cast("double") / n_l.cast("double")).alias(
+            "containment_left"
+        ),
+    )

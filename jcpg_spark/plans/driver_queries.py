@@ -4071,6 +4071,24 @@ FROM ca JOIN cl ON cl.src = ca.src
 """
 
 
+def q_corpus_overlap(spark, sf_dir):
+    """Theta-sketch corpus-overlap screening: 3-gram shingle overlap
+    between the even- and odd-doc_id halves of the documents corpus —
+    the scalable pass in front of the exact decontaminate join (each
+    side reduces to ONE mergeable sketch; the corpus never shuffles).
+    Rows-only driver check (sketch estimates by design); exactness
+    below the retention threshold is pytest-gated against a python set
+    computation."""
+    from jcpg_spark.operators.decontaminate import corpus_overlap
+    from jcpg_spark.operators.dedup import word_shingles
+
+    docs = _docs(spark, sf_dir)
+    sh = word_shingles(docs, n=3)
+    even = sh.where(F.col("doc_id") % 2 == 0)
+    odd = sh.where(F.col("doc_id") % 2 == 1)
+    return corpus_overlap(even, odd, key="shingle")
+
+
 def q_kg_subquery(spark, sf_dir):
     """SPARQL 1.1 subquery: the inner SELECT aggregates first, the outer
     query consumes its solution relation — here, per tool, the busiest
@@ -5269,6 +5287,8 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_fuzzy_vocab": (q_kg_fuzzy_vocab, SQL_KG_FUZZY_VOCAB),
     # SPARQL 1.1 subquery: inner aggregation consumed by the outer query
     "kg_subquery": (q_kg_subquery, SQL_KG_SUBQUERY),
+    # theta-sketch corpus overlap screening (sketch; pytest exactness gate)
+    "corpus_overlap": (q_corpus_overlap, None),
     # SPARQL sequence path a/b (mid-node join through the path grammar)
     "kg_path_seq": (q_kg_path_seq, SQL_KG_PATH_SEQ),
     # SPARQL zero-or-more path p* (identity over graph terms + closure)

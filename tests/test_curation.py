@@ -694,3 +694,40 @@ def test_ccnet_buckets_tiering(spark):
     en_head = min(r["lm_score"] for r in en if r["bucket"] == "head")
     en_tail = max(r["lm_score"] for r in en if r["bucket"] == "tail")
     assert en_head >= en_tail
+
+
+def test_corpus_overlap_exact_below_threshold(spark):
+    """Theta-sketch overlap must equal exact set algebra below the
+    2^lgk retention threshold — counts, jaccard, containment — and on
+    shingle sets it must agree with a python set computation."""
+    from jcpg_spark.operators.decontaminate import corpus_overlap
+    from jcpg_spark.operators.dedup import word_shingles
+
+    l = spark.createDataFrame([(w,) for w in "a b c d e f".split()], "text string")
+    r = spark.createDataFrame([(w,) for w in "d e f g h".split()], "text string")
+    row = corpus_overlap(l, r).collect()[0]
+    assert (row["n_left"], row["n_right"], row["n_inter"], row["n_union"]) \
+        == (6, 5, 3, 8)
+    assert abs(row["jaccard"] - 3 / 8) < 1e-12
+    assert abs(row["containment_left"] - 0.5) < 1e-12
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown cat sleeps under the lazy dog"),
+        (2, "a completely different sentence with no shared grams here"),
+        (3, "the quick brown fox naps beside the lazy dog"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    sh = word_shingles(docs, n=3)
+    even = sh.where("doc_id % 2 = 0")
+    odd = sh.where("doc_id % 2 = 1")
+    got = corpus_overlap(even, odd, key="shingle").collect()[0]
+
+    def grams(t):
+        w = t.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    le = grams(texts[0][1]) | grams(texts[2][1])
+    ro = grams(texts[1][1]) | grams(texts[3][1])
+    assert (got["n_left"], got["n_right"], got["n_inter"], got["n_union"]) \
+        == (len(le), len(ro), len(le & ro), len(le | ro))
