@@ -41,7 +41,7 @@ from jcpg_spark.operators.lm import (
     ppmi_weights,
     skipgram_counts,
 )
-from jcpg_spark.operators.linking import fuzzy_link, link_asof
+from jcpg_spark.operators.linking import fuzzy_link, interval_join, link_asof
 from jcpg_spark.operators.query import (
     ask,
     construct,
@@ -194,6 +194,7 @@ __all__ = [
     "run_pipeline",
     "link_asof",
     "fuzzy_link",
+    "interval_join",
     "vertex_features",
 ]
 __version__ = "0.1.0"

@@ -25,6 +25,8 @@ measured 160x slower than the dimension-side precompute on 7M mentions.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -301,3 +303,67 @@ def fuzzy_link(
     ).join(dictionary.select(d_id, d_text), d_id)
     dist = F.levenshtein(F.col(q_text), F.col(d_text))
     return pairs.where(dist <= k).select(q_id, d_id, dist.alias("dist"))
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    bucket: float,
+    on: Sequence[str] = (),
+    id_col: str = "id",
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Interval-overlap join without a cross product: -> one row per
+    (left, right) pair whose [lo, hi] intervals overlap (closed-interval
+    test ``l.lo <= r.hi AND r.lo <= l.hi``), optionally co-keyed on
+    ``on`` equality columns. Spark has no native range-join strategy —
+    a naive theta join plans as BroadcastNestedLoop/cartesian — so this
+    is the standard bucket-expansion range join:
+
+    - each interval replicates to every width-``bucket`` cell it covers
+      (``explode(sequence(floor(lo/B), floor(hi/B)))`` — pure column
+      expressions, ~(len/B + 1) replicas per interval);
+    - candidates equi-join on (*on, bucket) — a plain hash join;
+    - the exact overlap predicate filters map-side;
+    - each qualifying pair is kept ONLY in its anchor cell — the bucket
+      of ``max(l.lo, r.lo)``, which both sides necessarily cover when
+      they overlap — so the output is duplicate-free WITHOUT a distinct
+      shuffle.
+
+    Pick ``bucket`` near the median interval length: too small multiplies
+    replicas of long intervals, too large multiplies candidates per cell
+    (the documented two-sided cost model). Rows with lo > hi are dropped
+    (malformed intervals carry no extent). Reference analog: the scope
+    containment checks the reference runs while walking block trees
+    (``JavacpgCFGBuilder`` region handling) — here as one shuffle over
+    bucketed cells at any scale."""
+    if bucket <= 0:
+        raise ValueError("bucket width must be > 0")
+    if "bucket" in on:
+        raise ValueError("'bucket' is a reserved column name in interval_join")
+
+    def expand(df: DataFrame, side: str) -> DataFrame:
+        ok = df.where(F.col(lo_col) <= F.col(hi_col))
+        b0 = F.floor(F.col(lo_col) / F.lit(bucket))
+        b1 = F.floor(F.col(hi_col) / F.lit(bucket))
+        return ok.select(
+            *on,
+            F.col(id_col).alias(f"{side}_id"),
+            F.col(lo_col).alias(f"{side}_lo"),
+            F.col(hi_col).alias(f"{side}_hi"),
+            F.explode(F.sequence(b0, b1)).alias("bucket"),
+        )
+
+    lhs = expand(left, "l")
+    rhs = expand(right, "r")
+    j = lhs.join(rhs, [*on, "bucket"])
+    overlap = (F.col("l_lo") <= F.col("r_hi")) & (
+        F.col("r_lo") <= F.col("l_hi")
+    )
+    anchor = F.col("bucket") == F.floor(
+        F.greatest("l_lo", "r_lo") / F.lit(bucket)
+    )
+    return j.where(overlap & anchor).select(
+        *on, "l_id", "l_lo", "l_hi", "r_id", "r_lo", "r_hi"
+    )

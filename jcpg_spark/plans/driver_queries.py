@@ -1008,6 +1008,43 @@ WHERE epoch(ts) - epoch(t0) <= 3600
 """
 
 
+def q_kg_interval_join(spark, sf_dir):
+    """Bucketized interval-overlap join (range join without a cross
+    product): view-event windows [value, value+20] against click-event
+    windows [value, value+10] per user. Spark plans a naive theta join
+    as a nested loop; linking.interval_join replicates intervals to
+    width-16 cells, hash-joins on (user, cell), filters the exact
+    overlap map-side, and keeps each pair only in its anchor cell — so
+    the oracle's theta join must match row-for-row with no distinct
+    anywhere."""
+    from jcpg_spark.operators.linking import interval_join
+
+    ev = _ev(spark, sf_dir)
+    lhs = ev.where("event_type = 'view'").select(
+        F.col("event_id").alias("id"),
+        F.col("value").alias("lo"),
+        (F.col("value") + 20).alias("hi"),
+        "user_id",
+    )
+    rhs = ev.where("event_type = 'click'").select(
+        F.col("event_id").alias("id"),
+        F.col("value").alias("lo"),
+        (F.col("value") + 10).alias("hi"),
+        "user_id",
+    )
+    return interval_join(lhs, rhs, bucket=16.0, on=["user_id"])
+
+
+SQL_KG_INTERVAL_JOIN = """
+WITH l AS (SELECT user_id, event_id AS l_id, value AS l_lo, value + 20 AS l_hi
+           FROM events WHERE event_type = 'view'),
+r AS (SELECT user_id, event_id AS r_id, value AS r_lo, value + 10 AS r_hi
+      FROM events WHERE event_type = 'click')
+SELECT l.user_id, l_id, l_lo, l_hi, r_id, r_lo, r_hi
+FROM l JOIN r ON l.user_id = r.user_id AND l_lo <= r_hi AND r_lo <= l_hi
+"""
+
+
 def q_j4_positional_zip(spark, sf_dir):
     """J4 positional zipper: pair the k-th 'view' with the k-th 'click'
     per user — align two ordered streams by ordinal, then equi-join on
@@ -5285,6 +5322,8 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_graph_named": (q_kg_graph_named, SQL_KG_GRAPH_NAMED),
     # FastSS fuzzy join: every vocab pair within Levenshtein 2, exact
     "kg_fuzzy_vocab": (q_kg_fuzzy_vocab, SQL_KG_FUZZY_VOCAB),
+    # bucketized interval-overlap join (range join, anchor-cell dedup)
+    "kg_interval_join": (q_kg_interval_join, SQL_KG_INTERVAL_JOIN),
     # SPARQL 1.1 subquery: inner aggregation consumed by the outer query
     "kg_subquery": (q_kg_subquery, SQL_KG_SUBQUERY),
     # theta-sketch corpus overlap screening (sketch; pytest exactness gate)

@@ -630,3 +630,45 @@ def test_fuzzy_link_exact_vs_brute_force(spark):
         assert got == want, (k, want ^ got)
     with pytest.raises(ValueError, match="caps k at 2"):
         fuzzy_link(q, d, k=3)
+
+
+def test_interval_join_matches_brute_force_across_buckets(spark):
+    """Bucket-expansion range join must equal the brute-force theta join
+    for ANY bucket width (the anchor-cell rule makes the output
+    duplicate-free without a distinct), drop malformed intervals, and
+    reject bucket <= 0 and the reserved column name."""
+    from itertools import product
+
+    import pytest
+
+    from jcpg_spark.operators.linking import interval_join
+
+    # deterministic fixture: varied lengths incl. zero-length and
+    # bucket-straddling intervals, two co-key groups
+    rows = []
+    for i in range(40):
+        lo = (i * 37) % 101 / 3.0
+        rows.append((f"x{i}", lo, lo + (i * 13) % 29 / 2.0, f"u{i % 2}"))
+    rows.append(("bad", 9.0, 3.0, "u0"))  # malformed: dropped
+    L = spark.createDataFrame(rows, "id string, lo double, hi double, u string")
+    R = spark.createDataFrame(
+        [(f"y{i}", (i * 53) % 97 / 3.0, (i * 53) % 97 / 3.0 + (i * 7) % 23, f"u{i % 2}")
+         for i in range(30)],
+        "id string, lo double, hi double, u string",
+    )
+    lrows = [r for r in rows if r[1] <= r[2]]
+    rrows = [(f"y{i}", (i * 53) % 97 / 3.0, (i * 53) % 97 / 3.0 + (i * 7) % 23,
+              f"u{i % 2}") for i in range(30)]
+    want = sorted(
+        (a[3], a[0], b[0])
+        for a, b in product(lrows, rrows)
+        if a[3] == b[3] and a[1] <= b[2] and b[1] <= a[2]
+    )
+    for bucket in (0.7, 5.0, 50.0, 1000.0):
+        out = interval_join(L, R, bucket=bucket, on=["u"]).collect()
+        got = sorted((r["u"], r["l_id"], r["r_id"]) for r in out)
+        assert got == want, (bucket, len(got), len(want))
+    with pytest.raises(ValueError, match="bucket width"):
+        interval_join(L, R, bucket=0.0)
+    with pytest.raises(ValueError, match="reserved"):
+        interval_join(L, R, bucket=1.0, on=["bucket"])

@@ -463,3 +463,17 @@ def test_bare_alternation_is_single_scan(spark):
         "src string, pred string, dst string")
     plan = _plan(match_pattern(e, [("?s", "call|loops", "?o")]))
     assert "Union" not in plan, plan
+
+
+def test_interval_join_is_hash_join_not_nested_loop(spark):
+    """The range join must plan as a hash join on (keys, bucket) — never
+    BroadcastNestedLoop/CartesianProduct, which is what a naive theta
+    join degenerates to."""
+    from jcpg_spark.operators.linking import interval_join
+
+    L = spark.createDataFrame([("a", 0.0, 5.0, "u")], "id string, lo double, hi double, u string")
+    R = spark.createDataFrame([("b", 3.0, 9.0, "u")], "id string, lo double, hi double, u string")
+    plan = _plan(interval_join(L, R, bucket=4.0, on=["u"]))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "Join" in plan
