@@ -386,6 +386,12 @@ def scc(edges: DataFrame, max_hops: int = 8) -> DataFrame:
     iterative forward-backward decomposition is the right tool instead —
     this closure-pairs form is for the bounded-component regime the
     transcripts KG actually has.
+
+    Plan note: ``min(string)`` aggregates fall back to SortAggregate
+    (Spark hash-aggregates only mutable fixed-size buffers) — accepted
+    here because the aggregation input is the mutual pair set, bounded
+    by span sizes, not the full closure; the closure itself stays in
+    hash joins + hash distinct.
     """
     from jcpg_spark.operators.query import _closure
 

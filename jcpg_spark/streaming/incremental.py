@@ -430,3 +430,51 @@ def streaming_curation(stream: DataFrame, text_col: str = "text") -> DataFrame:
             "doc_id", F.concat_ws(":", F.col("conv_id"), F.col("turn_idx"))
         )
     return curation_decision(df)
+
+
+def streaming_novelty(
+    stream: DataFrame,
+    reference: DataFrame,
+    key: str = "text",
+    window: str = "5 minutes",
+    delay: str = "10 minutes",
+    lgk: int = 12,
+) -> DataFrame:
+    """Streaming vocabulary-novelty monitor: per event-time window, the
+    estimated number of distinct keys and the fraction NOT present in a
+    static reference corpus — the live twin of
+    ``decontaminate.corpus_overlap`` (drift / contamination telemetry
+    for an ingest feed: novelty collapsing to ~0 means the feed is
+    re-serving the reference corpus; spiking means distribution shift).
+
+    The reference reduces ONCE to a single theta sketch (driver holds
+    sketch BYTES, bounded by 2^lgk — never the key set) embedded as a
+    binary literal; the stream side is a watermarked windowed
+    ``theta_sketch_agg`` (mergeable partial aggregation — streaming
+    state per window is one sketch, not a key set), and novelty =
+    estimate(window_sketch \\ reference_sketch) / estimate(window_sketch)
+    via ``theta_difference``, the set operation HLL cannot express.
+    Same exactness contract as corpus_overlap: exact below the 2^lgk
+    retention threshold (the batch-equivalence test), published
+    ~1/sqrt(2^lgk) error above it."""
+    ref = reference.select(F.expr(key).alias("k")).agg(
+        F.theta_sketch_agg("k", F.lit(lgk)).alias("s")
+    ).first()["s"]
+    agg = (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.window("ts", window))
+        .agg(F.theta_sketch_agg(F.expr(key), F.lit(lgk)).alias("ws"))
+    )
+    n_keys = F.theta_sketch_estimate(F.col("ws"))
+    n_novel = F.theta_sketch_estimate(
+        F.theta_difference(F.col("ws"), F.lit(bytes(ref)))
+    )
+    return agg.select(
+        F.col("window.start").alias("w_start"),
+        F.col("window.end").alias("w_end"),
+        n_keys.alias("n_keys"),
+        n_novel.alias("n_novel"),
+        F.when(n_keys > 0, n_novel.cast("double") / n_keys.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("novelty"),
+    )

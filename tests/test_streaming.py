@@ -247,3 +247,40 @@ def test_streaming_curation_equals_batch(spark, tmp_path):
     reasons = {r[0]: r[1] for r in got}
     assert reasons["c1:0"] == "ok" and reasons["c1:1"] == "too_short"
     assert reasons["c2:0"] == "word_too_long" and reasons["c2:1"] == "repetitive"
+
+
+def test_streaming_novelty_matches_batch_set_algebra(spark, stream_dir):
+    """Theta-sketch novelty under streaming must equal exact set algebra
+    below the retention threshold: per window, n_keys = |window texts|,
+    n_novel = |window texts \\ reference texts| (complete-mode memory
+    sink so the windowed sketch aggregation is observable)."""
+    path, t = stream_dir
+    # reference = the user turns; stream keys = every turn's text
+    ref = t.where("role = 'user'").select("text")
+    stream = inc.stream_transcripts(spark, path)
+    out = inc.streaming_novelty(stream, ref, key="text", window="10 minutes")
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("novelty_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM novelty_out").collect()
+    assert got, "windowed sketch aggregation produced no rows"
+    ref_set = {r["text"] for r in ref.collect()}
+    import datetime as dt
+
+    for row in got:
+        lo, hi = row["w_start"], row["w_end"]
+        win = {
+            r["text"]
+            for r in t.collect()
+            if lo <= r["ts"] < hi
+        }
+        assert row["n_keys"] == len(win), (lo, hi)
+        assert row["n_novel"] == len(win - ref_set), (lo, hi)
+        want = len(win - ref_set) / len(win) if win else 0.0
+        assert abs(row["novelty"] - want) < 1e-12
