@@ -143,6 +143,7 @@ def rdfs_entail(
 OWL_INVERSE = "owl.inverseOf"
 OWL_SYMMETRIC = "owl.SymmetricProperty"
 OWL_TRANSITIVE = "owl.TransitiveProperty"
+OWL_CHAIN = "owl.propertyChainAxiom"
 
 
 def owl_entail(
@@ -183,9 +184,42 @@ def owl_entail(
     (broadcast semi-join prune), the same device as
     query.py::_closure — each derived pair crosses the shuffle once,
     and ``max_hops`` bounds the damage a cyclic 10^12-edge graph could
-    do. Result: DISTINCT input ∪ derived triples."""
+    do. Result: DISTINCT input ∪ derived triples.
+
+    Property chains (prp-spo2, r4): schema rows (R,
+    ``owl.propertyChainAxiom``, "p/q[/...]") assert p∘q∘... ⊑ R, the
+    chain encoded as a sequence-path string in the object slot (the
+    relational form of OWL's RDF-list axiom; the full parenthesis-free
+    path grammar is accepted, so ``^p/q`` chains over inverses work).
+    Evaluated FIRST via the query engine's sequence-path joins, so
+    chain-derived triples feed the rename/swap and transitive strata.
+    Single-pass stratification contract: complete when the chain's step
+    predicates are ASSERTED predicates (the OWL-RL-typical case); a
+    chain over predicates that are themselves rule-derived would need
+    the spec's full fixpoint, which a fixed bounded pass deliberately
+    trades away — same bounded-round posture as everything else here."""
     inst = instance.select("src", "pred", "dst")
     spark = instance.sparkSession
+
+    # --- prp-spo2 property chains: sequence-path joins, evaluated first
+    chain_rows = (
+        schema.where(F.col("pred") == OWL_CHAIN)
+        .select("src", "dst")
+        .collect()  # ontology-sized by contract, like the rule graph
+    )
+    if chain_rows:
+        from jcpg_spark.operators.query import _const_pred_pairs
+
+        outs = [
+            _const_pred_pairs(inst, r["dst"], max_hops).select(
+                "src", F.lit(r["src"]).alias("pred"), "dst"
+            )
+            for r in chain_rows
+        ]
+        ch = outs[0]
+        for o in outs[1:]:
+            ch = ch.unionByName(o)
+        inst = inst.unionByName(ch)
 
     # --- schema-side rule graph: (frm -> dst rename, parity swap) ------
     inv = schema.where(F.col("pred") == OWL_INVERSE).select("src", "dst")

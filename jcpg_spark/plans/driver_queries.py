@@ -4908,6 +4908,42 @@ SELECT DISTINCT src, pred, dst FROM (
 """
 
 
+def q_kg_owl_chain(spark, sf_dir):
+    """OWL 2 RL property chain (prp-spo2): the axiom
+    (tool.called_next owl.propertyChainAxiom "flow.next/call") asserts
+    flow.next ∘ call ⊑ tool.called_next — per turn, the tool its NEXT
+    turn calls becomes a first-class derived edge alongside the asserted
+    layers. The chain is encoded as a sequence-path string and evaluated
+    through the query engine's path joins; result = DISTINCT asserted ∪
+    derived."""
+    from jcpg_spark.operators import reasoning
+
+    t = transcripts_from_events(spark, sf_dir)
+    inst = (
+        flow.flow_next(t)
+        .select("src", "pred", "dst")
+        .unionByName(calls.call_triples(t).select("src", "pred", "dst"))
+    )
+    schema = spark.createDataFrame(
+        [("tool.called_next", reasoning.OWL_CHAIN, "flow.next/call")],
+        "src string, pred string, dst string",
+    )
+    return reasoning.owl_entail(inst, schema, max_hops=3)
+
+
+SQL_KG_OWL_CHAIN = f"""
+WITH cr AS ({SQL_KG_CALL_RETURN}),
+fl AS ({SQL_KG_FLOW_NEXT}),
+ed AS (SELECT src, pred, dst FROM fl
+       UNION ALL SELECT src, pred, dst FROM cr WHERE pred = 'call'),
+der AS (SELECT f.src, 'tool.called_next' AS pred, c.dst
+        FROM ed f JOIN ed c ON c.pred = 'call' AND c.src = f.dst
+        WHERE f.pred = 'flow.next')
+SELECT DISTINCT src, pred, dst FROM (
+  SELECT * FROM ed UNION ALL SELECT * FROM der)
+"""
+
+
 def q_kg_owl_entail(spark, sf_dir):
     """OWL-RL property-rule entailment (prp-inv1/2 + prp-trp) of the
     call/return + sequential-flow layers: call owl.inverseOf return
@@ -5365,6 +5401,7 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     # RDFS entailment materialization (ρdf rules 2/3/7/9, broadcast schema)
     "kg_rdfs_entail": (q_kg_rdfs_entail, SQL_KG_RDFS_ENTAIL),
     # OWL-RL property rules: inverseOf + hop-bounded TransitiveProperty
+    "kg_owl_chain": (q_kg_owl_chain, SQL_KG_OWL_CHAIN),
     "kg_owl_entail": (q_kg_owl_entail, SQL_KG_OWL_ENTAIL),
     # SHACL-core node-shape validation report (broadcast shapes)
     "kg_shacl_report": (q_kg_shacl_report, SQL_KG_SHACL_REPORT),

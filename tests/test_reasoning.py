@@ -181,3 +181,34 @@ def test_owl_entail_empty_schema_identity_and_transitive_over_derived(spark):
     inst2 = _df(spark, [("x", "p", "y"), ("y", "p", "z")])
     got = {tuple(r) for r in owl_entail(inst2, schema).collect()}
     assert ("z", "q", "x") in got
+
+
+def test_owl_property_chain_and_stratification(spark):
+    """prp-spo2: a chain axiom derives R from p∘q via the sequence-path
+    engine, and chain-derived triples feed the later strata (a symmetric
+    R also gets its reversed edges)."""
+    from jcpg_spark.operators.reasoning import OWL_CHAIN, owl_entail
+
+    inst = spark.createDataFrame(
+        [("ann", "parent", "bob"), ("bob", "parent", "cid"),
+         ("cid", "parent", "dee"), ("ann", "knows", "eve")],
+        "src string, pred string, dst string",
+    )
+    schema = spark.createDataFrame(
+        [("grandparent", OWL_CHAIN, "parent/parent")],
+        "src string, pred string, dst string",
+    )
+    out = {(r["src"], r["pred"], r["dst"])
+           for r in owl_entail(inst, schema).collect()}
+    assert {t for t in out if t[1] == "grandparent"} == {
+        ("ann", "grandparent", "cid"), ("bob", "grandparent", "dee")
+    }
+    assert ("ann", "knows", "eve") in out  # asserted layer intact
+    schema2 = spark.createDataFrame(
+        [("grandparent", OWL_CHAIN, "parent/parent"),
+         ("grandparent", "rdf.type", "owl.SymmetricProperty")],
+        "src string, pred string, dst string",
+    )
+    out2 = {(r["src"], r["pred"], r["dst"])
+            for r in owl_entail(inst, schema2).collect()}
+    assert ("cid", "grandparent", "ann") in out2  # chain fed the swap stratum
