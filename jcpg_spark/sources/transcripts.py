@@ -47,6 +47,54 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(S.TRANSCRIPT_SCHEMA).parquet(path)
 
 
+def read_transcripts_jsonl(
+    spark: SparkSession, path: str, nested: bool = False
+) -> DataFrame:
+    """JSONL transcript source: one JSON object per line, in either the
+    flat per-turn shape ``{"conv_id", "turn_idx", "role", "text",
+    "tool", "ts"}`` or — with ``nested=True`` — the shape agent logs
+    actually ship in, one CONVERSATION per line with a ``turns`` array,
+    exploded to the canonical schema.
+
+    The schema is passed EXPLICITLY to the reader: JSON schema inference
+    is a full extra pass over the input (a second 100-TB scan before the
+    first real one), so a source reader at this scale must never rely on
+    it. Timestamps parse from ISO-8601 strings via the schema's
+    TimestampType; missing optional fields (tool, ts) are null per the
+    canonical contract; malformed lines surface as all-null rows under
+    Spark's default PERMISSIVE mode rather than killing a 10^12-turn
+    ingest (tighten with .option("mode", "FAILFAST") upstream when the
+    feed is trusted)."""
+    from pyspark.sql import types as T
+
+    if not nested:
+        return spark.read.schema(S.TRANSCRIPT_SCHEMA).json(path)
+    turn = T.StructType(
+        [
+            T.StructField("turn_idx", T.IntegerType(), True),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    sch = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), True),
+            T.StructField("turns", T.ArrayType(turn), True),
+        ]
+    )
+    df = spark.read.schema(sch).json(path)
+    return df.select("conv_id", F.explode("turns").alias("t")).select(
+        F.col("conv_id").cast("string"),
+        F.col("t.turn_idx").cast("int").alias("turn_idx"),
+        F.col("t.role").cast("string").alias("role"),
+        F.col("t.text").cast("string").alias("text"),
+        F.col("t.tool").cast("string").alias("tool"),
+        F.col("t.ts").alias("ts"),
+    )
+
+
 def read_dictionary(spark: SparkSession, path: str) -> DataFrame:
     """Production dictionary source (S3): a parquet/CSV entity table in the
     DICTIONARY_SCHEMA shape. Reference analog: dictionary enrichment from

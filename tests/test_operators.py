@@ -672,3 +672,50 @@ def test_interval_join_matches_brute_force_across_buckets(spark):
         interval_join(L, R, bucket=0.0)
     with pytest.raises(ValueError, match="reserved"):
         interval_join(L, R, bucket=1.0, on=["bucket"])
+
+
+def test_read_transcripts_jsonl_flat_and_nested(spark, tmp_path):
+    """JSONL source: flat per-turn lines and nested per-conversation
+    lines both land in the canonical transcript schema (explicit schema,
+    no inference pass); ISO timestamps parse; missing tool is null."""
+    import json
+
+    from jcpg_spark.sources.transcripts import read_transcripts_jsonl
+
+    flat = tmp_path / "flat.jsonl"
+    flat.write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"conv_id": "c1", "turn_idx": 0, "role": "user",
+                 "text": "hi", "tool": None, "ts": "2026-01-01T12:00:00"},
+                {"conv_id": "c1", "turn_idx": 1, "role": "assistant",
+                 "text": "run", "tool": "db", "ts": "2026-01-01T12:00:05"},
+            ]
+        )
+    )
+    f = read_transcripts_jsonl(spark, str(flat))
+    assert [x.name for x in f.schema.fields] == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    rows = {(r["conv_id"], r["turn_idx"], r["role"], r["tool"])
+            for r in f.collect()}
+    assert rows == {("c1", 0, "user", None), ("c1", 1, "assistant", "db")}
+    assert all(r["ts"] is not None for r in f.collect())
+
+    nested = tmp_path / "nested.jsonl"
+    nested.write_text(
+        json.dumps(
+            {"conv_id": "c9", "turns": [
+                {"turn_idx": 0, "role": "user", "text": "q"},
+                {"turn_idx": 1, "role": "tool", "text": "event error x",
+                 "tool": "search", "ts": "2026-02-02T01:02:03"},
+            ]}
+        )
+    )
+    n = read_transcripts_jsonl(spark, str(nested), nested=True)
+    got = sorted((r["conv_id"], r["turn_idx"], r["role"], r["tool"])
+                 for r in n.collect())
+    assert got == [("c9", 0, "user", None), ("c9", 1, "tool", "search")]
+    # the nested reader's output schema matches the flat one
+    assert [x.name for x in n.schema.fields] == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"]
