@@ -24,7 +24,7 @@ connected components for canonicalization.
 from jcpg_spark.session import get_spark
 from jcpg_spark.pipeline import build_graph, edge_layers, node_layers, PipelineResult
 from jcpg_spark.caching import clear_caches
-from jcpg_spark.operators.canonicalize import connected_components
+from jcpg_spark.operators.canonicalize import connected_components, er_quality
 from jcpg_spark.io import compaction_plan
 from jcpg_spark.operators.bpe import pair_counts as bpe_pair_counts, train as bpe_train
 from jcpg_spark.operators.curation import (
@@ -126,6 +126,7 @@ __all__ = [
     "PipelineResult",
     "clear_caches",
     "connected_components",
+    "er_quality",
     "jaccard_pairs_prefix",
     "keep_list",
     "leakage_safe_split",

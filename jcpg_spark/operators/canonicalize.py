@@ -263,3 +263,79 @@ def canonical_map(linked_mentions: DataFrame, mapping: DataFrame) -> DataFrame:
         S.mention_node(F.col("conv_id"), F.col("turn_idx"), F.col("ordinal")).alias("mention_id"),
         F.coalesce(F.col("canonical_id"), F.col("canonical")).alias("canonical_id"),
     )
+
+
+def er_quality(
+    pred: DataFrame,
+    gold: DataFrame,
+    item_col: str = "item",
+    pred_col: str = "pred_id",
+    gold_col: str = "gold_id",
+) -> DataFrame:
+    """Entity-resolution quality scorecard: pairwise and B-cubed
+    precision/recall/F1 of a predicted clustering against a gold one —
+    the evaluation the north rule's "P/R >= 0.95 vs reference" criterion
+    applies to the canonicalizer itself (reference analog: the expected
+    node/edge fixtures in ``CodePropertyGraphTest.java``, whose
+    whole-graph equality this generalizes to partial-credit metrics).
+
+    Inputs are (item, cluster_id) assignments; one row out with
+    ``n_items``, cluster counts, and the six metrics rounded to 6 dp.
+
+    Exact math, shuffle-bounded: ONE item-keyed join feeds a
+    (pred, gold) contingency hash-agg; everything after runs on the
+    contingency table, which is cluster-pair-sized, not item-sized —
+    pairwise TP = sum n_pg*(n_pg-1), denominators from the two marginal
+    size tables, B-cubed sums = sum(n_pg^2 / marginal). All counts stay
+    integers until the final divisions. At 10^12 items this is two
+    data-scale shuffles (the join + the contingency agg); the rest is
+    vocabulary-scale. Zero-pair degenerate sides define the metric as 1.0
+    (the singleton-only clustering is vacuously precise/complete).
+    """
+    p = pred.select(F.col(item_col).alias("item"), F.col(pred_col).cast("string").alias("p"))
+    g = gold.select(F.col(item_col).alias("item"), F.col(gold_col).cast("string").alias("g"))
+    cells = p.join(g, "item").groupBy("p", "g").agg(F.count(F.lit(1)).alias("n_pg"))
+    psz = cells.groupBy("p").agg(F.sum("n_pg").alias("n_p"))
+    gsz = cells.groupBy("g").agg(F.sum("n_pg").alias("n_g"))
+
+    tot = (
+        cells.join(psz, "p")
+        .join(gsz, "g")
+        .agg(
+            F.sum("n_pg").alias("n_items"),
+            F.sum(F.col("n_pg") * (F.col("n_pg") - 1)).alias("tp2"),
+            F.sum(F.col("n_pg") * F.col("n_pg") / F.col("n_p")).alias("b3p_sum"),
+            F.sum(F.col("n_pg") * F.col("n_pg") / F.col("n_g")).alias("b3r_sum"),
+        )
+    )
+    pp = psz.agg(
+        F.sum(F.col("n_p") * (F.col("n_p") - 1)).alias("pred2"),
+        F.count(F.lit(1)).alias("n_pred_clusters"),
+    )
+    gg = gsz.agg(
+        F.sum(F.col("n_g") * (F.col("n_g") - 1)).alias("gold2"),
+        F.count(F.lit(1)).alias("n_gold_clusters"),
+    )
+
+    def ratio(num, den):
+        return F.when(den == 0, F.lit(1.0)).otherwise(num / den)
+
+    def f1(pr, rc):
+        return F.when(pr + rc == 0, F.lit(0.0)).otherwise(2 * pr * rc / (pr + rc))
+
+    j = tot.crossJoin(pp).crossJoin(gg)
+    pw_p = ratio(F.col("tp2").cast("double"), F.col("pred2"))
+    pw_r = ratio(F.col("tp2").cast("double"), F.col("gold2"))
+    b3_p = F.col("b3p_sum") / F.col("n_items")
+    b3_r = F.col("b3r_sum") / F.col("n_items")
+    return j.select(
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("n_pred_clusters").cast("long").alias("n_pred_clusters"),
+        F.col("n_gold_clusters").cast("long").alias("n_gold_clusters"),
+        F.round(pw_p, 6).alias("pairwise_precision"),
+        F.round(pw_r, 6).alias("pairwise_recall"),
+        F.round(f1(pw_p, pw_r), 6).alias("pairwise_f1"),
+        F.round(b3_p, 6).alias("b3_precision"),
+        F.round(b3_r, 6).alias("b3_recall"),
+        F.round(f1(b3_p, b3_r), 6).alias("b3_f1"),
+    )

@@ -1204,6 +1204,68 @@ SELECT doc_id, min(doc_id) OVER (PARTITION BY grp) AS canonical_id FROM g
 """
 
 
+def q_kg_er_quality(spark, sf_dir):
+    """ER-quality scorecard for the canonicalizer: the chain-CC clustering
+    (a6's real iterative connected components) scored against the
+    language partition that generated the chains. Every island is
+    lang-pure, so pairwise precision is exactly 1.0 and recall measures
+    island fragmentation — a non-trivial, fully SQL-derivable gold."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    nxt = docs.select((F.col("doc_id") - 1).alias("doc_id"), F.col("lang").alias("lang_next"))
+    pairs = (
+        docs.join(nxt, "doc_id")
+        .filter(F.col("lang") == F.col("lang_next"))
+        .select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
+    )
+    mapping, _rounds, _conv = canonicalize.connected_components(pairs)
+    pred = (
+        docs.join(mapping, docs["doc_id"] == mapping["entity"], "left")
+        .select(
+            F.col("doc_id").alias("item"),
+            F.coalesce("canonical_id", "doc_id").alias("pred_id"),
+        )
+    )
+    gold = docs.select(F.col("doc_id").alias("item"), F.col("lang").alias("gold_id"))
+    return canonicalize.er_quality(pred, gold)
+
+
+SQL_KG_ER_QUALITY = """
+WITH d AS (SELECT doc_id, lang, lag(lang) OVER (ORDER BY doc_id) AS plang FROM documents),
+f AS (SELECT doc_id, lang, CASE WHEN plang IS NULL OR plang <> lang THEN 1 ELSE 0 END AS brk FROM d),
+gi AS (SELECT doc_id, lang, sum(brk) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM f),
+a AS (SELECT doc_id AS item,
+             CAST(min(doc_id) OVER (PARTITION BY grp) AS VARCHAR) AS p,
+             lang AS g
+      FROM gi),
+cells AS (SELECT p, g, count(*) AS n_pg FROM a GROUP BY p, g),
+psz AS (SELECT p, sum(n_pg) AS n_p FROM cells GROUP BY p),
+gsz AS (SELECT g, sum(n_pg) AS n_g FROM cells GROUP BY g),
+tot AS (SELECT sum(n_pg) AS n_items,
+               sum(n_pg * (n_pg - 1)) AS tp2,
+               sum(CAST(n_pg AS DOUBLE) * n_pg / n_p) AS b3p_sum,
+               sum(CAST(n_pg AS DOUBLE) * n_pg / n_g) AS b3r_sum
+        FROM cells JOIN psz USING (p) JOIN gsz USING (g)),
+pp AS (SELECT sum(n_p * (n_p - 1)) AS pred2, count(*) AS n_pred FROM psz),
+gg AS (SELECT sum(n_g * (n_g - 1)) AS gold2, count(*) AS n_gold FROM gsz),
+m AS (SELECT CAST(n_items AS BIGINT) AS n_items,
+             CAST(n_pred AS BIGINT) AS n_pred_clusters,
+             CAST(n_gold AS BIGINT) AS n_gold_clusters,
+             CASE WHEN pred2 = 0 THEN 1.0 ELSE CAST(tp2 AS DOUBLE) / pred2 END AS pw_p,
+             CASE WHEN gold2 = 0 THEN 1.0 ELSE CAST(tp2 AS DOUBLE) / gold2 END AS pw_r,
+             b3p_sum / n_items AS b3_p,
+             b3r_sum / n_items AS b3_r
+      FROM tot, pp, gg)
+SELECT n_items, n_pred_clusters, n_gold_clusters,
+       round(pw_p, 6) AS pairwise_precision,
+       round(pw_r, 6) AS pairwise_recall,
+       round(CASE WHEN pw_p + pw_r = 0 THEN 0.0 ELSE 2 * pw_p * pw_r / (pw_p + pw_r) END, 6) AS pairwise_f1,
+       round(b3_p, 6) AS b3_precision,
+       round(b3_r, 6) AS b3_recall,
+       round(CASE WHEN b3_p + b3_r = 0 THEN 0.0 ELSE 2 * b3_p * b3_r / (b3_p + b3_r) END, 6) AS b3_f1
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: dedup / similarity / text analysis
 # ---------------------------------------------------------------------------
@@ -5413,4 +5475,7 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     # registry's kg_full_pipeline_sql; here the same_as layer difference
     # is pinned by tests/test_folded_registry's rows-only gate.
     "kg_full_pipeline": (q_kg_full_pipeline, None),
+    # ER-quality scorecard: pairwise + B-cubed P/R/F1 of the CC clustering
+    # against its generating partition (the north rule's own metric family)
+    "kg_er_quality": (q_kg_er_quality, SQL_KG_ER_QUALITY),
 }

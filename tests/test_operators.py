@@ -719,3 +719,34 @@ def test_read_transcripts_jsonl_flat_and_nested(spark, tmp_path):
     # the nested reader's output schema matches the flat one
     assert [x.name for x in n.schema.fields] == [
         "conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def test_er_quality_closed_form(spark):
+    """Hand-computed scorecard: pred {1,2},{3},{4,5,6} vs gold
+    {1,2,3},{4,5},{6} -> TP pairs {1,2},{4,5}; pred pairs 4; gold pairs 4
+    -> pairwise P = R = F1 = 0.5; B-cubed all 14/18 = 0.777778."""
+    from jcpg_spark.operators.canonicalize import er_quality
+
+    pred = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (4, "C"), (5, "C"), (6, "C")],
+        ["item", "pred_id"],
+    )
+    gold = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (4, "y"), (5, "y"), (6, "z")],
+        ["item", "gold_id"],
+    )
+    r = er_quality(pred, gold).first()
+    assert (r["n_items"], r["n_pred_clusters"], r["n_gold_clusters"]) == (6, 3, 3)
+    assert r["pairwise_precision"] == 0.5
+    assert r["pairwise_recall"] == 0.5
+    assert r["pairwise_f1"] == 0.5
+    assert r["b3_precision"] == round(14 / 18, 6)
+    assert r["b3_recall"] == round(14 / 18, 6)
+    assert r["b3_f1"] == round(14 / 18, 6)
+
+    # degenerate: all-singleton clusterings are vacuously perfect pairwise
+    singles = spark.createDataFrame([(1, "a"), (2, "b")], ["item", "pred_id"])
+    goldsing = singles.withColumnRenamed("pred_id", "gold_id")
+    d = er_quality(singles, goldsing).first()
+    assert d["pairwise_precision"] == 1.0 and d["pairwise_recall"] == 1.0
+    assert d["b3_precision"] == 1.0 and d["b3_recall"] == 1.0
