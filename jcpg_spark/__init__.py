@@ -106,6 +106,7 @@ from jcpg_spark.operators.graph_analytics import (
     pagerank,
     triangle_counts,
     vertex_features,
+    wl_fingerprint,
 )
 from jcpg_spark.plans.materialize import (
     append_conversations,
@@ -197,5 +198,6 @@ __all__ = [
     "fuzzy_link",
     "interval_join",
     "vertex_features",
+    "wl_fingerprint",
 ]
 __version__ = "0.1.0"

@@ -2059,3 +2059,71 @@ def node2vec_walks(
         )
         out = out.unionByName(cur.drop("prev"))
     return out
+
+
+def wl_fingerprint(
+    edges: DataFrame,
+    iters: int = 2,
+    conv_col: str = "conv_id",
+) -> DataFrame:
+    """1-dimensional Weisfeiler-Leman structural fingerprint per
+    conversation subgraph: an isomorphism-invariant digest that is equal
+    for conversations whose (typed-edge, typed-node) interaction graphs
+    are isomorphic, regardless of conversation ids, turn offsets, or
+    text. The structural complement of text dedup — template bots and
+    replayed sessions hash together here while every text-level signal
+    differs (reference analog: the graph-shape equality that
+    ``CodePropertyGraphTest.java`` fixtures assert whole-graph).
+
+    Node colors start as the node KIND (the id prefix before ':'), then
+    ``iters`` WL refinement rounds rehash each node with the sorted
+    multiset of (direction, predicate, neighbor-color) messages; the
+    conversation fingerprint is the hash of the final color multiset.
+    md5 is used (not xxhash64) so a SQL oracle can mirror every round.
+
+    Scale: each round is two node-keyed joins plus one hash-agg, all
+    partitioned by (conv, node); nothing is conversation-serial, and no
+    per-round state exceeds one 32-char label per node. Rounds are
+    FIXED (default 2 — enough to separate everything the per-conv CFG
+    can express), so the plan is a finite join tree, not a fixpoint.
+    Shared global nodes (e.g. ``tool:db``) are colored per conversation
+    via the composite (conv, node) key, as subgraph isomorphism demands.
+    """
+    e = (
+        edges.select(F.col(conv_col).alias("conv"), "src", "pred", "dst")
+        .filter(F.col("conv").isNotNull())
+    )
+    nodes = (
+        e.select("conv", F.col("src").alias("node"))
+        .unionByName(e.select("conv", F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.withColumn("lbl", F.md5(F.split("node", ":").getItem(0)))
+    for _ in range(iters):
+        # rename the label side before joining: labels' lineage descends
+        # from e, so unrenamed predicates trip AMBIGUOUS_SELF_JOIN
+        lab = labels.select(
+            F.col("conv").alias("lconv"), F.col("node").alias("lnode"), "lbl"
+        )
+        out_m = e.join(
+            lab, (e["conv"] == lab["lconv"]) & (e["dst"] == lab["lnode"])
+        ).select(
+            "conv", F.col("src").alias("node"),
+            F.concat(F.lit(">"), F.col("pred"), F.lit("#"), F.col("lbl")).alias("msg"),
+        )
+        in_m = e.join(
+            lab, (e["conv"] == lab["lconv"]) & (e["src"] == lab["lnode"])
+        ).select(
+            "conv", F.col("dst").alias("node"),
+            F.concat(F.lit("<"), F.col("pred"), F.lit("#"), F.col("lbl")).alias("msg"),
+        )
+        self_m = labels.select("conv", "node", F.concat(F.lit("="), F.col("lbl")).alias("msg"))
+        labels = (
+            out_m.unionByName(in_m)
+            .unionByName(self_m)
+            .groupBy("conv", "node")
+            .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list("msg")))).alias("lbl"))
+        )
+    return labels.groupBy("conv").agg(
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list("lbl")))).alias("fingerprint")
+    ).select(F.col("conv").alias(conv_col), "fingerprint")

@@ -5266,6 +5266,55 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_kg_wl_fingerprint(spark, sf_dir):
+    """Weisfeiler-Leman structural fingerprint of each conversation's
+    CFG+ICFG subgraph (flow.next + call + return): equal digests iff the
+    typed interaction graphs are isomorphic — structural dedup for
+    template bots and replayed sessions where every text-level signal
+    differs. 2 refinement rounds, md5 colors so DuckDB mirrors each round
+    exactly."""
+    t = transcripts_from_events(spark, sf_dir)
+    edges = (
+        flow.flow_next(t).select("src", "pred", "dst", "conv_id")
+        .unionByName(calls.call_triples(t).select("src", "pred", "dst", "conv_id"))
+        .unionByName(calls.return_triples(t).select("src", "pred", "dst", "conv_id"))
+    )
+    return graph_analytics.wl_fingerprint(edges, iters=2)
+
+
+def _sql_wl_round(prev: str, nxt: str) -> str:
+    return f"""{nxt} AS (
+  SELECT conv_id, node, md5(string_agg(msg, ',' ORDER BY msg)) AS lbl
+  FROM (
+    SELECT e.conv_id, e.src AS node, '>' || e.pred || '#' || l.lbl AS msg
+    FROM e JOIN {prev} l ON l.conv_id = e.conv_id AND l.node = e.dst
+    UNION ALL
+    SELECT e.conv_id, e.dst AS node, '<' || e.pred || '#' || l.lbl AS msg
+    FROM e JOIN {prev} l ON l.conv_id = e.conv_id AND l.node = e.src
+    UNION ALL
+    SELECT conv_id, node, '=' || lbl AS msg FROM {prev}
+  ) GROUP BY conv_id, node)"""
+
+
+SQL_KG_WL_FINGERPRINT = f"""
+WITH e AS (
+  SELECT src, pred, dst, conv_id FROM ({SQL_KG_FLOW_NEXT})
+  UNION ALL
+  SELECT src, pred, dst, conv_id FROM ({SQL_KG_CALL_RETURN})
+),
+l0 AS (
+  SELECT conv_id, node, md5(split_part(node, ':', 1)) AS lbl
+  FROM (SELECT DISTINCT conv_id, node
+        FROM (SELECT conv_id, src AS node FROM e
+              UNION ALL SELECT conv_id, dst FROM e))
+),
+{_sql_wl_round("l0", "l1")},
+{_sql_wl_round("l1", "l2")}
+SELECT conv_id, md5(string_agg(lbl, ',' ORDER BY lbl)) AS fingerprint
+FROM l2 GROUP BY conv_id
+"""
+
+
 # Implemented-but-folded entries (pytest-covered; reachable for tests and
 # users, outside the driver's 50-entry check window by design):
 FOLDED_REGISTRY: dict[str, tuple] = {
@@ -5478,4 +5527,7 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     # ER-quality scorecard: pairwise + B-cubed P/R/F1 of the CC clustering
     # against its generating partition (the north rule's own metric family)
     "kg_er_quality": (q_kg_er_quality, SQL_KG_ER_QUALITY),
+    # Weisfeiler-Leman isomorphism-invariant per-conversation digest
+    # (structural dedup of template bots / replayed sessions)
+    "kg_wl_fingerprint": (q_kg_wl_fingerprint, SQL_KG_WL_FINGERPRINT),
 }

@@ -1382,3 +1382,40 @@ def test_neighborhood_function_expander_matches_exact(spark):
         }
         exact[h] = sum(len(s) for s in balls.values())
     assert nf == exact
+
+
+def test_wl_fingerprint_isomorphism_invariance(spark):
+    """Isomorphic conversation graphs (renamed nodes, different convs)
+    hash identically; structurally different graphs do not; WL separates
+    graphs that degree sequences alone cannot (path vs fork)."""
+    from jcpg_spark.operators.graph_analytics import wl_fingerprint
+
+    def g(conv, triples):
+        return [(f"t:{conv}:{a}", p, f"t:{conv}:{b}", conv) for a, p, b in triples]
+
+    path = [(0, "flow.next", 1), (1, "flow.next", 2), (2, "flow.next", 3)]
+    # fork: same node/edge counts and total degree, different shape
+    fork = [(0, "flow.next", 1), (1, "flow.next", 2), (1, "flow.next", 3)]
+    # c1 and c2 are the same path graph with shifted turn indices
+    shifted = [(5, "flow.next", 6), (6, "flow.next", 7), (7, "flow.next", 8)]
+    rows = g("c1", path) + g("c2", shifted) + g("c3", fork)
+    edges = spark.createDataFrame(rows, ["src", "pred", "dst", "conv_id"])
+    fp = {r["conv_id"]: r["fingerprint"] for r in wl_fingerprint(edges).collect()}
+    assert fp["c1"] == fp["c2"]
+    assert fp["c1"] != fp["c3"]
+
+    # edge TYPE matters: relabeling one predicate changes the digest
+    typed = [(0, "call", 1), (1, "flow.next", 2), (2, "flow.next", 3)]
+    e2 = spark.createDataFrame(g("c4", typed), ["src", "pred", "dst", "conv_id"])
+    fp4 = wl_fingerprint(e2).first()["fingerprint"]
+    assert fp4 != fp["c1"]
+
+    # shared global node (tool:db) is colored per conversation: two convs
+    # calling the same tool with identical shape still match each other
+    call_rows = [
+        ("t:a:0", "call", "tool:db", "a"),
+        ("t:b:0", "call", "tool:db", "b"),
+    ]
+    e3 = spark.createDataFrame(call_rows, ["src", "pred", "dst", "conv_id"])
+    fps = {r["conv_id"]: r["fingerprint"] for r in wl_fingerprint(e3).collect()}
+    assert fps["a"] == fps["b"]
