@@ -72,6 +72,60 @@ def bigram_lm_scores(
     )
 
 
+def kn_bigram_scores(
+    docs: DataFrame, text_col: str = "text", discount: float = 0.75
+) -> DataFrame:
+    """-> (doc_id, kn_score): mean bigram log-probability under an
+    interpolated Kneser-Ney bigram model self-trained on the corpus — the
+    smoothing KenLM applies in the production perplexity filters
+    (CCNet/RedPajama/Dolma), upgrading ``bigram_lm_scores``'s add-alpha:
+    absolute discounting with the freed mass re-routed through the
+    CONTINUATION distribution (how many contexts a word follows, not how
+    often), the fix for high-count-but-single-context words.
+
+        P_kn(w2|w1) = max(c(w1,w2) - D, 0)/c(w1.)
+                      + D * N1+(w1.)/c(w1.) * N1+(.w2)/N1+(..)
+
+    Scale: the model is three rollups of the same (w1, w2) count frame
+    (forward marginal + fanout, continuation fanout, one global scalar);
+    scoring joins per-doc bigram counts to the model on the bigram key —
+    identical shuffle shape to ``bigram_lm_scores``, one extra
+    vocabulary-sized join for the continuation table. Scoring covers
+    observed bigrams (inner join), the same convention as the add-alpha
+    scorer; every observed bigram has P > 0 because D < 1 leaves at least
+    (1 - D)/c(w1.) plus a positive continuation term.
+    """
+    from jcpg_spark.caching import swap_persist
+
+    dbc = swap_persist("kn_lm.dbc", _doc_bigram_counts(docs, text_col))
+    cb = dbc.groupBy("w1", "w2").agg(F.sum("n").alias("cb"))
+    cu = cb.groupBy("w1").agg(
+        F.sum("cb").alias("cu"), F.count(F.lit(1)).alias("n1p_fw")
+    )
+    cont = cb.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bw"))
+    tot = cb.agg(F.count(F.lit(1)).alias("n1p_all"))
+    d = F.lit(discount)
+    model = (
+        cb.join(cu, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                F.greatest(F.col("cb") - d, F.lit(0.0)) / F.col("cu")
+                + d * F.col("n1p_fw") / F.col("cu")
+                * (F.col("n1p_bw") / F.col("n1p_all"))
+            ).alias("logp"),
+        )
+    )
+    return (
+        dbc.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg((F.sum(F.col("n") * F.col("logp")) / F.sum("n")).alias("kn_score"))
+    )
+
+
 def ccnet_buckets(
     docs: DataFrame,
     group_col: str = "lang",

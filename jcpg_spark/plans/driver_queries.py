@@ -5266,6 +5266,36 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_doc_kn_score(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram quality score (the KenLM smoothing
+    behind the production CCNet/RedPajama perplexity filters): absolute
+    discount D=0.75 with the freed mass routed through the continuation
+    distribution. Integer counts; ln + divisions pinned at 6 dp."""
+    docs = _docs(spark, sf_dir)
+    out = lm.kn_bigram_scores(docs)
+    return out.select("doc_id", F.round("kn_score", 6).alias("kn_score"))
+
+
+SQL_DOC_KN_SCORE = r"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+b AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+          THEN list_transform(generate_series(1, len(ws) - 1), i -> [ws[i], ws[i+1]])
+          ELSE [] END) AS p
+      FROM w),
+dbc AS (SELECT doc_id, p[1] AS w1, p[2] AS w2, count(*) AS n FROM b GROUP BY 1, 2, 3),
+cb AS (SELECT w1, w2, sum(n) AS cb FROM dbc GROUP BY 1, 2),
+cu AS (SELECT w1, sum(cb) AS cu, count(*) AS n1p_fw FROM cb GROUP BY 1),
+cont AS (SELECT w2, count(*) AS n1p_bw FROM cb GROUP BY 1),
+tot AS (SELECT count(*) AS n1p_all FROM cb),
+model AS (SELECT w1, w2,
+                 ln(greatest(cb - 0.75e0, 0e0) / cu
+                    + 0.75e0 * n1p_fw / cu * (CAST(n1p_bw AS DOUBLE) / n1p_all)) AS logp
+          FROM cb JOIN cu USING (w1) JOIN cont USING (w2), tot)
+SELECT doc_id, round(sum(n * logp) / sum(n), 6) AS kn_score
+FROM dbc JOIN model USING (w1, w2) GROUP BY doc_id
+"""
+
+
 def q_kg_wl_fingerprint(spark, sf_dir):
     """Weisfeiler-Leman structural fingerprint of each conversation's
     CFG+ICFG subgraph (flow.next + call + return): equal digests iff the
@@ -5530,4 +5560,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     # Weisfeiler-Leman isomorphism-invariant per-conversation digest
     # (structural dedup of template bots / replayed sessions)
     "kg_wl_fingerprint": (q_kg_wl_fingerprint, SQL_KG_WL_FINGERPRINT),
+    # interpolated Kneser-Ney bigram LM score (KenLM smoothing)
+    "doc_kn_score": (q_doc_kn_score, SQL_DOC_KN_SCORE),
 }

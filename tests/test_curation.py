@@ -731,3 +731,29 @@ def test_corpus_overlap_exact_below_threshold(spark):
     ro = grams(texts[1][1]) | grams(texts[3][1])
     assert (got["n_left"], got["n_right"], got["n_inter"], got["n_union"]) \
         == (len(le), len(ro), len(le & ro), len(le | ro))
+
+
+def test_kn_bigram_scores_closed_form(spark):
+    """Hand-computed interpolated Kneser-Ney (D=0.75) on a 2-doc corpus:
+    cb = {(a,b):2, (b,a):1, (a,c):1}; cu(a)=3 fanout 2, cu(b)=1 fanout 1;
+    continuation N1+ = 1 for each of a,b,c over 3 distinct bigrams."""
+    import math
+
+    from jcpg_spark.operators.lm import kn_bigram_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], ["doc_id", "text"]
+    )
+    p_b_a = (2 - 0.75) / 3 + 0.75 * 2 / 3 * (1 / 3)
+    p_a_b = (1 - 0.75) / 1 + 0.75 * 1 / 1 * (1 / 3)
+    p_c_a = (1 - 0.75) / 3 + 0.75 * 2 / 3 * (1 / 3)
+    want = {
+        1: (2 * math.log(p_b_a) + math.log(p_a_b)) / 3,
+        2: math.log(p_c_a),
+    }
+    got = {r["doc_id"]: r["kn_score"] for r in kn_bigram_scores(docs).collect()}
+    assert set(got) == {1, 2}
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+    # KN leaves every observed bigram with positive probability < 1
+    assert all(v < 0 for v in got.values())
