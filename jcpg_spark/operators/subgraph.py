@@ -135,3 +135,32 @@ def graph_diff(
         n.join(o, ks, "left_anti").withColumn("change", F.lit("added"))
         .unionByName(o.join(n, ks, "left_anti").withColumn("change", F.lit("removed")))
     )
+
+
+def graph_asof(log: DataFrame, at) -> DataFrame:
+    """Point-in-time graph state from an assertion/retraction log: replay
+    rows ``(src, pred, dst, op, ts)`` with ``op`` in ``{'+', '-'}`` and
+    return the triples ASSERTED as of instant ``at`` — for every (s, p, o)
+    the latest log row at or before ``at`` wins, and the triple is present
+    iff that row is an assertion. The temporal-KG dual of ``graph_diff``:
+    diff turns two snapshots into a delta, this turns a delta LOG back
+    into any historical snapshot (RDF stream replay / changelog time
+    travel — e.g. auditing what the KG claimed when a model was trained).
+
+    Exactly one data-scale shuffle: the (s, p, o) hash-agg, with the
+    last-writer pick fused into it as max over the (ts, op) struct — no
+    window, no sort. Ties at the same instant resolve to RETRACT
+    deterministically ('-' > '+' bytewise), the safe direction for a
+    purge log. ``asserted_at`` returns the winning assertion's epoch
+    second (integer, tz-independent).
+    """
+    h = log.filter(F.col("ts") <= F.lit(at).cast("timestamp"))
+    win = h.groupBy("src", "pred", "dst").agg(
+        F.max(F.struct(F.col("ts"), F.col("op"))).alias("last")
+    )
+    return win.filter(F.col("last.op") == "+").select(
+        "src",
+        "pred",
+        "dst",
+        F.unix_timestamp(F.col("last.ts")).alias("asserted_at"),
+    )

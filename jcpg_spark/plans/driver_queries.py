@@ -5266,6 +5266,45 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_kg_graph_asof(spark, sf_dir):
+    """Changelog time travel: replay the tool-subscription assert/retract
+    log derived from events (signup +search, purchase +db, error -db per
+    user) and reconstruct the graph state as of mid-month. Last writer
+    per (s,p,o) wins; same-instant ties resolve to retract."""
+    from jcpg_spark.operators import subgraph
+
+    ev = _ev(spark, sf_dir)
+    log = ev.filter(F.col("event_type").isin("signup", "purchase", "error")).select(
+        F.format_string("u:u%06d", F.col("user_id")).alias("src"),
+        F.lit("uses").alias("pred"),
+        F.when(F.col("event_type") == "signup", F.lit("tool:search"))
+        .otherwise(F.lit("tool:db"))
+        .alias("dst"),
+        F.when(F.col("event_type") == "error", F.lit("-")).otherwise(F.lit("+")).alias("op"),
+        F.col("ts"),
+    )
+    return subgraph.graph_asof(log, "2024-01-16 00:00:00")
+
+
+SQL_KG_GRAPH_ASOF = """
+WITH log AS (
+  SELECT printf('u:u%06d', user_id) AS src,
+         'uses' AS pred,
+         CASE WHEN event_type = 'signup' THEN 'tool:search' ELSE 'tool:db' END AS dst,
+         CASE WHEN event_type = 'error' THEN '-' ELSE '+' END AS op,
+         ts
+  FROM events
+  WHERE event_type IN ('signup', 'purchase', 'error')
+    AND ts <= TIMESTAMP '2024-01-16 00:00:00'),
+r AS (SELECT src, pred, dst, op, ts,
+             row_number() OVER (PARTITION BY src, pred, dst
+                                ORDER BY ts DESC, op DESC) AS rk
+      FROM log)
+SELECT src, pred, dst, CAST(floor(epoch(ts)) AS BIGINT) AS asserted_at
+FROM r WHERE rk = 1 AND op = '+'
+"""
+
+
 def q_doc_kn_score(spark, sf_dir):
     """Interpolated Kneser-Ney bigram quality score (the KenLM smoothing
     behind the production CCNet/RedPajama perplexity filters): absolute
@@ -5562,4 +5601,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_wl_fingerprint": (q_kg_wl_fingerprint, SQL_KG_WL_FINGERPRINT),
     # interpolated Kneser-Ney bigram LM score (KenLM smoothing)
     "doc_kn_score": (q_doc_kn_score, SQL_DOC_KN_SCORE),
+    # changelog time travel: as-of snapshot reconstruction from a +/- log
+    "kg_graph_asof": (q_kg_graph_asof, SQL_KG_GRAPH_ASOF),
 }

@@ -654,3 +654,34 @@ def test_graph_clause_constant_and_variable(spark):
     bare = e.select("src", "pred", "dst")
     with pytest.raises(ValueError, match="named-graph column"):
         match_pattern(bare, [("?s", "flow.next", "?o")], graph="?g")
+
+
+def test_graph_asof_replay_semantics(spark):
+    """As-of replay: assert -> retract -> re-assert across the cut; ties
+    at the same instant resolve to retract; rows after the cut invisible."""
+    from pyspark.sql import functions as F
+
+    from jcpg_spark.operators.subgraph import graph_asof
+
+    rows = [
+        # re-asserted before the cut after an earlier retract -> present
+        ("a", "p", "x", "+", "2024-01-01 00:00:00"),
+        ("a", "p", "x", "-", "2024-01-02 00:00:00"),
+        ("a", "p", "x", "+", "2024-01-03 00:00:00"),
+        # retracted before the cut -> absent
+        ("a", "p", "y", "+", "2024-01-01 00:00:00"),
+        ("a", "p", "y", "-", "2024-01-04 00:00:00"),
+        # same-instant tie -> retract wins -> absent
+        ("b", "p", "z", "+", "2024-01-05 00:00:00"),
+        ("b", "p", "z", "-", "2024-01-05 00:00:00"),
+        # asserted only after the cut -> absent
+        ("c", "p", "w", "+", "2024-02-01 00:00:00"),
+    ]
+    log = spark.createDataFrame(rows, ["src", "pred", "dst", "op", "ts"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {(r["src"], r["pred"], r["dst"]) for r in graph_asof(log, "2024-01-10 00:00:00").collect()}
+    assert got == {("a", "p", "x")}
+    # at a later instant the post-cut assertion appears
+    later = {(r["src"], r["dst"]) for r in graph_asof(log, "2024-03-01 00:00:00").collect()}
+    assert later == {("a", "x"), ("c", "w")}
