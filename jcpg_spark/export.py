@@ -435,3 +435,59 @@ def read_nquads(lines: DataFrame, col: str = "line") -> DataFrame:
         grp(1, "src"), grp(2, "pred"), grp(3, "var"), grp(4, "dst"),
         grp(5, "conv_id"),
     ).select("src", "pred", "dst", "var", "conv_id")
+
+
+def reify_qualified(edges: DataFrame) -> DataFrame:
+    """Standard RDF reification of var-QUALIFIED edges: plain triples pass
+    through; each (s, p, o, var, conv) with a qualifier becomes a
+    content-keyed statement node ``stmt:<md5>`` carrying four triples —
+    rdf.subject / rdf.predicate / rdf.object plus ``qual.var`` with the
+    qualifier payload. Downstream triple stores have no edge properties,
+    so the N-Quads sink folds the qualifier into a predicate-IRI fragment
+    (``nquads_lines``); this is the lossless alternative when the
+    consumer needs the qualifier QUERYABLE as a first-class node (the
+    RDF-star ``<< s p o >> qual v`` pattern lowered to RDF 1.1).
+
+    Map-side only — ZERO exchanges: one filter + one 4-struct explode per
+    qualified edge. Statement ids are md5 over the full (s, p, o, var,
+    conv) content key, so re-runs, retries, and duplicate emissions of
+    the same qualified assertion converge on the same node id (the
+    content-key id rule the whole schema uses; reference keeps
+    insertion-order ids, CodePropertyGraph.java:95-113, which no
+    distributed or resumable run can reproduce).
+    """
+    sep = F.lit("\x1f")
+    key = F.md5(
+        F.concat(
+            F.col("src"), sep, F.col("pred"), sep, F.col("dst"), sep,
+            F.col("var"), sep, F.coalesce(F.col("conv_id"), F.lit("")),
+        )
+    )
+    stmt = F.concat(F.lit("stmt:"), key)
+    nul = F.lit(None).cast("string")
+    q = edges.filter(F.col("var").isNotNull())
+    plain = edges.filter(F.col("var").isNull()).select("src", "pred", "dst", "var", "conv_id")
+
+    def t(pred_lit: str, dst_col):
+        return F.struct(
+            stmt.alias("src"), F.lit(pred_lit).alias("pred"), dst_col.alias("dst")
+        )
+
+    quads = q.select(
+        F.explode(
+            F.array(
+                t("rdf.subject", F.col("src")),
+                t("rdf.predicate", F.concat(F.lit("pred:"), F.col("pred"))),
+                t("rdf.object", F.col("dst")),
+                t("qual.var", F.concat(F.lit("v:"), F.col("var"))),
+            )
+        ).alias("r"),
+        F.col("conv_id"),
+    ).select(
+        F.col("r.src").alias("src"),
+        F.col("r.pred").alias("pred"),
+        F.col("r.dst").alias("dst"),
+        nul.alias("var"),
+        "conv_id",
+    )
+    return plain.unionByName(quads)

@@ -5266,6 +5266,40 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_kg_reify(spark, sf_dir):
+    """RDF-star lowering: reify the var-qualified ICFG edges (call/return
+    carry the tool qualifier) into content-keyed statement nodes with
+    rdf.subject/predicate/object + qual.var triples; unqualified edges
+    pass through. Map-side only (filter + 4-struct explode)."""
+    from jcpg_spark import export
+
+    t = transcripts_from_events(spark, sf_dir)
+    edges = (
+        calls.call_triples(t)
+        .unionByName(calls.return_triples(t))
+        .select("src", "pred", "dst", "var", "conv_id")
+    )
+    return export.reify_qualified(edges)
+
+
+SQL_KG_REIFY = f"""
+WITH cr AS (SELECT src, pred, dst, var, conv_id FROM ({SQL_KG_CALL_RETURN})),
+q AS (SELECT src, pred, dst, var, conv_id,
+             md5(src || chr(31) || pred || chr(31) || dst || chr(31) || var
+                 || chr(31) || coalesce(conv_id, '')) AS k
+      FROM cr WHERE var IS NOT NULL)
+SELECT src, pred, dst, var, conv_id FROM cr WHERE var IS NULL
+UNION ALL
+SELECT 'stmt:' || k, 'rdf.subject', src, CAST(NULL AS VARCHAR), conv_id FROM q
+UNION ALL
+SELECT 'stmt:' || k, 'rdf.predicate', 'pred:' || pred, NULL, conv_id FROM q
+UNION ALL
+SELECT 'stmt:' || k, 'rdf.object', dst, NULL, conv_id FROM q
+UNION ALL
+SELECT 'stmt:' || k, 'qual.var', 'v:' || var, NULL, conv_id FROM q
+"""
+
+
 def q_kg_graph_asof(spark, sf_dir):
     """Changelog time travel: replay the tool-subscription assert/retract
     log derived from events (signup +search, purchase +db, error -db per
@@ -5603,4 +5637,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "doc_kn_score": (q_doc_kn_score, SQL_DOC_KN_SCORE),
     # changelog time travel: as-of snapshot reconstruction from a +/- log
     "kg_graph_asof": (q_kg_graph_asof, SQL_KG_GRAPH_ASOF),
+    # RDF-star lowering: qualified edges -> reified statement nodes
+    "kg_reify": (q_kg_reify, SQL_KG_REIFY),
 }
