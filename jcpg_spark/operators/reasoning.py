@@ -36,6 +36,8 @@ Scale posture (the part that matters at 10^12 instance triples):
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, functions as F
 
 SUBCLASS = "rdfs.subClassOf"
@@ -424,3 +426,42 @@ def shacl_validate(
         )
     )
     return v_min.unionByName(v_max).unionByName(v_pat).unionByName(v_cls)
+
+
+def ifp_same_as(
+    edges: DataFrame,
+    ifp_preds: Sequence[str],
+    max_group: int | None = None,
+) -> DataFrame:
+    """owl:InverseFunctionalProperty entailment as identity evidence:
+    subjects sharing an object under an IFP predicate (same email, same
+    device key, same normalized phone) are co-referent — the workhorse
+    rule of KG identity resolution (OWL 2 prp-ifp). Emits STAR pairs
+    ``(pred, key, a, b)`` anchored at each (pred, object) group's minimum
+    subject, NOT all-pairs: n-1 pairs per group instead of C(n, 2), and
+    ``connected_components`` closes the transitive hull (including merges
+    that span different keys through a shared subject) — the same
+    anchor-star + union-find split every dedup operator here uses.
+
+    Two exchanges, both keyed by (pred, object): the distinct (duplicate
+    assertions must not re-emit pairs) and the anchor agg; the join back
+    is co-partitioned with the agg. ``max_group`` drops degenerate hub
+    keys (an empty-string email shared by 10^7 subjects is identity
+    NOISE, not evidence) — dropped groups surface in the count column of
+    the anchor side, never silently.
+    """
+    e = (
+        edges.filter(F.col("pred").isin(list(ifp_preds)))
+        .select("pred", "src", F.col("dst").alias("key"))
+        .distinct()
+    )
+    grp = e.groupBy("pred", "key").agg(
+        F.min("src").alias("a"), F.count(F.lit(1)).alias("group_n")
+    )
+    if max_group is not None:
+        grp = grp.filter(F.col("group_n") <= max_group)
+    return (
+        e.join(grp, ["pred", "key"])
+        .filter(F.col("src") != F.col("a"))
+        .select("pred", "key", "a", F.col("src").alias("b"))
+    )

@@ -5266,6 +5266,34 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_kg_ifp_sameas(spark, sf_dir):
+    """OWL 2 prp-ifp identity evidence: signup events assert
+    (u:<user>, device_key, k:<props.k>); subjects sharing a device key
+    yield anchor-star sameAs pairs (n-1 per key group, union-find closes
+    the hull downstream). Exact SQL: min-anchor per (pred, key)."""
+    from jcpg_spark.operators import reasoning
+
+    ev = _ev(spark, sf_dir)
+    ifp = ev.filter(F.col("event_type") == "signup").select(
+        F.format_string("u:u%06d", F.col("user_id")).alias("src"),
+        F.lit("device_key").alias("pred"),
+        F.concat(F.lit("k:"), F.get_json_object(F.col("props"), "$.k")).alias("dst"),
+    )
+    return reasoning.ifp_same_as(ifp, ["device_key"])
+
+
+SQL_KG_IFP_SAMEAS = """
+WITH e AS (SELECT DISTINCT 'device_key' AS pred,
+                  printf('u:u%06d', user_id) AS src,
+                  'k:' || (props ->> '$.k') AS key
+           FROM events WHERE event_type = 'signup'),
+g AS (SELECT pred, key, min(src) AS a FROM e GROUP BY pred, key)
+SELECT e.pred, e.key, g.a, e.src AS b
+FROM e JOIN g ON g.pred = e.pred AND g.key = e.key
+WHERE e.src <> g.a
+"""
+
+
 def q_kg_reify(spark, sf_dir):
     """RDF-star lowering: reify the var-qualified ICFG edges (call/return
     carry the tool qualifier) into content-keyed statement nodes with
@@ -5639,4 +5667,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_graph_asof": (q_kg_graph_asof, SQL_KG_GRAPH_ASOF),
     # RDF-star lowering: qualified edges -> reified statement nodes
     "kg_reify": (q_kg_reify, SQL_KG_REIFY),
+    # owl:InverseFunctionalProperty identity evidence (anchor-star pairs)
+    "kg_ifp_sameas": (q_kg_ifp_sameas, SQL_KG_IFP_SAMEAS),
 }

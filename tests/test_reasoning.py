@@ -212,3 +212,39 @@ def test_owl_property_chain_and_stratification(spark):
     out2 = {(r["src"], r["pred"], r["dst"])
             for r in owl_entail(inst, schema2).collect()}
     assert ("cid", "grandparent", "ann") in out2  # chain fed the swap stratum
+
+
+def test_ifp_same_as_star_pairs_and_cc_composition(spark):
+    """prp-ifp: subjects sharing an IFP object emit anchor-star pairs
+    (n-1 per group, never C(n,2)); duplicate assertions don't re-emit;
+    max_group drops hub keys; union-find closes cross-key merges."""
+    from pyspark.sql import functions as F
+
+    from jcpg_spark.operators.canonicalize import connected_components
+    from jcpg_spark.operators.reasoning import ifp_same_as
+
+    rows = [
+        ("u1", "email", "e@x"), ("u2", "email", "e@x"), ("u3", "email", "e@x"),
+        ("u2", "email", "e@x"),              # duplicate assertion
+        ("u3", "phone", "+1"), ("u4", "phone", "+1"),  # bridges u3 -> u4
+        ("u5", "email", "solo@x"),           # singleton: no pair
+        ("h1", "email", ""), ("h2", "email", ""), ("h3", "email", ""),
+    ]
+    e = spark.createDataFrame(rows, ["src", "pred", "dst"])
+    pairs = ifp_same_as(e, ["email", "phone"])
+    got = {(r["pred"], r["key"], r["a"], r["b"]) for r in pairs.collect()}
+    assert got == {
+        ("email", "e@x", "u1", "u2"), ("email", "e@x", "u1", "u3"),
+        ("phone", "+1", "u3", "u4"),
+        ("email", "", "h1", "h2"), ("email", "", "h1", "h3"),
+    }
+    # hub-key guard: the empty-email group (3 subjects) drops at max_group=2
+    capped = {(r["a"], r["b"]) for r in ifp_same_as(e, ["email", "phone"], max_group=2).collect()}
+    assert capped == {("u3", "u4")}
+    # composition: CC over the pairs merges u1-u4 through the shared subject
+    mapping, _, conv = connected_components(
+        pairs.select(F.col("a"), F.col("b"))
+    )
+    assert conv
+    roots = {r["entity"]: r["canonical_id"] for r in mapping.collect()}
+    assert roots["u4"] == roots["u1"] == roots["u2"] == roots["u3"] == "u1"
