@@ -231,3 +231,46 @@ def flow_branch(transcripts: DataFrame) -> DataFrame:
         F.col("tool").alias("var"),
         "conv_id",
     )
+
+
+def topic_segments(
+    transcripts: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """TextTiling-style topic segmentation: a boundary opens wherever the
+    LEXICAL COHESION between a turn and its predecessor (Jaccard over
+    distinct word sets) drops below ``threshold``; ``seg_idx`` is the
+    running boundary count. The linguistic complement of the structural
+    W3 segmentation (``cdg_segments`` cuts on the control-flow role
+    pattern; this cuts on vocabulary shift — "the conversation changed
+    subject"), and the per-turn ``cohesion`` score doubles as a
+    drift/quality signal for curation.
+
+    ONE exchange: both window passes (the lag and the running sum) share
+    the conv partitioning, and the word sets, intersections, and the
+    Jaccard are JVM array expressions inside it — no UDF, no second
+    shuffle. Empty-vocabulary adjacencies score 0.0 (a wordless turn is
+    a topic break, not a match); the first turn of a conversation has
+    NULL cohesion and always opens segment 0.
+    """
+    from jcpg_spark.functions.text import words
+
+    w = w_conv()
+    d = transcripts.select(
+        "conv_id", "turn_idx", F.array_distinct(words(F.col("text"))).alias("ws")
+    ).withColumn("pws", F.lag("ws").over(w))
+    n_i = F.size(F.array_intersect("ws", "pws"))
+    denom = F.size("ws") + F.size("pws") - n_i
+    cohesion = F.when(F.col("pws").isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(denom == 0, F.lit(0.0)).otherwise(n_i.cast("double") / denom)
+    )
+    d = d.withColumn("cohesion", cohesion)
+    boundary = F.when(
+        F.col("cohesion").isNull() | (F.col("cohesion") < threshold), 1
+    ).otherwise(0)
+    seg = F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1
+    return d.select(
+        "conv_id",
+        "turn_idx",
+        seg.cast("int").alias("seg_idx"),
+        F.round("cohesion", 6).alias("cohesion"),
+    )

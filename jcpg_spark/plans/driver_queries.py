@@ -5266,6 +5266,42 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_kg_topic_segments(spark, sf_dir):
+    """Lexical-cohesion topic segmentation over the events transcripts:
+    turns share {event, observed, value} and differ on the type word, so
+    adjacent same-type turns cohere at 1.0 and type changes at 0.6 —
+    threshold 0.8 cuts exactly on event-type runs. Exact oracle: DuckDB
+    mirrors the tokenize + lag-Jaccard + running boundary sum."""
+    t = transcripts_from_events(spark, sf_dir)
+    return flow.topic_segments(t, threshold=0.8)
+
+
+SQL_KG_TOPIC_SEGMENTS = f"""
+WITH o AS ({_SQL_ORDERED}),
+w AS (SELECT conv_id, idx,
+             list_distinct(regexp_extract_all(lower(
+               'event ' || event_type || ' observed value '
+               || CAST(CAST(round(value) AS BIGINT) AS VARCHAR)), '[a-z]+')) AS ws
+      FROM o),
+lagd AS (SELECT conv_id, idx, ws,
+                lag(ws) OVER (PARTITION BY conv_id ORDER BY idx) AS pws
+         FROM w),
+coh AS (SELECT conv_id, idx,
+               CASE WHEN pws IS NULL THEN NULL
+                    WHEN len(ws) + len(pws) - len(list_intersect(ws, pws)) = 0 THEN 0.0
+                    ELSE CAST(len(list_intersect(ws, pws)) AS DOUBLE)
+                         / (len(ws) + len(pws) - len(list_intersect(ws, pws)))
+               END AS cohesion
+        FROM lagd)
+SELECT conv_id, idx AS turn_idx,
+       CAST(sum(CASE WHEN cohesion IS NULL OR cohesion < 0.8 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY conv_id ORDER BY turn_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS INT) AS seg_idx,
+       round(cohesion, 6) AS cohesion
+FROM coh
+"""
+
+
 def q_kg_ifp_sameas(spark, sf_dir):
     """OWL 2 prp-ifp identity evidence: signup events assert
     (u:<user>, device_key, k:<props.k>); subjects sharing a device key
@@ -5669,4 +5705,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_reify": (q_kg_reify, SQL_KG_REIFY),
     # owl:InverseFunctionalProperty identity evidence (anchor-star pairs)
     "kg_ifp_sameas": (q_kg_ifp_sameas, SQL_KG_IFP_SAMEAS),
+    # TextTiling-style lexical-cohesion topic segmentation (one exchange)
+    "kg_topic_segments": (q_kg_topic_segments, SQL_KG_TOPIC_SEGMENTS),
 }

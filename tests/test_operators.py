@@ -750,3 +750,31 @@ def test_er_quality_closed_form(spark):
     d = er_quality(singles, goldsing).first()
     assert d["pairwise_precision"] == 1.0 and d["pairwise_recall"] == 1.0
     assert d["b3_precision"] == 1.0 and d["b3_recall"] == 1.0
+
+
+def test_topic_segments_closed_form(spark):
+    """Cohesion and boundary math on a hand-built conversation: same-type
+    adjacency coheres 1.0, type change 3/5, wordless turn forces 0.0; the
+    first turn opens segment 0 with NULL cohesion; the plan keeps ONE
+    exchange for both window passes."""
+    from jcpg_spark.operators.flow import topic_segments
+
+    rows = [
+        ("c", 0, "alpha beta gamma"),
+        ("c", 1, "alpha beta gamma"),      # identical -> 1.0, same segment
+        ("c", 2, "alpha beta delta"),      # 2 shared / 4 union = 0.5 -> cut
+        ("c", 3, "123 456"),               # no letters -> 0.0 -> cut
+        ("d", 0, "solo"),                  # separate conversation
+    ]
+    t = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    out = topic_segments(t, threshold=0.8)
+    got = {(r["conv_id"], r["turn_idx"]): (r["seg_idx"], r["cohesion"]) for r in out.collect()}
+    assert got[("c", 0)] == (0, None)
+    assert got[("c", 1)] == (0, 1.0)
+    assert got[("c", 2)] == (1, 0.5)
+    assert got[("c", 3)] == (2, 0.0)
+    assert got[("d", 0)] == (0, None)
+    final_plan = (
+        out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    )
+    assert final_plan.count("Exchange hashpartitioning") == 1, final_plan
