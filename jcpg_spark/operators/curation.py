@@ -346,3 +346,40 @@ def zipf_fit(
         F.round((sy - (cov / varx) * sx) / n, 6).alias("intercept"),
         F.round((cov * cov) / (varx * vary), 6).alias("r2"),
     )
+
+
+def sft_pairs(transcripts: DataFrame) -> DataFrame:
+    """Instruction-tuning pair extraction from agent transcripts: every
+    user turn immediately answered by an assistant turn becomes a
+    (prompt, response) candidate, labeled with the observed OUTCOME —
+    ``ok`` is false when the assistant's action failed (the very next
+    turn after the response is a tool turn, which in this engine's
+    transcript model carries the failure/result events the THROWS layer
+    builds on). The standard mining step for turning 10^12 turns of
+    agent logs into SFT / preference data: ok pairs feed SFT, (prompt,
+    ok-response, failed-response) groupings feed DPO downstream.
+
+    ONE exchange: a single conv-partitioned window pass computes both
+    lead()s; everything else is map-side. Emits ``turn_idx`` of the
+    prompt so pairs join back to the KG layers (e.g. per-pair entity
+    mentions or CDG context) without re-deriving position.
+    """
+    from jcpg_spark.operators.flow import w_conv
+
+    w = w_conv()
+    d = transcripts.select(
+        "conv_id", "turn_idx", "role", "text",
+        F.lead("role").over(w).alias("nrole"),
+        F.lead("text").over(w).alias("ntext"),
+        F.lead("role", 2).over(w).alias("nnrole"),
+    )
+    return (
+        d.filter((F.col("role") == "user") & (F.col("nrole") == "assistant"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("text").alias("prompt"),
+            F.col("ntext").alias("response"),
+            (F.coalesce(F.col("nnrole"), F.lit("")) != "tool").alias("ok"),
+        )
+    )

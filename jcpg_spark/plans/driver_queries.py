@@ -31,6 +31,7 @@ from jcpg_spark import io
 from jcpg_spark.operators import (
     calls,
     canonicalize,
+    curation,
     decontaminate,
     dedup,
     flow,
@@ -5266,6 +5267,31 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_sft_pairs(spark, sf_dir):
+    """Instruction-pair mining over the events transcripts: user turns
+    answered by an assistant turn, labeled ok=false when the response's
+    next turn is a (failing) tool turn. One window exchange."""
+    t = transcripts_from_events(spark, sf_dir)
+    return curation.sft_pairs(t)
+
+
+SQL_SFT_PAIRS = f"""
+WITH o AS ({_SQL_ORDERED}),
+r AS (SELECT conv_id, idx, {_SQL_ROLE} AS role,
+             'event ' || event_type || ' observed value '
+             || CAST(CAST(round(value) AS BIGINT) AS VARCHAR) AS text
+      FROM o),
+x AS (SELECT conv_id, idx, role, text,
+             lead(role) OVER w AS nrole,
+             lead(text) OVER w AS ntext,
+             lead(role, 2) OVER w AS nnrole
+      FROM r WINDOW w AS (PARTITION BY conv_id ORDER BY idx))
+SELECT conv_id, idx AS turn_idx, text AS prompt, ntext AS response,
+       coalesce(nnrole, '') <> 'tool' AS ok
+FROM x WHERE role = 'user' AND nrole = 'assistant'
+"""
+
+
 def q_kg_topic_segments(spark, sf_dir):
     """Lexical-cohesion topic segmentation over the events transcripts:
     turns share {event, observed, value} and differ on the type word, so
@@ -5707,4 +5733,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_ifp_sameas": (q_kg_ifp_sameas, SQL_KG_IFP_SAMEAS),
     # TextTiling-style lexical-cohesion topic segmentation (one exchange)
     "kg_topic_segments": (q_kg_topic_segments, SQL_KG_TOPIC_SEGMENTS),
+    # SFT/preference pair mining (user->assistant adjacency + outcome label)
+    "sft_pairs": (q_sft_pairs, SQL_SFT_PAIRS),
 }

@@ -757,3 +757,35 @@ def test_kn_bigram_scores_closed_form(spark):
         assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
     # KN leaves every observed bigram with positive probability < 1
     assert all(v < 0 for v in got.values())
+
+
+def test_sft_pairs_adjacency_and_outcome_label(spark):
+    """user->assistant adjacency only; ok flips to False exactly when the
+    turn after the response is a tool turn; conversation tail (no next
+    turn) is ok; one exchange for the whole extraction."""
+    from jcpg_spark.operators.curation import sft_pairs
+
+    rows = [
+        ("c", 0, "user", "ask a"),
+        ("c", 1, "assistant", "do a"),     # next is tool -> ok False
+        ("c", 2, "tool", "event error"),
+        ("c", 3, "user", "ask b"),
+        ("c", 4, "assistant", "do b"),     # next is user -> ok True
+        ("c", 5, "user", "ask c"),         # answered at tail
+        ("c", 6, "assistant", "do c"),     # no next turn -> ok True
+        ("d", 0, "user", "unanswered"),    # next is user -> no pair
+        ("d", 1, "user", "also unanswered"),
+    ]
+    t = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    out = sft_pairs(t)
+    got = {(r["conv_id"], r["turn_idx"]): (r["prompt"], r["response"], r["ok"])
+           for r in out.collect()}
+    assert got == {
+        ("c", 0): ("ask a", "do a", False),
+        ("c", 3): ("ask b", "do b", True),
+        ("c", 5): ("ask c", "do c", True),
+    }
+    final_plan = (
+        out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    )
+    assert final_plan.count("Exchange hashpartitioning") == 1, final_plan
