@@ -28,7 +28,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -366,4 +366,42 @@ def interval_join(
     )
     return j.where(overlap & anchor).select(
         *on, "l_id", "l_lo", "l_hi", "r_id", "r_lo", "r_hi"
+    )
+
+
+def alias_priors(
+    observations: DataFrame,
+    surface_col: str = "surface",
+    entity_col: str = "entity",
+    min_count: int = 1,
+) -> DataFrame:
+    """Anchor-dictionary mining (the Milne&Witten commonness prior):
+    from observed (surface, entity) link decisions, build the empirical
+    P(entity | surface) table that bootstraps the NEXT generation of the
+    J1 candidate dictionary — the feedback loop production entity
+    linkers run (Wikipedia anchor statistics do exactly this). Emits
+    (surface, entity, n, n_surface, prior, rank); rank 1 is the
+    most-common sense with a deterministic entity tie-break.
+
+    Totals are computed over ALL observations before the ``min_count``
+    cut, so a surviving row's prior is its true share of the surface's
+    mass, not a share of the survivors. Everything is keyed by surface:
+    the pair agg, the marginal agg, the join, and the rank window all
+    co-partition, so after the first exchange nothing reshuffles.
+    """
+    obs = observations.select(
+        F.col(surface_col).alias("surface"), F.col(entity_col).alias("entity")
+    )
+    c = obs.groupBy("surface", "entity").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("surface").agg(F.sum("n").alias("n_surface"))
+    w = Window.partitionBy("surface").orderBy(F.desc("n"), F.asc("entity"))
+    out = (
+        c.join(tot, "surface")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("n") >= min_count)
+    )
+    return out.select(
+        "surface", "entity", "n", "n_surface",
+        F.round(F.col("n") / F.col("n_surface"), 6).alias("prior"),
+        "rank",
     )

@@ -5267,6 +5267,38 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_kg_alias_priors(spark, sf_dir):
+    """Anchor-dictionary commonness mining, instantiated as the word ->
+    language affinity table P(lang | word) over documents (a usable
+    language-ID prior, and the same operator shape as mining
+    P(entity | surface) from linked mentions). min_count=3 drops
+    hapax rows AFTER the marginal, so priors are true shares."""
+    from jcpg_spark.operators import linking
+
+    d = _docs(spark, sf_dir)
+    obs = d.select(
+        F.explode(words(F.col("text"))).alias("surface"),
+        F.col("lang").alias("entity"),
+    )
+    return linking.alias_priors(obs, min_count=3)
+
+
+SQL_KG_ALIAS_PRIORS = r"""
+WITH obs AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS surface,
+                    lang AS entity
+             FROM documents),
+c AS (SELECT surface, entity, count(*) AS n FROM obs GROUP BY 1, 2),
+t AS (SELECT surface, sum(n) AS n_surface FROM c GROUP BY 1),
+r AS (SELECT c.surface, c.entity, c.n, t.n_surface,
+             row_number() OVER (PARTITION BY c.surface
+                                ORDER BY c.n DESC, c.entity) AS rank
+      FROM c JOIN t ON t.surface = c.surface)
+SELECT surface, entity, n, n_surface,
+       round(CAST(n AS DOUBLE) / n_surface, 6) AS prior, rank
+FROM r WHERE n >= 3
+"""
+
+
 def q_sft_pairs(spark, sf_dir):
     """Instruction-pair mining over the events transcripts: user turns
     answered by an assistant turn, labeled ok=false when the response's
@@ -5735,4 +5767,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_topic_segments": (q_kg_topic_segments, SQL_KG_TOPIC_SEGMENTS),
     # SFT/preference pair mining (user->assistant adjacency + outcome label)
     "sft_pairs": (q_sft_pairs, SQL_SFT_PAIRS),
+    # anchor-dictionary commonness priors P(entity | surface)
+    "kg_alias_priors": (q_kg_alias_priors, SQL_KG_ALIAS_PRIORS),
 }

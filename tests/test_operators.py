@@ -778,3 +778,25 @@ def test_topic_segments_closed_form(spark):
         out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
     )
     assert final_plan.count("Exchange hashpartitioning") == 1, final_plan
+
+
+def test_alias_priors_closed_form(spark):
+    """Priors are true shares of the FULL surface mass even when
+    min_count drops rows; rank is deterministic under count ties."""
+    from jcpg_spark.operators.linking import alias_priors
+
+    rows = (
+        [("jaguar", "cat")] * 3
+        + [("jaguar", "car")] * 2
+        + [("jaguar", "os")] * 1        # dropped at min_count=2
+        + [("python", "lang")] * 2
+        + [("python", "snake")] * 2     # tie -> 'lang' ranks 1 (asc entity)
+    )
+    obs = spark.createDataFrame(rows, ["surface", "entity"])
+    out = {(r["surface"], r["entity"]): (r["n"], r["n_surface"], r["prior"], r["rank"])
+           for r in alias_priors(obs, min_count=2).collect()}
+    assert out[("jaguar", "cat")] == (3, 6, 0.5, 1)
+    assert out[("jaguar", "car")] == (2, 6, round(2 / 6, 6), 2)
+    assert ("jaguar", "os") not in out       # filtered, but counted in n_surface
+    assert out[("python", "lang")] == (2, 4, 0.5, 1)
+    assert out[("python", "snake")] == (2, 4, 0.5, 2)
