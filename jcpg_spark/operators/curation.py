@@ -14,6 +14,8 @@ ride along any existing scan without changing the plan's exchange count.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -383,3 +385,57 @@ def sft_pairs(transcripts: DataFrame) -> DataFrame:
             (F.coalesce(F.col("nnrole"), F.lit("")) != "tool").alias("ok"),
         )
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame, quasi_cols: Sequence[str], k: int = 5
+) -> DataFrame:
+    """Release-gate audit: every quasi-identifier combination with its
+    member count and an ``at_risk`` flag (count < k). A training-data
+    release that carries quasi-identifying metadata columns (language,
+    source, region, time bucket) re-identifies members of small groups;
+    this is the k-anonymity check run before publishing. ONE hash-agg
+    on the quasi key — vocabulary-sized output, safe at any corpus size.
+    """
+    return (
+        df.groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("at_risk", F.col("n") < k)
+    )
+
+
+def k_anonymize(
+    df: DataFrame, quasi_cols: Sequence[str], k: int = 5
+) -> DataFrame:
+    """Suppression-based k-anonymization: rows whose quasi-identifier
+    combination has fewer than ``k`` members get those columns NULLED
+    (cell suppression — the baseline mechanism; generalization ladders
+    build on the same risky-group join). Non-quasi columns pass through
+    untouched, so the output is the releasable table.
+
+    Two exchanges total: the audit's hash-agg plus the group-keyed join
+    back (co-partitioned with the agg). The join is on the GROUP key,
+    not the row id, so no data-scale side is ever broadcast or
+    collected; a null in a quasi column is itself a valid group value
+    (null-safe join keys).
+    """
+    audit = k_anonymity_audit(df, quasi_cols, k)
+    # a dedicated flag keeps the match test null-safe (a null quasi value
+    # is a legitimate group; the marker column trick would misread it)
+    risky = audit.filter(F.col("at_risk")).select(
+        *[F.col(c).alias(f"_r_{c}") for c in quasi_cols], F.lit(True).alias("_risky")
+    )
+    cond = None
+    for c in quasi_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"_r_{c}"))
+        cond = eq if cond is None else cond & eq
+    j = df.join(risky, on=cond, how="left")
+    out_cols = []
+    for c in df.columns:
+        if c in quasi_cols:
+            out_cols.append(
+                F.when(F.col("_risky"), F.lit(None)).otherwise(F.col(c)).alias(c)
+            )
+        else:
+            out_cols.append(F.col(c))
+    return j.select(*out_cols)

@@ -5267,6 +5267,27 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_doc_k_anonymize(spark, sf_dir):
+    """Suppression-based k-anonymization of the releasable metadata view:
+    (lang, source) combinations with fewer than k=4 members get both
+    cells nulled. k=4 leaves a mix of suppressed and released groups at
+    every test sf (group sizes run 1..16)."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return curation.k_anonymize(d, ["lang", "source"], k=4)
+
+
+SQL_DOC_K_ANONYMIZE = """
+WITH g AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+r AS (SELECT lang, source, TRUE AS hit FROM g WHERE n < 4)
+SELECT d.doc_id,
+       CASE WHEN r.hit THEN NULL ELSE d.lang END AS lang,
+       CASE WHEN r.hit THEN NULL ELSE d.source END AS source
+FROM documents d
+LEFT JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
+           AND d.source IS NOT DISTINCT FROM r.source
+"""
+
+
 def q_kg_alias_priors(spark, sf_dir):
     """Anchor-dictionary commonness mining, instantiated as the word ->
     language affinity table P(lang | word) over documents (a usable
@@ -5769,4 +5790,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "sft_pairs": (q_sft_pairs, SQL_SFT_PAIRS),
     # anchor-dictionary commonness priors P(entity | surface)
     "kg_alias_priors": (q_kg_alias_priors, SQL_KG_ALIAS_PRIORS),
+    # k-anonymity release gate: quasi-identifier cell suppression
+    "doc_k_anonymize": (q_doc_k_anonymize, SQL_DOC_K_ANONYMIZE),
 }

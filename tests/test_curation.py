@@ -789,3 +789,28 @@ def test_sft_pairs_adjacency_and_outcome_label(spark):
         out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
     )
     assert final_plan.count("Exchange hashpartitioning") == 1, final_plan
+
+
+def test_k_anonymity_audit_and_suppression(spark):
+    """Groups under k flag and suppress; null quasi values form their own
+    group and suppress null-safely; non-quasi columns pass through."""
+    from jcpg_spark.operators.curation import k_anonymity_audit, k_anonymize
+
+    rows = (
+        [(i, "en", "web", i * 10) for i in range(5)]          # safe group
+        + [(10, "de", "web", 7)]                              # risky (n=1)
+        + [(11, None, "web", 8), (12, None, "web", 9)]        # null group, n=2
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "source", "payload"])
+    audit = {(r["lang"], r["source"]): (r["n"], r["at_risk"])
+             for r in k_anonymity_audit(df, ["lang", "source"], k=3).collect()}
+    assert audit[("en", "web")] == (5, False)
+    assert audit[("de", "web")] == (1, True)
+    assert audit[(None, "web")] == (2, True)
+
+    out = {r["doc_id"]: (r["lang"], r["source"], r["payload"])
+           for r in k_anonymize(df, ["lang", "source"], k=3).collect()}
+    assert out[0] == ("en", "web", 0)          # released
+    assert out[10] == (None, None, 7)          # suppressed, payload intact
+    assert out[11] == (None, None, 8)          # null group suppressed too
+    assert len(out) == 8                       # no row duplication from the join
