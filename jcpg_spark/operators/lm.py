@@ -22,7 +22,7 @@ driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from jcpg_spark.functions.text import words
@@ -358,4 +358,74 @@ def ppmi_weights(skipgrams: DataFrame) -> DataFrame:
             "cnt",
             F.round(F.greatest(F.lit(0.0), pmi), 6).alias("ppmi"),
         )
+    )
+
+
+def sequence_transitions(
+    transcripts: DataFrame, category: Column | str = "role"
+) -> DataFrame:
+    """First-order behavioral transition model over conversations:
+    P(next category | category) from adjacent-turn pairs, where
+    ``category`` is any per-turn column or expression (role, event type,
+    tool). The behavioral analog of the text bigram LM — the model
+    behind bot/anomaly detection over agent logs ("this session's
+    action sequence is nothing like the corpus").
+
+    One conv-partitioned window pass emits the pairs; the model is a
+    category-vocabulary-sized rollup (two hash-aggs + a join on the
+    current-category key). Probabilities are one IEEE division of exact
+    integers, rounded 6 dp per the repo convention.
+    """
+    from jcpg_spark.operators.flow import w_conv
+
+    cat = F.col(category) if isinstance(category, str) else category
+    pairs = (
+        transcripts.select(
+            "conv_id", "turn_idx", cat.alias("cat")
+        )
+        .withColumn("nxt", F.lead("cat").over(w_conv()))
+        .filter(F.col("nxt").isNotNull())
+    )
+    c = pairs.groupBy("cat", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("cat").agg(F.sum("n").alias("n_cat"))
+    return c.join(tot, "cat").select(
+        "cat", "nxt", "n", "n_cat",
+        F.round(F.col("n") / F.col("n_cat"), 6).alias("p"),
+    )
+
+
+def sequence_typicality(
+    transcripts: DataFrame, category: Column | str = "role"
+) -> DataFrame:
+    """Per-conversation typicality under the corpus's own transition
+    model: mean ln P(next | cur) over the conversation's observed
+    transitions — low scores flag replayed/botted/broken sessions whose
+    ACTION sequence is atypical even when every text looks fine.
+    Single-transition conversations score over 1 pair; zero-transition
+    conversations are absent (no evidence either way).
+
+    The pair frame is computed once per call and feeds both the model
+    rollup and the scoring join (same persisted-frame pattern as
+    ``bigram_lm_scores``); scoring joins on the (cat, nxt) key — every
+    observed transition has P > 0 by construction.
+    """
+    from jcpg_spark.caching import swap_persist
+    from jcpg_spark.operators.flow import w_conv
+
+    cat = F.col(category) if isinstance(category, str) else category
+    pairs = swap_persist(
+        "seq_typ.pairs",
+        transcripts.select("conv_id", "turn_idx", cat.alias("cat"))
+        .withColumn("nxt", F.lead("cat").over(w_conv()))
+        .filter(F.col("nxt").isNotNull()),
+    )
+    c = pairs.groupBy("cat", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("cat").agg(F.sum("n").alias("n_cat"))
+    model = c.join(tot, "cat").select(
+        "cat", "nxt", F.log(F.col("n") / F.col("n_cat")).alias("logp")
+    )
+    return (
+        pairs.join(model, ["cat", "nxt"])
+        .groupBy("conv_id")
+        .agg(F.avg("logp").alias("typicality"))
     )

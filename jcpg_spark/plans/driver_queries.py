@@ -5267,6 +5267,52 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_kg_event_transitions(spark, sf_dir):
+    """First-order behavioral transition model over the events
+    transcripts: P(next event type | event type) — category = the
+    type word of the turn text (== event_type in the oracle)."""
+    t = transcripts_from_events(spark, sf_dir)
+    return lm.sequence_transitions(t, F.split(F.col("text"), " ").getItem(1))
+
+
+SQL_KG_EVENT_TRANSITIONS = f"""
+WITH o AS ({_SQL_ORDERED}),
+p AS (SELECT conv_id, event_type AS cat,
+             lead(event_type) OVER (PARTITION BY conv_id ORDER BY idx) AS nxt
+      FROM o),
+c AS (SELECT cat, nxt, count(*) AS n FROM p WHERE nxt IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT cat, sum(n) AS n_cat FROM c GROUP BY 1)
+SELECT c.cat, c.nxt, c.n, t.n_cat,
+       round(CAST(c.n AS DOUBLE) / t.n_cat, 6) AS p
+FROM c JOIN t USING (cat)
+"""
+
+
+def q_kg_conv_typicality(spark, sf_dir):
+    """Per-conversation typicality under the corpus's own event-type
+    transition model (mean ln P over observed transitions) — replayed /
+    botted / broken sessions surface as outliers even when every text
+    looks fine."""
+    t = transcripts_from_events(spark, sf_dir)
+    out = lm.sequence_typicality(t, F.split(F.col("text"), " ").getItem(1))
+    return out.select("conv_id", F.round("typicality", 6).alias("typicality"))
+
+
+SQL_KG_CONV_TYPICALITY = f"""
+WITH o AS ({_SQL_ORDERED}),
+p AS (SELECT conv_id, event_type AS cat,
+             lead(event_type) OVER (PARTITION BY conv_id ORDER BY idx) AS nxt
+      FROM o),
+pairs AS (SELECT conv_id, cat, nxt FROM p WHERE nxt IS NOT NULL),
+c AS (SELECT cat, nxt, count(*) AS n FROM pairs GROUP BY 1, 2),
+t AS (SELECT cat, sum(n) AS n_cat FROM c GROUP BY 1),
+m AS (SELECT c.cat, c.nxt, ln(CAST(c.n AS DOUBLE) / t.n_cat) AS logp
+      FROM c JOIN t USING (cat))
+SELECT conv_id, round(avg(logp), 6) AS typicality
+FROM pairs JOIN m USING (cat, nxt) GROUP BY conv_id
+"""
+
+
 def q_doc_k_anonymize(spark, sf_dir):
     """Suppression-based k-anonymization of the releasable metadata view:
     (lang, source) combinations with fewer than k=4 members get both
@@ -5792,4 +5838,7 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_alias_priors": (q_kg_alias_priors, SQL_KG_ALIAS_PRIORS),
     # k-anonymity release gate: quasi-identifier cell suppression
     "doc_k_anonymize": (q_doc_k_anonymize, SQL_DOC_K_ANONYMIZE),
+    # behavioral first-order transition model + per-conv typicality score
+    "kg_event_transitions": (q_kg_event_transitions, SQL_KG_EVENT_TRANSITIONS),
+    "kg_conv_typicality": (q_kg_conv_typicality, SQL_KG_CONV_TYPICALITY),
 }

@@ -814,3 +814,30 @@ def test_k_anonymity_audit_and_suppression(spark):
     assert out[10] == (None, None, 7)          # suppressed, payload intact
     assert out[11] == (None, None, 8)          # null group suppressed too
     assert len(out) == 8                       # no row duplication from the join
+
+
+def test_sequence_transitions_and_typicality_closed_form(spark):
+    """Transition probabilities and per-conv mean log-prob on a
+    hand-built corpus: a->b twice, a->a once, b->a once => P(b|a)=2/3,
+    P(a|a)=1/3, P(a|b)=1."""
+    import math
+
+    from jcpg_spark.operators.lm import sequence_transitions, sequence_typicality
+
+    rows = [
+        ("c1", 0, "a"), ("c1", 1, "b"), ("c1", 2, "a"), ("c1", 3, "a"),
+        ("c2", 0, "a"), ("c2", 1, "b"),
+        ("c3", 0, "a"),                 # no transitions -> absent from scores
+    ]
+    t = spark.createDataFrame(rows, ["conv_id", "turn_idx", "cat"])
+    m = {(r["cat"], r["nxt"]): (r["n"], r["n_cat"], r["p"])
+         for r in sequence_transitions(t, "cat").collect()}
+    assert m[("a", "b")] == (2, 3, round(2 / 3, 6))
+    assert m[("a", "a")] == (1, 3, round(1 / 3, 6))
+    assert m[("b", "a")] == (1, 1, 1.0)
+
+    s = {r["conv_id"]: r["typicality"] for r in sequence_typicality(t, "cat").collect()}
+    want_c1 = (math.log(2 / 3) + math.log(1.0) + math.log(1 / 3)) / 3
+    assert abs(s["c1"] - want_c1) < 1e-9
+    assert abs(s["c2"] - math.log(2 / 3)) < 1e-9
+    assert "c3" not in s
