@@ -274,3 +274,45 @@ def topic_segments(
         seg.cast("int").alias("seg_idx"),
         F.round("cohesion", 6).alias("cohesion"),
     )
+
+
+def interarrival_stats(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation inter-arrival timing profile: gap count, mean and
+    sample-std of the turn gaps (seconds), and the Goh-Barabási
+    burstiness coefficient B = (σ−μ)/(σ+μ) ∈ [−1, 1] — B near −1 is a
+    metronome (scripted/bot traffic), near 0 Poisson-like (organic),
+    positive bursty (human sessions). The TEMPORAL complement of
+    ``sequence_typicality``'s behavioral score for session triage.
+
+    Determinism across engines: gaps are integer epoch-second
+    differences, and μ/σ come from the exact integer power sums (Σx,
+    Σx²) — sample variance (n·Σx² − (Σx)²)/(n·(n−1)) — so the only IEEE
+    steps are two divisions and one sqrt, pinned at 6 dp. One window
+    pass + one hash-agg, both on the conv key. Conversations with a
+    single gap have no sample std: σ, and therefore B, are null.
+    """
+    gap = (
+        F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_conv()))
+    ).alias("gap")
+    g = transcripts.select("conv_id", "turn_idx", "ts").select(
+        "conv_id", gap
+    ).filter(F.col("gap").isNotNull())
+    agg = g.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap").alias("s1"),
+        F.sum(F.col("gap") * F.col("gap")).alias("s2"),
+    )
+    n = F.col("n_gaps")
+    mean = F.col("s1") / n
+    var = F.when(
+        n >= 2, (n * F.col("s2") - F.col("s1") * F.col("s1")) / (n * (n - 1))
+    )
+    std = F.sqrt(var)
+    b = F.when(std + mean != 0, (std - mean) / (std + mean))
+    return agg.select(
+        "conv_id",
+        "n_gaps",
+        F.round(mean, 6).alias("mean_gap"),
+        F.round(std, 6).alias("std_gap"),
+        F.round(b, 6).alias("burstiness"),
+    )

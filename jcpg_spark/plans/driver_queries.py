@@ -5267,6 +5267,38 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_kg_burstiness(spark, sf_dir):
+    """Goh-Barabási burstiness per conversation over the events
+    transcripts — integer epoch-second gaps, exact power sums, two IEEE
+    divisions + one sqrt pinned at 6 dp."""
+    t = transcripts_from_events(spark, sf_dir)
+    return flow.interarrival_stats(t)
+
+
+SQL_KG_BURSTINESS = f"""
+WITH o AS ({_SQL_ORDERED}),
+g AS (SELECT conv_id,
+             CAST(floor(epoch(ts)) AS BIGINT)
+             - CAST(floor(epoch(lag(ts) OVER (PARTITION BY conv_id ORDER BY idx))) AS BIGINT) AS gap
+      FROM o),
+a AS (SELECT conv_id, count(*) AS n_gaps,
+             sum(gap) AS s1, sum(gap * gap) AS s2
+      FROM g WHERE gap IS NOT NULL GROUP BY conv_id),
+m AS (SELECT conv_id, n_gaps,
+             CAST(s1 AS DOUBLE) / n_gaps AS mean_gap,
+             CASE WHEN n_gaps >= 2
+                  THEN sqrt(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)
+                            / (n_gaps * (n_gaps - 1)))
+             END AS std_gap
+      FROM a)
+SELECT conv_id, n_gaps, round(mean_gap, 6) AS mean_gap,
+       round(std_gap, 6) AS std_gap,
+       round(CASE WHEN std_gap + mean_gap <> 0
+                  THEN (std_gap - mean_gap) / (std_gap + mean_gap) END, 6) AS burstiness
+FROM m
+"""
+
+
 def q_kg_event_transitions(spark, sf_dir):
     """First-order behavioral transition model over the events
     transcripts: P(next event type | event type) — category = the
@@ -5841,4 +5873,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     # behavioral first-order transition model + per-conv typicality score
     "kg_event_transitions": (q_kg_event_transitions, SQL_KG_EVENT_TRANSITIONS),
     "kg_conv_typicality": (q_kg_conv_typicality, SQL_KG_CONV_TYPICALITY),
+    # Goh-Barabási inter-arrival burstiness (bot/automation triage)
+    "kg_burstiness": (q_kg_burstiness, SQL_KG_BURSTINESS),
 }

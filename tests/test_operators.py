@@ -800,3 +800,35 @@ def test_alias_priors_closed_form(spark):
     assert ("jaguar", "os") not in out       # filtered, but counted in n_surface
     assert out[("python", "lang")] == (2, 4, 0.5, 1)
     assert out[("python", "snake")] == (2, 4, 0.5, 2)
+
+
+def test_interarrival_stats_closed_form(spark):
+    """Exact-integer power-sum math: gaps (10, 10, 10) -> std 0, B = -1
+    (metronome); gaps (1, 9) -> mean 5, std sqrt(32), B computed from
+    them; single-gap conv -> null std and B."""
+    import datetime as dtm
+    import math
+
+    from jcpg_spark.operators.flow import interarrival_stats
+
+    base = dtm.datetime(2024, 1, 1)
+
+    def conv(cid, offsets):
+        return [(cid, i, "user", "x", None, base + dtm.timedelta(seconds=o))
+                for i, o in enumerate(offsets)]
+
+    rows = conv("m", [0, 10, 20, 30]) + conv("b", [0, 1, 10]) + conv("s", [0, 7])
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = {r["conv_id"]: r for r in interarrival_stats(t).collect()}
+    assert out["m"]["n_gaps"] == 3 and out["m"]["mean_gap"] == 10.0
+    assert out["m"]["std_gap"] == 0.0 and out["m"]["burstiness"] == -1.0
+    std_b = math.sqrt(((2 * 82) - 100) / 2)     # n=2, s1=10, s2=82
+    assert out["b"]["mean_gap"] == 5.0
+    assert abs(out["b"]["std_gap"] - round(std_b, 6)) < 1e-9
+    want_b = (std_b - 5) / (std_b + 5)
+    assert abs(out["b"]["burstiness"] - round(want_b, 6)) < 1e-9
+    assert out["s"]["n_gaps"] == 1
+    assert out["s"]["std_gap"] is None and out["s"]["burstiness"] is None
