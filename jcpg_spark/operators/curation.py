@@ -439,3 +439,60 @@ def k_anonymize(
         else:
             out_cols.append(F.col(c))
     return j.select(*out_cols)
+
+
+def log_odds_drift(
+    docs: DataFrame,
+    group_a: str,
+    group_col: str = "source",
+    text_col: str = "text",
+    alpha0: float = 100.0,
+) -> DataFrame:
+    """Corpus-drift / contrast-set mining via log-odds with an informative
+    Dirichlet prior (Monroe, Colaresi & Quinn 2008 — the standard
+    "what words distinguish corpus A from corpus B" statistic, better
+    behaved than raw PMI or chi-square at both frequency extremes).
+    Group A is ``group_col == group_a``; B is everything else. Per word:
+    counts, the smoothed log-odds delta, and its z-score (delta /
+    sqrt(1/(y_a + a_w) + 1/(y_b + a_w))), with the prior a_w allocating
+    ``alpha0`` pseudo-counts by the POOLED word distribution. Positive z
+    marks A-indicative vocabulary; use it for dataset cards, drift
+    monitoring between snapshots, and leakage forensics.
+
+    ONE data-scale shuffle: the exploded (word, is_a) count agg; the
+    A/B pivot rides the same hash-agg as conditional sums, totals are a
+    1-row broadcast crossJoin. Counts stay exact integers into the final
+    double expressions, pinned 6 dp.
+    """
+    is_a = (F.col(group_col) == F.lit(group_a)).cast("long")
+    w = docs.select(
+        is_a.alias("ia"), F.explode(words(F.col(text_col))).alias("word")
+    )
+    c = w.groupBy("word").agg(
+        F.sum("ia").alias("y_a"),
+        F.sum(F.lit(1) - F.col("ia")).alias("y_b"),
+    )
+    tot = c.agg(
+        F.sum("y_a").alias("n_a"), F.sum("y_b").alias("n_b")
+    )
+    j = c.crossJoin(F.broadcast(tot))
+    a_w = (
+        F.lit(alpha0)
+        * (F.col("y_a") + F.col("y_b"))
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    la = F.log(
+        (F.col("y_a") + a_w)
+        / (F.col("n_a") + F.lit(alpha0) - F.col("y_a") - a_w)
+    )
+    lb = F.log(
+        (F.col("y_b") + a_w)
+        / (F.col("n_b") + F.lit(alpha0) - F.col("y_b") - a_w)
+    )
+    delta = la - lb
+    z = delta / F.sqrt(1.0 / (F.col("y_a") + a_w) + 1.0 / (F.col("y_b") + a_w))
+    return j.select(
+        "word", "y_a", "y_b",
+        F.round(delta, 6).alias("delta"),
+        F.round(z, 6).alias("z"),
+    )

@@ -5267,6 +5267,32 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_doc_log_odds(spark, sf_dir):
+    """Monroe log-odds contrast mining: vocabulary distinguishing src0
+    from the rest of the corpus, informative-Dirichlet smoothed
+    (alpha0=100 pseudo-counts allocated by the pooled distribution)."""
+    return curation.log_odds_drift(_docs(spark, sf_dir), group_a="src0")
+
+
+SQL_DOC_LOG_ODDS = r"""
+WITH w AS (SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ia,
+                  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+           FROM documents),
+c AS (SELECT word, sum(ia) AS y_a, sum(1 - ia) AS y_b FROM w GROUP BY word),
+t AS (SELECT sum(y_a) AS n_a, sum(y_b) AS n_b FROM c),
+e AS (SELECT word, y_a, y_b, n_a, n_b,
+             100.0 * (y_a + y_b) / (n_a + n_b) AS a_w
+      FROM c, t),
+d AS (SELECT word, y_a, y_b,
+             ln((y_a + a_w) / (n_a + 100.0 - y_a - a_w))
+             - ln((y_b + a_w) / (n_b + 100.0 - y_b - a_w)) AS delta,
+             sqrt(1.0 / (y_a + a_w) + 1.0 / (y_b + a_w)) AS sd
+      FROM e)
+SELECT word, y_a, y_b, round(delta, 6) AS delta, round(delta / sd, 6) AS z
+FROM d
+"""
+
+
 def q_kg_burstiness(spark, sf_dir):
     """Goh-Barabási burstiness per conversation over the events
     transcripts — integer epoch-second gaps, exact power sums, two IEEE
@@ -5875,4 +5901,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_conv_typicality": (q_kg_conv_typicality, SQL_KG_CONV_TYPICALITY),
     # Goh-Barabási inter-arrival burstiness (bot/automation triage)
     "kg_burstiness": (q_kg_burstiness, SQL_KG_BURSTINESS),
+    # Monroe informative-Dirichlet log-odds corpus contrast / drift
+    "doc_log_odds": (q_doc_log_odds, SQL_DOC_LOG_ODDS),
 }

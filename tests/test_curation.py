@@ -841,3 +841,32 @@ def test_sequence_transitions_and_typicality_closed_form(spark):
     assert abs(s["c1"] - want_c1) < 1e-9
     assert abs(s["c2"] - math.log(2 / 3)) < 1e-9
     assert "c3" not in s
+
+
+def test_log_odds_drift_closed_form(spark):
+    """Monroe log-odds on a 2-doc corpus, checked against a python twin;
+    the A-exclusive word gets positive z, the B-exclusive negative, and
+    the shared word's delta reflects only the size imbalance."""
+    import math
+
+    from jcpg_spark.operators.curation import log_odds_drift
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple shared", "A"), (2, "banana shared shared", "B")],
+        ["doc_id", "text", "source"],
+    )
+    out = {r["word"]: r for r in log_odds_drift(docs, group_a="A", alpha0=10.0).collect()}
+
+    def twin(y_a, y_b, n_a, n_b, a0=10.0):
+        a_w = a0 * (y_a + y_b) / (n_a + n_b)
+        d = math.log((y_a + a_w) / (n_a + a0 - y_a - a_w)) - math.log(
+            (y_b + a_w) / (n_b + a0 - y_b - a_w)
+        )
+        return d, d / math.sqrt(1 / (y_a + a_w) + 1 / (y_b + a_w))
+
+    for word, (ya, yb) in {"apple": (2, 0), "banana": (0, 1), "shared": (1, 2)}.items():
+        d, z = twin(ya, yb, 3, 3)
+        assert out[word]["y_a"] == ya and out[word]["y_b"] == yb
+        assert abs(out[word]["delta"] - round(d, 6)) < 1e-9, word
+        assert abs(out[word]["z"] - round(z, 6)) < 1e-9, word
+    assert out["apple"]["z"] > 0 > out["banana"]["z"]
