@@ -5267,6 +5267,34 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_doc_rollup_cube(spark, sf_dir):
+    """Multi-dimensional OLAP rollup: document and word totals at
+    (lang, source), (lang), and grand-total granularities in ONE pass —
+    Spark's partial-aggregate rollup (each input row feeds every
+    granularity map-side, one exchange) vs DuckDB's GROUP BY ROLLUP.
+    gid disambiguates NULL-as-ALL from a genuine NULL group value."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("lang", "source", F.size(words(F.col("text"))).alias("nw"))
+        .rollup("lang", "source")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nw").alias("n_words"),
+        )
+    )
+
+
+SQL_DOC_ROLLUP_CUBE = r"""
+SELECT lang, source,
+       CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid,
+       count(*) AS n_docs,
+       sum(len(regexp_extract_all(lower(text), '[a-z]+'))) AS n_words
+FROM documents
+GROUP BY ROLLUP (lang, source)
+"""
+
+
 def q_doc_log_odds(spark, sf_dir):
     """Monroe log-odds contrast mining: vocabulary distinguishing src0
     from the rest of the corpus, informative-Dirichlet smoothed
@@ -5903,4 +5931,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_burstiness": (q_kg_burstiness, SQL_KG_BURSTINESS),
     # Monroe informative-Dirichlet log-odds corpus contrast / drift
     "doc_log_odds": (q_doc_log_odds, SQL_DOC_LOG_ODDS),
+    # OLAP ROLLUP granularities with grouping ids (one-pass multi-level agg)
+    "doc_rollup_cube": (q_doc_rollup_cube, SQL_DOC_ROLLUP_CUBE),
 }
