@@ -2127,3 +2127,107 @@ def wl_fingerprint(
     return labels.groupBy("conv").agg(
         F.md5(F.concat_ws(",", F.sort_array(F.collect_list("lbl")))).alias("fingerprint")
     ).select(F.col("conv").alias(conv_col), "fingerprint")
+
+
+# canonical 64-state classification of a 3-node digraph, keyed by
+# b01*16 + b02*4 + b12 where each pair's bits are (lo->hi = 1, hi->lo = 2);
+# derived once from the Holland-Leinhardt taxonomy (cross-checked against
+# networkx.triadic_census in tests/test_graph_analytics.py)
+_TRIAD_BY_CODE = {
+    0: "003", 1: "012", 2: "012", 3: "102", 4: "012", 5: "021U", 6: "021C",
+    7: "111D", 8: "012", 9: "021C", 10: "021D", 11: "111U", 12: "102",
+    13: "111D", 14: "111U", 15: "201", 16: "012", 17: "021C", 18: "021U",
+    19: "111D", 20: "021D", 21: "030T", 22: "030T", 23: "120D", 24: "021C",
+    25: "030C", 26: "030T", 27: "120C", 28: "111U", 29: "120C", 30: "120U",
+    31: "210", 32: "012", 33: "021D", 34: "021C", 35: "111U", 36: "021C",
+    37: "030T", 38: "030C", 39: "120C", 40: "021U", 41: "030T", 42: "030T",
+    43: "120U", 44: "111D", 45: "120D", 46: "120C", 47: "210", 48: "102",
+    49: "111U", 50: "111D", 51: "201", 52: "111U", 53: "120U", 54: "120C",
+    55: "210", 56: "111D", 57: "120C", 58: "120D", 59: "210", 60: "201",
+    61: "210", 62: "210", 63: "300",
+}
+
+
+def triad_census(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
+    """Holland-Leinhardt triad census, CONNECTED classes only: counts of
+    the 13 directed 3-node isomorphism types whose support graph is
+    connected (021D/U/C, 111D/U, 030T/C, 201, 120D/U/C, 210, 300) —
+    the classic micro-structure signature of a directed network (social
+    hierarchy vs reciprocity vs cycling), and the disconnected classes
+    (003/012/102) are recoverable from pair totals by subtraction
+    without touching triples.
+
+    Algorithm (no all-triples scan): distinct directed edges collapse to
+    an UNDIRECTED support pair table with 2 direction bits; wedges
+    enumerate around each center node (a triple with k present pairs is
+    generated k==2 ? once : three times, deduped on the sorted key);
+    three pair-keyed left joins recover the 6-bit code; a 64-entry
+    literal map (cross-checked against networkx) names the class.
+    Wedge fan-out is quadratic in SUPPORT degree, the same hub exposure
+    as ``co_mention_edges`` — ``max_degree`` drops hub nodes from wedge
+    CENTERS (their non-center pair memberships still count), the honest
+    cap for power-law graphs; pass None for exact census.
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    su = (
+        e.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            F.when(F.col("src") < F.col("dst"), F.lit(1)).otherwise(F.lit(2)).alias("b"),
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("b").alias("b"))
+    )
+    incid = su.select(F.col("u").alias("node"), F.col("v").alias("other")).unionByName(
+        su.select(F.col("v").alias("node"), F.col("u").alias("other"))
+    )
+    if max_degree is not None:
+        deg = incid.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+        incid = incid.join(deg.filter(F.col("d") <= max_degree), "node", "left_semi")
+    a = incid.alias("a")
+    b = incid.alias("b")
+    wedges = a.join(
+        b, (F.col("a.node") == F.col("b.node")) & (F.col("a.other") < F.col("b.other"))
+    ).select(
+        F.col("a.node").alias("c0"), F.col("a.other").alias("n1"), F.col("b.other").alias("n2")
+    )
+    arr = F.array_sort(F.array("c0", "n1", "n2"))
+    triples = wedges.select(
+        arr.getItem(0).alias("x"), arr.getItem(1).alias("y"), arr.getItem(2).alias("z")
+    ).distinct()
+
+    def bits(l, r):
+        s = su.select(
+            F.col("u").alias(f"_{l}{r}u"), F.col("v").alias(f"_{l}{r}v"),
+            F.col("b").alias(f"b_{l}{r}"),
+        )
+        return s
+
+    t = (
+        triples.join(
+            bits("x", "y"),
+            (F.col("x") == F.col("_xyu")) & (F.col("y") == F.col("_xyv")), "left")
+        .join(
+            bits("x", "z"),
+            (F.col("x") == F.col("_xzu")) & (F.col("z") == F.col("_xzv")), "left")
+        .join(
+            bits("y", "z"),
+            (F.col("y") == F.col("_yzu")) & (F.col("z") == F.col("_yzv")), "left")
+    )
+    code = (
+        F.coalesce(F.col("b_xy"), F.lit(0)) * 16
+        + F.coalesce(F.col("b_xz"), F.lit(0)) * 4
+        + F.coalesce(F.col("b_yz"), F.lit(0))
+    )
+    mapping = F.create_map(
+        *[F.lit(x) for k, v in sorted(_TRIAD_BY_CODE.items()) for x in (k, v)]
+    )
+    return (
+        t.select(F.element_at(mapping, code.cast("int")).alias("triad"))
+        .groupBy("triad")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

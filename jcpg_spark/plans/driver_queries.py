@@ -5267,6 +5267,49 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_kg_triad_census(spark, sf_dir):
+    """Holland-Leinhardt connected-triad census over the directed
+    CFG+ICFG union (flow.next + call + return): the micro-structure
+    signature of the interaction graph. Exact mirror: the oracle runs
+    the same wedge + dedup + pair-bit algorithm with the 64-entry
+    classification VALUES table."""
+    t = transcripts_from_events(spark, sf_dir)
+    edges = (
+        flow.flow_next(t).select("src", "dst")
+        .unionByName(calls.call_triples(t).select("src", "dst"))
+        .unionByName(calls.return_triples(t).select("src", "dst"))
+    )
+    return graph_analytics.triad_census(edges)
+
+
+_TRIAD_VALUES = ", ".join(
+    f"({k}, '{v}')" for k, v in sorted(graph_analytics._TRIAD_BY_CODE.items())
+)
+
+SQL_KG_TRIAD_CENSUS = f"""
+WITH cr AS (SELECT src, dst FROM ({SQL_KG_CALL_RETURN})),
+fl AS (SELECT src, dst FROM ({SQL_KG_FLOW_NEXT})),
+e AS (SELECT DISTINCT src, dst
+      FROM (SELECT * FROM cr UNION ALL SELECT * FROM fl) WHERE src <> dst),
+su AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+              sum(CASE WHEN src < dst THEN 1 ELSE 2 END) AS b
+       FROM e GROUP BY 1, 2),
+incid AS (SELECT u AS node, v AS other FROM su
+          UNION ALL SELECT v, u FROM su),
+w AS (SELECT a.node AS c0, a.other AS n1, b.other AS n2
+      FROM incid a JOIN incid b ON a.node = b.node AND a.other < b.other),
+tr AS (SELECT DISTINCT l[1] AS x, l[2] AS y, l[3] AS z
+       FROM (SELECT list_sort([c0, n1, n2]) AS l FROM w)),
+t AS (SELECT coalesce(sxy.b, 0) * 16 + coalesce(sxz.b, 0) * 4
+             + coalesce(syz.b, 0) AS code
+      FROM tr LEFT JOIN su sxy ON sxy.u = tr.x AND sxy.v = tr.y
+              LEFT JOIN su sxz ON sxz.u = tr.x AND sxz.v = tr.z
+              LEFT JOIN su syz ON syz.u = tr.y AND syz.v = tr.z),
+m(code, triad) AS (VALUES {_TRIAD_VALUES})
+SELECT m.triad, count(*) AS n FROM t JOIN m ON m.code = t.code GROUP BY 1
+"""
+
+
 def q_doc_rollup_cube(spark, sf_dir):
     """Multi-dimensional OLAP rollup: document and word totals at
     (lang, source), (lang), and grand-total granularities in ONE pass —
@@ -5933,4 +5976,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "doc_log_odds": (q_doc_log_odds, SQL_DOC_LOG_ODDS),
     # OLAP ROLLUP granularities with grouping ids (one-pass multi-level agg)
     "doc_rollup_cube": (q_doc_rollup_cube, SQL_DOC_ROLLUP_CUBE),
+    # Holland-Leinhardt connected-triad census (wedge + pair-bit joins)
+    "kg_triad_census": (q_kg_triad_census, SQL_KG_TRIAD_CENSUS),
 }

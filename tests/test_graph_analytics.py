@@ -1419,3 +1419,41 @@ def test_wl_fingerprint_isomorphism_invariance(spark):
     e3 = spark.createDataFrame(call_rows, ["src", "pred", "dst", "conv_id"])
     fps = {r["conv_id"]: r["fingerprint"] for r in wl_fingerprint(e3).collect()}
     assert fps["a"] == fps["b"]
+
+
+def test_triad_census_closed_forms_and_networkx_parity(spark):
+    """Each canonical connected class from its textbook graph, then a
+    mixed deterministic graph cross-checked against networkx's
+    triadic_census (connected classes only)."""
+    from jcpg_spark.operators.graph_analytics import triad_census
+
+    def census(pairs):
+        e = spark.createDataFrame([(a, b) for a, b in pairs], ["src", "dst"])
+        return {r["triad"]: r["n"] for r in triad_census(e).collect()}
+
+    assert census([("a", "b"), ("b", "c")]) == {"021C": 1}
+    assert census([("b", "a"), ("b", "c")]) == {"021D": 1}
+    assert census([("a", "b"), ("c", "b")]) == {"021U": 1}
+    assert census([("a", "b"), ("b", "c"), ("c", "a")]) == {"030C": 1}
+    assert census([("a", "b"), ("a", "c"), ("b", "c")]) == {"030T": 1}
+    assert census(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("a", "c"), ("c", "a")]
+    ) == {"300": 1}
+
+    import networkx as nx
+
+    # deterministic mixed digraph: ring + chords + some mutuals
+    n = 12
+    pairs = (
+        [(f"v{i}", f"v{(i + 1) % n}") for i in range(n)]
+        + [(f"v{i}", f"v{(i + 3) % n}") for i in range(0, n, 2)]
+        + [(f"v{(i + 1) % n}", f"v{i}") for i in range(0, n, 3)]
+    )
+    got = census(pairs)
+    G = nx.DiGraph(pairs)
+    want = {
+        k: v
+        for k, v in nx.triadic_census(G).items()
+        if v and k not in ("003", "012", "102")
+    }
+    assert got == want, (got, want)
