@@ -86,3 +86,46 @@ def test_edges_reference_existing_nodes(spark, dictionary, t_small):
             .count()
         )
         assert dangling == 0, f"dangling {col}"
+
+
+def test_new_operators_partitioning_invariant(spark):
+    """Every operator added in the late r4 session must produce an
+    identical row set at repartition(1) and repartition(7) — the same
+    pipeline-invariance contract build_graph carries."""
+    from pyspark.sql import functions as F
+
+    from jcpg_spark.operators.curation import sft_pairs
+    from jcpg_spark.operators.flow import interarrival_stats, topic_segments
+    from jcpg_spark.operators.graph_analytics import triad_census, wl_fingerprint
+    from jcpg_spark.operators.lm import sequence_typicality
+    from jcpg_spark.synth import synth_transcripts
+
+    t = synth_transcripts(spark, 40)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    ops = {
+        "topic_segments": lambda d: topic_segments(d),
+        "sft_pairs": lambda d: sft_pairs(d),
+        "interarrival": lambda d: interarrival_stats(d),
+        # avg(logp) is order-sensitive in the last bits; compare at the
+        # 6 dp the driver entry pins (the pagerank convention)
+        "typicality": lambda d: sequence_typicality(d, "role").select(
+            "conv_id", F.round("typicality", 6).alias("typicality")
+        ),
+    }
+    for name, fn in ops.items():
+        a = rows(fn(t.repartition(1)))
+        b = rows(fn(t.repartition(7)))
+        assert a == b, name
+        assert a, name  # non-vacuous
+
+    from jcpg_spark.operators.flow import flow_next
+
+    e1 = flow_next(t.repartition(1)).select("src", "pred", "dst", "conv_id")
+    e7 = flow_next(t.repartition(7)).select("src", "pred", "dst", "conv_id")
+    assert rows(wl_fingerprint(e1)) == rows(wl_fingerprint(e7))
+    assert rows(triad_census(e1.select("src", "dst"))) == rows(
+        triad_census(e7.select("src", "dst"))
+    )
