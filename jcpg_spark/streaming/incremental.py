@@ -478,3 +478,72 @@ def streaming_novelty(
         .otherwise(F.lit(0.0))
         .alias("novelty"),
     )
+
+
+_SFT_OUT = (
+    "conv_id string, turn_idx int, prompt string, response string, ok boolean"
+)
+_SFT_STATE = (
+    "prev_role string, prev_idx int, prev_text string, "
+    "pa_prompt_idx int, pa_prompt string, pa_response string"
+)
+
+
+def _sft_fn(key, pdf_iter, state: GroupState):
+    (conv_id,) = key
+    prev_role = prev_text = pa_prompt = pa_response = None
+    prev_idx = pa_prompt_idx = None
+    if state.exists:
+        prev_role, prev_idx, prev_text, pa_prompt_idx, pa_prompt, pa_response = state.get
+    out = {k: [] for k in ("turn_idx", "prompt", "response", "ok")}
+    rows = []
+    for pdf in pdf_iter:
+        rows.extend(
+            zip(pdf["turn_idx"].tolist(), pdf["role"].tolist(), pdf["text"].tolist())
+        )
+    for idx, role, text in sorted(rows):
+        if pa_prompt_idx is not None:
+            out["turn_idx"].append(int(pa_prompt_idx))
+            out["prompt"].append(pa_prompt)
+            out["response"].append(pa_response)
+            out["ok"].append(role != "tool")
+            pa_prompt_idx = pa_prompt = pa_response = None
+        if prev_role == "user" and role == "assistant":
+            pa_prompt_idx, pa_prompt, pa_response = prev_idx, prev_text, text
+        prev_role, prev_idx, prev_text = role, int(idx), text
+    state.update(
+        (prev_role, prev_idx, prev_text, pa_prompt_idx, pa_prompt, pa_response)
+    )
+    if out["turn_idx"]:
+        yield pd.DataFrame(
+            {
+                "conv_id": conv_id,
+                "turn_idx": out["turn_idx"],
+                "prompt": out["prompt"],
+                "response": out["response"],
+                "ok": out["ok"],
+            }
+        )
+
+
+def streaming_sft_pairs(stream: DataFrame) -> DataFrame:
+    """Stateful streaming SFT-pair mining: the batch ``curation.sft_pairs``
+    semantics (user turn answered by the immediately following assistant
+    turn, ok labeled by the turn AFTER the response) carried across
+    micro-batches with one small state row per conversation (previous
+    turn + the pair awaiting its outcome turn). A pair EMITS when its
+    outcome turn arrives — so the final pair of a still-open conversation
+    stays pending by design (its label is not yet observable); batch
+    equivalence over closed prefixes is pytest-gated like every
+    streaming layer here."""
+    return (
+        stream.select("conv_id", "turn_idx", "role", "text")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _sft_fn,
+            outputStructType=_SFT_OUT,
+            stateStructType=_SFT_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

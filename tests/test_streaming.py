@@ -284,3 +284,32 @@ def test_streaming_novelty_matches_batch_set_algebra(spark, stream_dir):
         assert row["n_novel"] == len(win - ref_set), (lo, hi)
         want = len(win - ref_set) / len(win) if win else 0.0
         assert abs(row["novelty"] - want) < 1e-12
+
+
+def test_streaming_sft_pairs_match_batch_closed_prefix(spark, stream_dir):
+    """The stateful SFT miner must emit exactly the batch pairs whose
+    outcome turn has arrived (the final pair of a conversation stays
+    pending — its ok label is not yet observable), with pairs and their
+    outcome turns spanning micro-batches."""
+    from pyspark.sql import functions as F
+
+    from jcpg_spark.operators.curation import sft_pairs
+
+    path, t = stream_dir
+    stream = (
+        spark.readStream.schema(t.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    inc.run_to_memory(inc.streaming_sft_pairs(stream), "sft_out")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM sft_out").collect()}
+    mx = t.groupBy("conv_id").agg(F.max("turn_idx").alias("mx"))
+    want = {
+        tuple(r)
+        for r in sft_pairs(t)
+        .join(mx, "conv_id")
+        .filter(F.col("turn_idx") + 1 < F.col("mx"))
+        .drop("mx")
+        .collect()
+    }
+    assert got == want and want
