@@ -15,6 +15,8 @@ linking, so intra-batch disorder is tolerated.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -543,6 +545,74 @@ def streaming_sft_pairs(stream: DataFrame) -> DataFrame:
             _sft_fn,
             outputStructType=_SFT_OUT,
             stateStructType=_SFT_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+_TOPIC_OUT = "conv_id string, turn_idx int, seg_idx int, cohesion double"
+_TOPIC_STATE = "prev_ws string, seg int"
+_TOPIC_WORD_RX = re.compile(r"[a-z]+")
+
+
+def _topic_fn(threshold):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def rnd6(x):
+        # mirror Spark's F.round (HALF_UP), not python banker's rounding
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    def fn(key, pdf_iter, state: GroupState):
+        (conv_id,) = key
+        prev_ws, seg = (state.get if state.exists else (None, -1))
+        prev = set(prev_ws.split("\x1f")) - {""} if prev_ws is not None else None
+        out = {k: [] for k in ("turn_idx", "seg_idx", "cohesion")}
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(zip(pdf["turn_idx"].tolist(), pdf["text"].tolist()))
+        for idx, text in sorted(rows):
+            ws = set(_TOPIC_WORD_RX.findall((text or "").lower()))
+            if prev is None:
+                coh = None
+            else:
+                union = len(ws) + len(prev) - len(ws & prev)
+                coh = 0.0 if union == 0 else len(ws & prev) / union
+            if coh is None or coh < threshold:
+                seg += 1
+            out["turn_idx"].append(int(idx))
+            out["seg_idx"].append(int(seg))
+            out["cohesion"].append(None if coh is None else rnd6(coh))
+            prev = ws
+        state.update(("\x1f".join(sorted(prev)) if prev is not None else None, int(seg)))
+        if out["turn_idx"]:
+            yield pd.DataFrame(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": out["turn_idx"],
+                    "seg_idx": out["seg_idx"],
+                    "cohesion": out["cohesion"],
+                }
+            )
+
+    return fn
+
+
+def streaming_topic_segments(stream: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Stateful streaming topic segmentation: the batch
+    ``flow.topic_segments`` lexical-cohesion boundaries carried across
+    micro-batches with one state row per conversation (previous turn's
+    word set + the running segment counter). Unlike the SFT miner there
+    is no lookahead — cohesion only needs the PREVIOUS turn — so the
+    stream emits every turn immediately and equals the batch operator
+    row-for-row (pytest-gated), including the 6 dp HALF_UP rounding."""
+    return (
+        stream.select("conv_id", "turn_idx", "text")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _topic_fn(threshold),
+            outputStructType=_TOPIC_OUT,
+            stateStructType=_TOPIC_STATE,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -313,3 +313,22 @@ def test_streaming_sft_pairs_match_batch_closed_prefix(spark, stream_dir):
         .collect()
     }
     assert got == want and want
+
+
+def test_streaming_topic_segments_match_batch_exactly(spark, stream_dir):
+    """No lookahead in the cohesion boundary rule, so the streaming
+    segmentation equals the batch operator row-for-row across
+    micro-batches — including the 6 dp HALF_UP rounding and the word-set
+    state carried over the batch split."""
+    from jcpg_spark.operators.flow import topic_segments
+
+    path, t = stream_dir
+    stream = (
+        spark.readStream.schema(t.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    inc.run_to_memory(inc.streaming_topic_segments(stream), "topic_out")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM topic_out").collect()}
+    want = {tuple(r) for r in topic_segments(t).collect()}
+    assert got == want and want
