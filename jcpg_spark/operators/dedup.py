@@ -974,3 +974,64 @@ def decontaminate(
             ),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 5,
+    threshold: float = 0.5,
+    max_df: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection — shingle containment
+    C(A in B) = |A∩B| / |A| — the quote/excerpt/subsumption relation
+    Jaccard structurally misses: a paragraph quoted inside a 100x larger
+    document has near-zero resemblance but containment ~1. Broder's
+    second sketch measure, and the right primitive for "this doc is a
+    fragment of that one" curation decisions (quote collapse, excerpt
+    dedup, boilerplate-wrapper detection). Emits directed rows
+    (doc_src, doc_sup, containment): doc_src's shingle set is >=
+    ``threshold`` contained in doc_sup's.
+
+    Same hashed-shingle plumbing as ``jaccard_pairs`` (8-byte longs
+    through every shuffle, df-capped hub shingles, one persisted shingle
+    frame, one unordered pair aggregation emitting both directions).
+    NOTE the honest scale difference vs Jaccard: containment admits NO
+    size-ratio prune (the small-in-large pair is exactly the target),
+    so the ``max_df`` hub cap is the only bound on candidate volume —
+    size it to the corpus's shingle df distribution.
+    """
+    from jcpg_spark.caching import swap_persist
+
+    sh = word_shingles(docs, n=n, text_col=text_col, hashed=True)
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh = sh.join(
+        df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle", "left_semi"
+    )
+    sh = swap_persist("containment_pairs.shingles", sh)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh = sh.join(sizes, "doc_id")
+
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("inter"))
+    )
+    ab = inter.select(
+        F.col("doc_a").alias("doc_src"),
+        F.col("doc_b").alias("doc_sup"),
+        (F.col("inter") / F.col("na")).alias("containment"),
+    )
+    ba = inter.select(
+        F.col("doc_b").alias("doc_src"),
+        F.col("doc_a").alias("doc_sup"),
+        (F.col("inter") / F.col("nb")).alias("containment"),
+    )
+    return (
+        ab.unionByName(ba)
+        .filter(F.col("containment") >= threshold)
+        .select("doc_src", "doc_sup", F.round("containment", 6).alias("containment"))
+    )

@@ -5267,6 +5267,35 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_doc_containment(spark, sf_dir):
+    """Asymmetric shingle containment (Broder's second measure): directed
+    quote/excerpt pairs at C >= 0.5 over 3-gram shingles — catches the
+    small-doc-inside-big-doc relation Jaccard structurally misses.
+    String-keyed oracle certifies the hashed-shingle plumbing."""
+    return dedup.containment_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+SQL_DOC_CONTAINMENT = r"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+s AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 3
+          THEN list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+          ELSE [] END)) AS shingle
+      FROM w),
+flt AS (SELECT s.* FROM s JOIN (SELECT shingle FROM s GROUP BY shingle HAVING count(*) <= 1000) ok USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM flt GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM flt a JOIN flt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+dirs AS (SELECT doc_a AS doc_src, doc_b AS doc_sup, i * 1.0 / sa.n_sh AS containment
+         FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+         UNION ALL
+         SELECT doc_b, doc_a, i * 1.0 / sb.n_sh
+         FROM inter JOIN sizes sb ON sb.doc_id = doc_b)
+SELECT doc_src, doc_sup, round(containment, 6) AS containment
+FROM dirs WHERE containment >= 0.5
+"""
+
+
 def q_kg_triad_census(spark, sf_dir):
     """Holland-Leinhardt connected-triad census over the directed
     CFG+ICFG union (flow.next + call + return): the micro-structure
@@ -5978,4 +6007,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "doc_rollup_cube": (q_doc_rollup_cube, SQL_DOC_ROLLUP_CUBE),
     # Holland-Leinhardt connected-triad census (wedge + pair-bit joins)
     "kg_triad_census": (q_kg_triad_census, SQL_KG_TRIAD_CENSUS),
+    # asymmetric shingle containment (quote/excerpt detection)
+    "doc_containment": (q_doc_containment, SQL_DOC_CONTAINMENT),
 }

@@ -727,3 +727,23 @@ def test_bitext_mine_custom_side_split(spark):
     out = {r["a_id"]: r["b_id"] for r in
            bitext_mine(emb, k_neigh=1, side=F.col("id") < 20).collect()}
     assert out == {10: 20, 11: 21}
+
+
+def test_containment_pairs_quote_detection(spark):
+    """A small doc fully quoted inside a much larger one: containment
+    fires in the quote->container direction while Jaccard stays tiny;
+    direction and value are exact."""
+    from jcpg_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} w{i} x{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler)],
+        ["doc_id", "text"],
+    )
+    got = {(r["doc_src"], r["doc_sup"]): r["containment"]
+           for r in containment_pairs(docs, n=3, threshold=0.5).collect()}
+    # every 3-shingle of doc 1 appears in doc 2 -> containment 1.0
+    assert got == {(1, 2): 1.0}
+    # the symmetric measure misses it
+    assert jaccard_pairs(docs, n=3, threshold=0.4).count() == 0
