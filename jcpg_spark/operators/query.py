@@ -813,3 +813,71 @@ def describe(
     as_src = edges.join(res.withColumnRenamed("r", "src"), "src", "semi")
     as_dst = edges.join(res.withColumnRenamed("r", "dst"), "dst", "semi")
     return as_src.unionByName(as_dst.select(*as_src.columns)).distinct()
+
+
+def predicate_stats(edges: DataFrame) -> dict:
+    """Statistics catalog for BGP join ordering: per predicate, the edge
+    count and approximate distinct subject/object counts, plus the
+    totals under key ``None``. ONE tiny aggregation collected to the
+    driver — predicate-VOCABULARY-sized, the same bounded-collect class
+    as the dictionary surfaces, and exactly what a cost-based
+    optimizer's stats catalog is. Collect once, reuse across queries."""
+    rows = edges.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("src").alias("ds"),
+        F.approx_count_distinct("dst").alias("dd"),
+    ).collect()
+    stats = {r["pred"]: (r["n"], max(r["ds"], 1), max(r["dd"], 1)) for r in rows}
+    stats[None] = (
+        sum(v[0] for v in stats.values()),
+        max(sum(v[1] for v in stats.values()), 1),
+        max(sum(v[2] for v in stats.values()), 1),
+    )
+    return stats
+
+
+def _estimate(pat: TriplePattern, stats: dict) -> float:
+    s, p, o = pat[0], pat[1], pat[2]
+    key = p if (not _is_var(p) and p in stats) else None
+    n, ds, dd = stats.get(key, stats[None])
+    est = float(n)
+    if not _is_var(s):
+        est /= ds
+    if not _is_var(o):
+        est /= dd
+    return max(est, 1.0)
+
+
+def reorder_patterns(
+    patterns: Sequence[TriplePattern], stats: dict
+) -> list:
+    """Greedy selectivity-based BGP join ordering (the classic
+    System-R-style heuristic every SPARQL engine applies): start from
+    the lowest-estimated-cardinality pattern, then repeatedly take the
+    cheapest pattern CONNECTED to the bound variable set — small
+    intermediate results early, and the no-cartesian contract of
+    ``match_pattern`` is preserved because connectivity gates every
+    pick. Estimates come from ``predicate_stats`` (count / distinct-key
+    division for constant terms). Inner joins commute, so the solution
+    BAG is identical for any order — pytest-gated; only the
+    intermediate sizes change."""
+    remaining = list(patterns)
+    if not remaining:
+        return remaining
+
+    def pat_vars(p):
+        vs = {t for t in (p[0], p[1], p[2]) if _is_var(t)}
+        return vs
+
+    first = min(remaining, key=lambda p: _estimate(p, stats))
+    order = [first]
+    remaining.remove(first)
+    bound = pat_vars(first)
+    while remaining:
+        connected = [p for p in remaining if pat_vars(p) & bound]
+        pick_from = connected if connected else remaining  # disconnected BGPs
+        pick = min(pick_from, key=lambda p: _estimate(p, stats))
+        order.append(pick)
+        remaining.remove(pick)
+        bound |= pat_vars(pick)
+    return order

@@ -1457,3 +1457,45 @@ def test_triad_census_closed_forms_and_networkx_parity(spark):
         if v and k not in ("003", "012", "102")
     }
     assert got == want, (got, want)
+
+
+def test_bgp_reorder_selectivity_and_result_equivalence(spark):
+    """The greedy reorder starts from the most selective pattern, stays
+    connected (no-cartesian contract preserved), and the solution bag is
+    identical to the naive left-to-right order."""
+    from jcpg_spark.operators.query import (
+        match_pattern,
+        predicate_stats,
+        reorder_patterns,
+    )
+
+    rows = (
+        [(f"s{i}", "common", f"m{i % 10}") for i in range(200)]
+        + [(f"m{i}", "rare", f"t{i}") for i in range(3)]
+    )
+    edges = spark.createDataFrame(rows, ["src", "pred", "dst"])
+    stats = predicate_stats(edges)
+
+    pats = [("?a", "common", "?b"), ("?b", "rare", "?c")]
+    order = reorder_patterns(pats, stats)
+    assert order[0] == ("?b", "rare", "?c")          # 3 rows beats 200
+
+    # constant-term selectivity: a bound subject divides by distinct subjects
+    pats2 = [("?a", "common", "?b"), ("s5", "common", "?b")]
+    order2 = reorder_patterns(pats2, stats)
+    assert order2[0] == ("s5", "common", "?b")
+
+    # results identical either order (inner joins commute)
+    naive = {tuple(r) for r in match_pattern(edges, pats).collect()}
+    opt = {tuple(r) for r in match_pattern(edges, order).collect()}
+    assert naive == opt and naive
+
+    # connectivity gating: the second pick must share a var even when a
+    # cheaper disconnected pattern exists
+    rows3 = rows + [(f"x{i}", "tiny", f"y{i}") for i in range(5)]
+    edges3 = spark.createDataFrame(rows3, ["src", "pred", "dst"])
+    st3 = predicate_stats(edges3)
+    pats3 = [("?a", "common", "?b"), ("?b", "rare", "?c"), ("?x", "tiny", "?y")]
+    order3 = reorder_patterns(pats3, st3)
+    assert order3[0] == ("?b", "rare", "?c")
+    assert order3[1] == ("?a", "common", "?b")        # connected beats cheaper tiny
