@@ -405,3 +405,54 @@ def alias_priors(
         F.round(F.col("n") / F.col("n_surface"), 6).alias("prior"),
         "rank",
     )
+
+
+def refresh_dictionary(
+    dictionary: DataFrame,
+    observations: DataFrame,
+    blend: float = 0.5,
+    surface_col: str = "surface",
+    entity_col: str = "entity",
+) -> DataFrame:
+    """Dictionary refresh — the second half of the ``alias_priors``
+    feedback loop: blend each candidate row's shipped prior with the
+    EMPIRICAL commonness observed in production link decisions,
+    ``prior' = blend * prior + (1 - blend) * P_obs(entity | surface)``,
+    so the next linking generation ranks senses by how the corpus
+    actually resolved them. Rows whose (surface, canonical) was never
+    observed keep their shipped prior scaled by ``blend`` against the
+    observed mass (P_obs = 0) IF the surface itself was observed, and
+    keep it untouched when the surface never appeared (no evidence, no
+    update) — the standard smoothing so one day of logs cannot zero out
+    the long tail.
+
+    Dictionary-sized end to end: the observation rollup is
+    ``alias_priors`` (data-scale once, vocabulary-sized after), and the
+    update join is dictionary-row-keyed. Output schema == input schema,
+    so the result drops into ``link_mentions`` unchanged.
+    """
+    pri = alias_priors(observations, surface_col=surface_col, entity_col=entity_col)
+    obs = pri.select(
+        F.col("surface"),
+        F.col("entity").alias("canonical"),
+        F.col("prior").alias("p_obs"),
+    )
+    seen_surfaces = obs.select("surface").distinct().withColumn("s_seen", F.lit(True))
+    j = (
+        dictionary.join(obs, ["surface", "canonical"], "left")
+        .join(seen_surfaces, "surface", "left")
+    )
+    new_prior = (
+        F.when(F.col("s_seen").isNull(), F.col("prior"))
+        .otherwise(
+            F.round(
+                F.lit(blend) * F.col("prior")
+                + F.lit(1.0 - blend) * F.coalesce(F.col("p_obs"), F.lit(0.0)),
+                6,
+            )
+        )
+    )
+    return j.select(
+        "surface", "canonical", "namespace", "kind",
+        new_prior.alias("prior"), "defs_state",
+    )

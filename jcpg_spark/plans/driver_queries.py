@@ -5267,6 +5267,58 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_j1_dictionary_refresh(spark, sf_dir):
+    """The alias_priors feedback loop closed: blend the shipped gazetteer
+    priors with the empirical commonness observed in event-link
+    decisions (error events resolve to a transient sense on even values,
+    a sense the shipped dictionary lacks — so the 'error' row's
+    empirical share drops below 1 and the blend moves its prior).
+    Surfaces never observed keep their prior untouched."""
+    from jcpg_spark.operators import linking
+
+    ev = _ev(spark, sf_dir)
+    obs = ev.select(
+        F.col("event_type").alias("surface"),
+        F.when(
+            (F.col("event_type") == "error")
+            & (F.round(F.col("value")).cast("long") % 2 == 0),
+            F.lit("ev_error_transient"),
+        )
+        .otherwise(F.concat(F.lit("ev_"), F.col("event_type")))
+        .alias("entity"),
+    )
+    d = events_gazetteer(spark)
+    return linking.refresh_dictionary(d, obs, blend=0.5)
+
+
+_GAZ_VALUES = ", ".join(
+    f"('{s}', '{c}', '{ns}', '{k}', {p}, {str(ds).upper()})"
+    for (s, c, ns, k, p, ds) in EVENTS_GAZETTEER
+)
+
+SQL_J1_DICTIONARY_REFRESH = f"""
+WITH dict(surface, canonical, namespace, kind, prior, defs_state) AS (VALUES {_GAZ_VALUES}),
+obs0 AS (SELECT event_type AS surface,
+                CASE WHEN event_type = 'error' AND CAST(round(value) AS BIGINT) % 2 = 0
+                     THEN 'ev_error_transient'
+                     ELSE 'ev_' || event_type END AS entity
+         FROM events),
+c AS (SELECT surface, entity, count(*) AS n FROM obs0 GROUP BY 1, 2),
+t AS (SELECT surface, sum(n) AS n_surface FROM c GROUP BY 1),
+obs AS (SELECT c.surface, c.entity AS canonical,
+               round(CAST(c.n AS DOUBLE) / t.n_surface, 6) AS p_obs
+        FROM c JOIN t ON t.surface = c.surface),
+seen AS (SELECT DISTINCT surface FROM obs)
+SELECT d.surface, d.canonical, d.namespace, d.kind,
+       CASE WHEN seen.surface IS NULL THEN d.prior
+            ELSE round(0.5 * d.prior + 0.5 * coalesce(o.p_obs, 0), 6) END AS prior,
+       d.defs_state
+FROM dict d
+LEFT JOIN obs o ON o.surface = d.surface AND o.canonical = d.canonical
+LEFT JOIN seen ON seen.surface = d.surface
+"""
+
+
 def q_doc_containment(spark, sf_dir):
     """Asymmetric shingle containment (Broder's second measure): directed
     quote/excerpt pairs at C >= 0.5 over 3-gram shingles — catches the
@@ -6009,4 +6061,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_triad_census": (q_kg_triad_census, SQL_KG_TRIAD_CENSUS),
     # asymmetric shingle containment (quote/excerpt detection)
     "doc_containment": (q_doc_containment, SQL_DOC_CONTAINMENT),
+    # dictionary refresh: alias_priors blended back into shipped priors
+    "j1_dictionary_refresh": (q_j1_dictionary_refresh, SQL_J1_DICTIONARY_REFRESH),
 }

@@ -832,3 +832,29 @@ def test_interarrival_stats_closed_form(spark):
     assert abs(out["b"]["burstiness"] - round(want_b, 6)) < 1e-9
     assert out["s"]["n_gaps"] == 1
     assert out["s"]["std_gap"] is None and out["s"]["burstiness"] is None
+
+
+def test_refresh_dictionary_blend_semantics(spark):
+    """Observed rows blend shipped prior with empirical share; an
+    observed surface's unmatched row decays toward blend*prior; a never-
+    observed surface keeps its prior bit-for-bit; schema passes through."""
+    from jcpg_spark import schema as SS
+    from jcpg_spark.operators.linking import refresh_dictionary
+
+    d = spark.createDataFrame(
+        [
+            ("db", "tool_db", "core", "tool", 0.8, False),
+            ("db", "generic_db", "core", "artifact", 0.2, False),
+            ("ghost", "never_seen", "core", "artifact", 0.7, True),
+        ],
+        schema=SS.DICTIONARY_SCHEMA,
+    )
+    obs = spark.createDataFrame(
+        [("db", "tool_db")] * 3 + [("db", "generic_db")],
+        ["surface", "entity"],
+    )
+    out = {(r["surface"], r["canonical"]): (r["prior"], r["defs_state"])
+           for r in refresh_dictionary(d, obs, blend=0.5).collect()}
+    assert out[("db", "tool_db")] == (round(0.5 * 0.8 + 0.5 * 0.75, 6), False)
+    assert out[("db", "generic_db")] == (round(0.5 * 0.2 + 0.5 * 0.25, 6), False)
+    assert out[("ghost", "never_seen")] == (0.7, True)
