@@ -5267,6 +5267,49 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_doc_chunks_overlap(spark, sf_dir):
+    """Sliding-window chunking with overlap (window 32, stride 24 — the
+    RAG/embedding-pipeline standard so no boundary context is lost):
+    start positions k*stride until the window covers the tail. Same
+    JVM transform+slice+posexplode shape as the disjoint chunker."""
+    docs = _docs(spark, sf_dir)
+    W, S = 32, 24
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(ws)
+    n_starts = (
+        F.lit(1) + F.greatest(F.lit(0), F.ceil((n - W) / F.lit(S))).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_starts - 1),
+        lambda i: F.concat_ws(" ", F.slice(ws, i * S + 1, W)),
+    )
+    return (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select("doc_id", n.alias("n_ws"), F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.least(F.lit(W), F.col("n_ws") - F.col("chunk_idx") * S).alias("n_tokens"),
+            "chunk",
+        )
+    )
+
+
+SQL_DOC_CHUNKS_OVERLAP = r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+           FROM documents WHERE trim(text) <> ''),
+x AS (SELECT doc_id, ws,
+             unnest(generate_series(1,
+                1 + greatest(0, CAST(ceil((len(ws) - 32) / 24.0) AS BIGINT)))) AS i
+      FROM w)
+SELECT doc_id,
+       CAST(i - 1 AS INT) AS chunk_idx,
+       CAST(least(32, len(ws) - (i - 1) * 24) AS INT) AS n_tokens,
+       array_to_string(ws[(i - 1) * 24 + 1 : (i - 1) * 24 + 32], ' ') AS chunk
+FROM x
+"""
+
+
 def q_j1_dictionary_refresh(spark, sf_dir):
     """The alias_priors feedback loop closed: blend the shipped gazetteer
     priors with the empirical commonness observed in event-link
@@ -6063,4 +6106,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "doc_containment": (q_doc_containment, SQL_DOC_CONTAINMENT),
     # dictionary refresh: alias_priors blended back into shipped priors
     "j1_dictionary_refresh": (q_j1_dictionary_refresh, SQL_J1_DICTIONARY_REFRESH),
+    # sliding-window chunking with overlap (RAG/embedding standard)
+    "doc_chunks_overlap": (q_doc_chunks_overlap, SQL_DOC_CHUNKS_OVERLAP),
 }
