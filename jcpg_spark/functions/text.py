@@ -128,3 +128,38 @@ def rolling_fingerprint(col: Column, base: int = 257, mod: int = (1 << 61) - 1) 
         F.lit(0).cast("long"),
         lambda acc, w: (acc * base + F.abs(F.xxhash64(w)) % mod) % mod,
     )
+
+
+def compression_ratio_udf():
+    """zlib compression ratio of the UTF-8 text — the Gopher-family
+    repetition/boilerplate signal that n-gram fractions miss (long-range
+    and approximate repeats compress away; high-entropy prose doesn't).
+    ratio = compressed_len / raw_len in (0, ~1.1]; low = repetitive.
+
+    This is the documented pandas-UDF slow path, used because zlib is
+    not expressible in JVM column algebra: Arrow-batched (one python
+    call per batch, zlib in C per row), deterministic (zlib level 6 is
+    bit-stable for a given input on every platform), and pinned against
+    a pure-python twin in pytest. Empty/whitespace text -> null.
+    """
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def _ratio(texts):
+        # no type annotations: pandas is imported locally (this module is
+        # otherwise pandas-free), so hint resolution would fail; the
+        # explicit returnType + Series-in/Series-out body is sufficient
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw.strip():
+                return None
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return pd.Series([one(t) for t in texts])
+
+    return _ratio

@@ -5267,6 +5267,21 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_text_compression(spark, sf_dir):
+    """zlib compression-ratio quality signal (Gopher-family): the one
+    repetition detector that catches long-range and approximate repeats.
+    Arrow-batched pandas UDF (zlib has no JVM column form); no SQL
+    oracle — DuckDB has no zlib — so rows-only here, with the exact
+    python-twin gate in tests/test_curation.py."""
+    from jcpg_spark.functions.text import compression_ratio_udf
+
+    d = _docs(spark, sf_dir)
+    ratio = compression_ratio_udf()
+    return d.select(
+        "doc_id", F.round(ratio(F.col("text")), 6).alias("compression_ratio")
+    )
+
+
 def q_doc_chunks_overlap(spark, sf_dir):
     """Sliding-window chunking with overlap (window 32, stride 24 — the
     RAG/embedding-pipeline standard so no boundary context is lost):
@@ -6108,4 +6123,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "j1_dictionary_refresh": (q_j1_dictionary_refresh, SQL_J1_DICTIONARY_REFRESH),
     # sliding-window chunking with overlap (RAG/embedding standard)
     "doc_chunks_overlap": (q_doc_chunks_overlap, SQL_DOC_CHUNKS_OVERLAP),
+    # zlib compression-ratio quality signal (pandas-UDF path; python twin)
+    "text_compression": (q_text_compression, None),
 }

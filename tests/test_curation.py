@@ -870,3 +870,29 @@ def test_log_odds_drift_closed_form(spark):
         assert abs(out[word]["delta"] - round(d, 6)) < 1e-9, word
         assert abs(out[word]["z"] - round(z, 6)) < 1e-9, word
     assert out["apple"]["z"] > 0 > out["banana"]["z"]
+
+
+def test_compression_ratio_matches_python_twin_and_ranks_repetition(spark):
+    """Arrow-batched zlib ratio equals the per-row python computation
+    exactly, repetitive text scores lower than prose, and empty text
+    is null."""
+    import zlib
+
+    from jcpg_spark.functions.text import compression_ratio_udf
+
+    prose = "the quick brown fox jumps over a lazy dog while seven wizards vex"
+    loop = "spam ham " * 40
+    docs = spark.createDataFrame(
+        [(1, prose), (2, loop), (3, "   "), (4, None)], ["doc_id", "text"]
+    )
+    ratio = compression_ratio_udf()
+    got = {r["doc_id"]: r["cr"] for r in docs.select("doc_id", ratio("text").alias("cr")).collect()}
+
+    def twin(t):
+        raw = t.encode("utf-8")
+        return len(zlib.compress(raw, 6)) / len(raw)
+
+    assert got[1] == twin(prose)
+    assert got[2] == twin(loop)
+    assert got[2] < got[1]          # repetition compresses away
+    assert got[3] is None and got[4] is None
