@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from jcpg_spark.functions.text import (
@@ -495,4 +495,42 @@ def log_odds_drift(
         "word", "y_a", "y_b",
         F.round(delta, 6).alias("delta"),
         F.round(z, 6).alias("z"),
+    )
+
+
+def weighted_sample_topk(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis-Spirakis
+    A-ES keys: each row gets key = ln(u) / w (u the deterministic md5
+    uniform, w its positive weight) and the k LARGEST keys are the
+    sample — distributionally exactly weighted-without-replacement,
+    fully deterministic, and resumable (no RNG state), the standard
+    distributed formulation. ``temperature_mix``/``doc_sample_hash``
+    draw Bernoulli RATES (expected size); this draws an EXACT size k,
+    per group when ``group_col`` is set (e.g. exactly k docs per
+    language for an eval slice).
+
+    One top-k window per group (TakeOrderedAndProject globally when
+    ungrouped); ties are impossible up to md5 collisions because u is
+    an injective function of the id's hash. Zero/negative weights are
+    excluded (they have no sampling mass).
+    """
+    u = doc_uniform(id_col)
+    w = F.col(weight_col).cast("double")
+    key = F.log(F.greatest(u, F.lit(2.0 ** -52))) / w
+    d = docs.filter(w > 0).withColumn("_key", key)
+    if group_col is None:
+        out = d.orderBy(F.desc("_key")).limit(k)
+    else:
+        win = Window.partitionBy(group_col).orderBy(F.desc("_key"))
+        out = d.withColumn("_rk", F.row_number().over(win)).filter(
+            F.col("_rk") <= k
+        ).drop("_rk")
+    return out.select(
+        *[c for c in docs.columns], F.round("_key", 6).alias("es_key")
     )

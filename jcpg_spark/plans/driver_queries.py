@@ -5267,6 +5267,31 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_doc_es_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement: exactly
+    3 docs per language, weight = n_chars (longer docs proportionally
+    likelier), deterministic md5 uniforms — the exact-size counterpart
+    of the Bernoulli-rate samplers."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return curation.weighted_sample_topk(d, k=3, weight_col="n_chars", group_col="lang")
+
+
+SQL_DOC_ES_SAMPLE = """
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         ln(greatest(
+           CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                AS DOUBLE) / 4503599627370496e0,
+           2.220446049250313e-16)) / n_chars AS k
+  FROM documents WHERE n_chars > 0),
+r AS (SELECT doc_id, lang, n_chars, k,
+             row_number() OVER (PARTITION BY lang ORDER BY k DESC) AS rk
+      FROM t)
+SELECT doc_id, lang, n_chars, round(k, 6) AS es_key
+FROM r WHERE rk <= 3
+"""
+
+
 def q_text_compression(spark, sf_dir):
     """zlib compression-ratio quality signal (Gopher-family): the one
     repetition detector that catches long-range and approximate repeats.
@@ -6125,4 +6150,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "doc_chunks_overlap": (q_doc_chunks_overlap, SQL_DOC_CHUNKS_OVERLAP),
     # zlib compression-ratio quality signal (pandas-UDF path; python twin)
     "text_compression": (q_text_compression, None),
+    # Efraimidis-Spirakis exact-k weighted sampling without replacement
+    "doc_es_sample": (q_doc_es_sample, SQL_DOC_ES_SAMPLE),
 }

@@ -896,3 +896,37 @@ def test_compression_ratio_matches_python_twin_and_ranks_repetition(spark):
     assert got[2] == twin(loop)
     assert got[2] < got[1]          # repetition compresses away
     assert got[3] is None and got[4] is None
+
+
+def test_weighted_sample_topk_aes_semantics(spark):
+    """A-ES keys match the python twin (md5-uniform, ln(u)/w), exactly k
+    rows per group come back, zero-weight rows are excluded, and the
+    selection is deterministic across calls."""
+    import hashlib
+    import math
+
+    from jcpg_spark.operators.curation import weighted_sample_topk
+
+    rows = [(i, "g1" if i < 6 else "g2", float(i * 10 + 1)) for i in range(10)]
+    rows.append((99, "g1", 0.0))   # zero weight: excluded
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "w"])
+    out = weighted_sample_topk(docs, k=2, weight_col="w", group_col="lang")
+    got = [(r["doc_id"], r["lang"], r["es_key"]) for r in out.collect()]
+    assert len(got) == 4 and 99 not in {g[0] for g in got}
+    assert {g[1] for g in got} == {"g1", "g2"}
+
+    def twin(doc_id, w):
+        u = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:13], 16) / 16**13
+        return math.log(max(u, 2.0 ** -52)) / w
+
+    keys = {(i, g): twin(i, w) for i, g, w in rows if w > 0}
+    for grp in ("g1", "g2"):
+        want = sorted(
+            (k for (i, g), k in keys.items() if g == grp), reverse=True
+        )[:2]
+        have = sorted((k for i, g, k in got if g == grp), reverse=True)
+        assert have == [round(w, 6) for w in want], grp
+
+    again = [(r["doc_id"], r["lang"], r["es_key"])
+             for r in weighted_sample_topk(docs, k=2, weight_col="w", group_col="lang").collect()]
+    assert sorted(again) == sorted(got)
