@@ -5267,6 +5267,44 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_kg_growth_timeline(spark, sf_dir):
+    """KG growth timeline: per epoch-day, per edge family — new call and
+    flow triples attributed to the day of their SOURCE turn. The
+    time-series a snapshot-maintenance dashboard plots (ingest-rate
+    drift, layer mix shift); epoch-day integers keep it tz-independent.
+    One window pass (the layers) + one hash-agg."""
+    from jcpg_spark import schema as S
+
+    t = transcripts_from_events(spark, sf_dir)
+    day = F.floor(F.unix_timestamp("ts") / 86400).alias("day")
+    turns = t.select(
+        S.turn_node(F.col("conv_id"), F.col("turn_idx")).alias("src"), day
+    )
+    edges = (
+        flow.flow_next(t).select("src", "pred")
+        .unionByName(calls.call_triples(t).select("src", "pred"))
+        .unionByName(calls.return_triples(t).select("src", "pred"))
+    )
+    return (
+        edges.join(turns, "src")
+        .groupBy("day", "pred")
+        .agg(F.count(F.lit(1)).alias("n_triples"))
+    )
+
+
+SQL_KG_GROWTH_TIMELINE = f"""
+WITH o AS ({_SQL_ORDERED}),
+turns AS (SELECT 't:' || conv_id || ':' || CAST(idx AS VARCHAR) AS src,
+                 CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+          FROM o),
+e AS (SELECT src, pred FROM ({SQL_KG_FLOW_NEXT})
+      UNION ALL SELECT src, pred FROM ({SQL_KG_CALL_RETURN}))
+SELECT t.day, e.pred, count(*) AS n_triples
+FROM e JOIN turns t ON t.src = e.src
+GROUP BY 1, 2
+"""
+
+
 def q_doc_es_sample(spark, sf_dir):
     """Efraimidis-Spirakis weighted sampling without replacement: exactly
     3 docs per language, weight = n_chars (longer docs proportionally
@@ -6152,4 +6190,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "text_compression": (q_text_compression, None),
     # Efraimidis-Spirakis exact-k weighted sampling without replacement
     "doc_es_sample": (q_doc_es_sample, SQL_DOC_ES_SAMPLE),
+    # KG growth timeline: per-day per-layer triple counts (ops dashboard)
+    "kg_growth_timeline": (q_kg_growth_timeline, SQL_KG_GROWTH_TIMELINE),
 }
