@@ -2231,3 +2231,30 @@ def triad_census(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
         .groupBy("triad")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def butterfly_counts(
+    mentions: DataFrame, max_per_conv: int = 1000
+) -> DataFrame:
+    """Per-entity BUTTERFLY (bipartite 4-cycle) participation over the
+    conversation-entity incidence: a butterfly is two conversations
+    sharing the same two entities — the smallest bipartite motif with
+    reinforcement semantics, and the bipartite analog of the triangle
+    (which bipartite graphs cannot contain). High butterfly density
+    around an entity pair is the template/copy-bot signature the
+    projection-based metrics blur away.
+
+    butterflies(a) = sum over partners b of C(w_ab, 2) with w the
+    co-mention support — so the whole computation rides the already
+    hub-capped ``co_mention_edges`` pair aggregation plus one
+    entity-keyed rollup; counts are exact integers end to end (C(w,2)
+    as w*(w-1)/2 in integer arithmetic).
+    """
+    w = co_mention_edges(mentions, min_weight=2, max_per_conv=max_per_conv)
+    bf = w.select(
+        "a", "b", (F.col("w") * (F.col("w") - 1) / 2).cast("long").alias("bf")
+    )
+    per = bf.select(F.col("a").alias("entity"), "bf").unionByName(
+        bf.select(F.col("b").alias("entity"), "bf")
+    )
+    return per.groupBy("entity").agg(F.sum("bf").alias("butterflies"))

@@ -5267,6 +5267,33 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_kg_butterflies(spark, sf_dir):
+    """Per-entity butterfly (bipartite 4-cycle) counts over the same
+    user-value incidence as kg_cooccur_lift — the bipartite motif
+    census; integer-exact (C(w,2) on co-mention support)."""
+    ev = _ev(spark, sf_dir)
+    mentions = ev.select(
+        F.col("user_id").alias("conv_id"),
+        F.round("value").cast("int").alias("entity"),
+    )
+    return graph_analytics.butterfly_counts(mentions)
+
+
+SQL_KG_BUTTERFLIES = """
+WITH m AS (SELECT DISTINCT user_id AS conv_id,
+                  CAST(round(value) AS INT) AS entity
+           FROM events),
+small AS (SELECT conv_id FROM m GROUP BY conv_id HAVING count(*) <= 1000),
+mf AS (SELECT m.* FROM m JOIN small USING (conv_id)),
+w AS (SELECT a.entity AS a, b.entity AS b, count(*) AS w
+      FROM mf a JOIN mf b ON a.conv_id = b.conv_id AND a.entity < b.entity
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+bf AS (SELECT a, b, CAST(w * (w - 1) / 2 AS BIGINT) AS bf FROM w),
+per AS (SELECT a AS entity, bf FROM bf UNION ALL SELECT b, bf FROM bf)
+SELECT entity, sum(bf) AS butterflies FROM per GROUP BY entity
+"""
+
+
 def q_kg_growth_timeline(spark, sf_dir):
     """KG growth timeline: per epoch-day, per edge family — new call and
     flow triples attributed to the day of their SOURCE turn. The
@@ -6192,4 +6219,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "doc_es_sample": (q_doc_es_sample, SQL_DOC_ES_SAMPLE),
     # KG growth timeline: per-day per-layer triple counts (ops dashboard)
     "kg_growth_timeline": (q_kg_growth_timeline, SQL_KG_GROWTH_TIMELINE),
+    # bipartite butterfly (4-cycle) census on the conv-entity incidence
+    "kg_butterflies": (q_kg_butterflies, SQL_KG_BUTTERFLIES),
 }

@@ -1499,3 +1499,24 @@ def test_bgp_reorder_selectivity_and_result_equivalence(spark):
     order3 = reorder_patterns(pats3, st3)
     assert order3[0] == ("?b", "rare", "?c")
     assert order3[1] == ("?a", "common", "?b")        # connected beats cheaper tiny
+
+
+def test_butterfly_counts_closed_form(spark):
+    """Two conversations sharing entities {1, 2} form exactly one
+    butterfly (both entities score 1); a third conversation sharing the
+    pair lifts support to 3 -> C(3,2)=3 butterflies each; an entity in
+    only one conversation scores nothing."""
+    from jcpg_spark.operators.graph_analytics import butterfly_counts
+
+    rows = [
+        ("c1", 1), ("c1", 2), ("c2", 1), ("c2", 2),          # one butterfly
+        ("c3", 9),                                           # isolated
+    ]
+    m = spark.createDataFrame(rows, ["conv_id", "entity"])
+    got = {r["entity"]: r["butterflies"] for r in butterfly_counts(m).collect()}
+    assert got == {1: 1, 2: 1}
+
+    rows3 = rows + [("c3", 1), ("c3", 2)]
+    m3 = spark.createDataFrame(rows3, ["conv_id", "entity"])
+    got3 = {r["entity"]: r["butterflies"] for r in butterfly_counts(m3).collect()}
+    assert got3 == {1: 3, 2: 3}
