@@ -2258,3 +2258,65 @@ def butterfly_counts(
         bf.select(F.col("b").alias("entity"), "bf")
     )
     return per.groupBy("entity").agg(F.sum("bf").alias("butterflies"))
+
+
+def attribute_assortativity(
+    edges: DataFrame, node_cats: DataFrame
+) -> DataFrame:
+    """Newman attribute assortativity: the directed mixing matrix over
+    node categories plus the homophily coefficient
+    r = (tr(e) - sum_i a_i b_i) / (1 - sum_i a_i b_i), where e is the
+    edge-share matrix and a/b its row/column marginals — "do edges stay
+    within a category" (role homophily, namespace cliquishness), the
+    categorical companion of ``graph_stats``'s degree assortativity.
+
+    Output: one row per observed (cat_src, cat_dst) with the count, the
+    share at 6 dp, and r (a graph-level scalar, repeated per row so the
+    relation stays flat). r is null for a single-category graph (the
+    coefficient's denominator vanishes). After the two node-keyed
+    category joins everything is category-vocabulary-sized: the matrix
+    agg, both marginal rollups, and the 1-row broadcast reduce.
+    """
+    cs = node_cats.select(F.col("node").alias("src"), F.col("cat").alias("cat_src"))
+    cd = node_cats.select(F.col("node").alias("dst"), F.col("cat").alias("cat_dst"))
+    m = (
+        edges.join(cs, "src").join(cd, "dst")
+        .groupBy("cat_src", "cat_dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = m.agg(F.sum("n").alias("tot"))
+    a = m.groupBy("cat_src").agg(F.sum("n").alias("na"))
+    b = m.groupBy("cat_dst").agg(F.sum("n").alias("nb"))
+    ab = (
+        a.join(b, a["cat_src"] == b["cat_dst"])
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("na") / F.col("tot")) * (F.col("nb") / F.col("tot"))
+            ).alias("s_ab")
+        )
+    )
+    tr = (
+        m.crossJoin(F.broadcast(tot))
+        .filter(F.col("cat_src") == F.col("cat_dst"))
+        .agg(F.sum(F.col("n") / F.col("tot")).alias("tr"))
+    )
+    r = (
+        tr.crossJoin(ab)
+        .select(
+            F.when(
+                F.col("s_ab") < 1.0,
+                (F.coalesce(F.col("tr"), F.lit(0.0)) - F.col("s_ab"))
+                / (1.0 - F.col("s_ab")),
+            ).alias("r")
+        )
+    )
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(r))
+        .select(
+            "cat_src", "cat_dst", "n",
+            F.round(F.col("n") / F.col("tot"), 6).alias("share"),
+            F.round("r", 6).alias("r"),
+        )
+    )

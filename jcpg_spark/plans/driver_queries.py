@@ -5267,6 +5267,48 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_kg_role_mixing(spark, sf_dir):
+    """Role-homophily audit of the CFG: the directed role->role mixing
+    matrix over flow.next plus Newman's attribute assortativity r —
+    "does conversation flow stay within a role". Exact integer matrix;
+    r from the share algebra, 6 dp."""
+    from jcpg_spark import schema as S
+
+    t = transcripts_from_events(spark, sf_dir)
+    cats = t.select(
+        S.turn_node(F.col("conv_id"), F.col("turn_idx")).alias("node"),
+        F.col("role").alias("cat"),
+    )
+    edges = flow.flow_next(t).select("src", "dst")
+    return graph_analytics.attribute_assortativity(edges, cats)
+
+
+SQL_KG_ROLE_MIXING = f"""
+WITH o AS ({_SQL_ORDERED}),
+cats AS (SELECT 't:' || conv_id || ':' || CAST(idx AS VARCHAR) AS node,
+                {_SQL_ROLE} AS cat
+         FROM o),
+e AS (SELECT src, dst FROM ({SQL_KG_FLOW_NEXT})),
+m AS (SELECT cs.cat AS cat_src, cd.cat AS cat_dst, count(*) AS n
+      FROM e JOIN cats cs ON cs.node = e.src
+             JOIN cats cd ON cd.node = e.dst
+      GROUP BY 1, 2),
+tot AS (SELECT sum(n) AS tot FROM m),
+a AS (SELECT cat_src AS cat, sum(n) AS na FROM m GROUP BY 1),
+b AS (SELECT cat_dst AS cat, sum(n) AS nb FROM m GROUP BY 1),
+sab AS (SELECT sum((CAST(na AS DOUBLE) / tot) * (CAST(nb AS DOUBLE) / tot)) AS s_ab
+        FROM a JOIN b USING (cat), tot),
+trc AS (SELECT coalesce(sum(CAST(n AS DOUBLE) / tot), 0) AS tr
+        FROM m, tot WHERE cat_src = cat_dst),
+rr AS (SELECT CASE WHEN s_ab < 1.0 THEN (tr - s_ab) / (1.0 - s_ab) END AS r
+       FROM trc, sab)
+SELECT cat_src, cat_dst, n,
+       round(CAST(n AS DOUBLE) / tot, 6) AS share,
+       round(r, 6) AS r
+FROM m, tot, rr
+"""
+
+
 def q_kg_butterflies(spark, sf_dir):
     """Per-entity butterfly (bipartite 4-cycle) counts over the same
     user-value incidence as kg_cooccur_lift — the bipartite motif
@@ -6221,4 +6263,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_growth_timeline": (q_kg_growth_timeline, SQL_KG_GROWTH_TIMELINE),
     # bipartite butterfly (4-cycle) census on the conv-entity incidence
     "kg_butterflies": (q_kg_butterflies, SQL_KG_BUTTERFLIES),
+    # role->role mixing matrix + Newman attribute assortativity
+    "kg_role_mixing": (q_kg_role_mixing, SQL_KG_ROLE_MIXING),
 }

@@ -1520,3 +1520,34 @@ def test_butterfly_counts_closed_form(spark):
     m3 = spark.createDataFrame(rows3, ["conv_id", "entity"])
     got3 = {r["entity"]: r["butterflies"] for r in butterfly_counts(m3).collect()}
     assert got3 == {1: 3, 2: 3}
+
+
+def test_attribute_assortativity_closed_form(spark):
+    """Perfect homophily gives r=1; perfect heterophily on a balanced
+    2-category bipartite flow gives r=-1; single-category graphs have
+    null r (vanishing denominator)."""
+    from jcpg_spark.operators.graph_analytics import attribute_assortativity
+
+    cats = spark.createDataFrame(
+        [("a1", "A"), ("a2", "A"), ("b1", "B"), ("b2", "B")], ["node", "cat"]
+    )
+    homo = spark.createDataFrame(
+        [("a1", "a2"), ("b1", "b2")], ["src", "dst"]
+    )
+    rows = attribute_assortativity(homo, cats).collect()
+    assert all(r["r"] == 1.0 for r in rows)
+    assert {(r["cat_src"], r["cat_dst"], r["n"]) for r in rows} == {
+        ("A", "A", 1), ("B", "B", 1)
+    }
+
+    hetero = spark.createDataFrame(
+        [("a1", "b1"), ("b2", "a2")], ["src", "dst"]
+    )
+    hrows = attribute_assortativity(hetero, cats).collect()
+    assert all(r["r"] == -1.0 for r in hrows)
+
+    mono = attribute_assortativity(
+        spark.createDataFrame([("a1", "a2")], ["src", "dst"]),
+        cats.filter(F.col("cat") == "A"),
+    ).collect()
+    assert all(r["r"] is None for r in mono)
