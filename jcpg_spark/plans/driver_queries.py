@@ -5267,6 +5267,53 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_kg_degree_powerlaw(spark, sf_dir):
+    """Degree-distribution audit of the co-mention graph: the discrete
+    power-law MLE alpha_hat = 1 + n / sum ln(d_i / (d_min - 1/2))
+    (Clauset-Shalizi-Newman continuous approximation, d_min = 2) plus
+    the tail size — THE number that says whether hub caps and skew
+    salting are load-bearing at the next scale-up. Degrees are exact
+    integers; one ln per tail vertex and one division, 6 dp."""
+    ev = _ev(spark, sf_dir)
+    mentions = ev.select(
+        F.col("user_id").alias("conv_id"),
+        F.round("value").cast("int").alias("entity"),
+    )
+    edges = graph_analytics.co_mention_edges(mentions, min_weight=2)
+    deg = (
+        edges.select(F.col("a").alias("v")).unionByName(edges.select(F.col("b").alias("v")))
+        .groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    )
+    tail = deg.filter(F.col("d") >= 2)
+    return tail.agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.max("d").alias("d_max"),
+        F.round(
+            1.0 + F.count(F.lit(1)) / F.sum(F.log(F.col("d") / F.lit(1.5))),
+            6,
+        ).alias("alpha_hat"),
+    )
+
+
+SQL_KG_DEGREE_POWERLAW = """
+WITH m AS (SELECT DISTINCT user_id AS conv_id,
+                  CAST(round(value) AS INT) AS entity
+           FROM events),
+small AS (SELECT conv_id FROM m GROUP BY conv_id HAVING count(*) <= 1000),
+mf AS (SELECT m.* FROM m JOIN small USING (conv_id)),
+w AS (SELECT a.entity AS a, b.entity AS b
+      FROM mf a JOIN mf b ON a.conv_id = b.conv_id AND a.entity < b.entity
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+deg AS (SELECT v, count(*) AS d
+        FROM (SELECT a AS v FROM w UNION ALL SELECT b FROM w)
+        GROUP BY v),
+tail AS (SELECT d FROM deg WHERE d >= 2)
+SELECT count(*) AS n_tail, max(d) AS d_max,
+       round(1.0 + count(*) / sum(ln(d / 1.5)), 6) AS alpha_hat
+FROM tail
+"""
+
+
 def q_kg_role_mixing(spark, sf_dir):
     """Role-homophily audit of the CFG: the directed role->role mixing
     matrix over flow.next plus Newman's attribute assortativity r —
@@ -6265,4 +6312,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_butterflies": (q_kg_butterflies, SQL_KG_BUTTERFLIES),
     # role->role mixing matrix + Newman attribute assortativity
     "kg_role_mixing": (q_kg_role_mixing, SQL_KG_ROLE_MIXING),
+    # Clauset-Shalizi-Newman power-law alpha MLE over co-mention degrees
+    "kg_degree_powerlaw": (q_kg_degree_powerlaw, SQL_KG_DEGREE_POWERLAW),
 }
