@@ -2320,3 +2320,52 @@ def attribute_assortativity(
             F.round("r", 6).alias("r"),
         )
     )
+
+
+def densest_subgraph(
+    edges: DataFrame, epsilon: float = 0.1, max_iter: int = 60
+) -> tuple[DataFrame, float, int]:
+    """Densest subgraph by the Bahmani-Kumar-Vassilvitskii batched peel
+    (the MapReduce 2(1+eps)-approximation of Charikar's greedy): each
+    round removes EVERY vertex with degree <= 2(1+eps)*density, so the
+    loop terminates in O(log n / eps) rounds instead of the sequential
+    greedy's O(n) — the distributed-correct formulation. Returns
+    (vertices of the best prefix as (item,), best density |E|/|V|,
+    rounds). The spam/template core extractor: the densest co-mention
+    region is where coordinated content lives.
+
+    Driver coordination per round is one fused scalar job (edge count +
+    vertex count in a single aggregation over the adjacency) plus the
+    filtered-survivor semi-joins, lineage cut per round with a lazy
+    localCheckpoint — the same posture as ``kcore``/CC. Deterministic:
+    removal depends only on exact integer degrees.
+    """
+    e = edges.select("a", "b").filter(F.col("a") != F.col("b")).distinct()
+    e = e.localCheckpoint(eager=False)
+    best_set, best_rho = None, -1.0
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
+        adj = e.select(F.col("a").alias("s")).unionByName(e.select(F.col("b").alias("s")))
+        m2, n = adj.agg(F.count(F.lit(1)), F.count_distinct("s")).first()
+        if not n:
+            break
+        rho = (m2 / 2) / n
+        if rho > best_rho:
+            best_rho = rho
+            best_set = (
+                adj.select("s").distinct().localCheckpoint(eager=False)
+            )
+        thr = 2.0 * (1.0 + epsilon) * rho
+        deg = adj.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") > thr).select("s")
+        e = (
+            e.join(keep, e["a"] == keep["s"], "left_semi")
+            .join(keep.select(F.col("s").alias("t")), F.col("b") == F.col("t"), "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    out = (
+        best_set.select(F.col("s").alias("item"))
+        if best_set is not None
+        else e.sparkSession.createDataFrame([], "item string")
+    )
+    return out, (best_rho if best_rho >= 0 else 0.0), rounds

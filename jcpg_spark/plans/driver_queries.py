@@ -5267,6 +5267,22 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_kg_densest(spark, sf_dir):
+    """Densest-subgraph core of the co-mention graph (Bahmani batched
+    peel, eps=0.1) — where coordinated/template content concentrates.
+    Iterative best-prefix tracking has no single-statement SQL, so this
+    is rows-only; the python-twin equality and clique-extraction gates
+    live in tests/test_graph_analytics.py."""
+    ev = _ev(spark, sf_dir)
+    mentions = ev.select(
+        F.col("user_id").alias("conv_id"),
+        F.round("value").cast("int").alias("entity"),
+    )
+    edges = graph_analytics.co_mention_edges(mentions, min_weight=2)
+    out, rho, _rounds = graph_analytics.densest_subgraph(edges, epsilon=0.1)
+    return out.select("item", F.lit(round(rho, 6)).alias("density"))
+
+
 def q_kg_degree_powerlaw(spark, sf_dir):
     """Degree-distribution audit of the co-mention graph: the discrete
     power-law MLE alpha_hat = 1 + n / sum ln(d_i / (d_min - 1/2))
@@ -6314,4 +6330,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_role_mixing": (q_kg_role_mixing, SQL_KG_ROLE_MIXING),
     # Clauset-Shalizi-Newman power-law alpha MLE over co-mention degrees
     "kg_degree_powerlaw": (q_kg_degree_powerlaw, SQL_KG_DEGREE_POWERLAW),
+    # densest-subgraph core (Bahmani batched peel; python-twin gated)
+    "kg_densest": (q_kg_densest, None),
 }

@@ -1551,3 +1551,43 @@ def test_attribute_assortativity_closed_form(spark):
         cats.filter(F.col("cat") == "A"),
     ).collect()
     assert all(r["r"] is None for r in mono)
+
+
+def test_densest_subgraph_extracts_clique_and_matches_twin(spark):
+    """A 5-clique wired to a long path: the peel's best prefix is exactly
+    the clique (density 2.0 vs the global ~1.0); and on a mixed graph the
+    whole (set, density) output equals a pure-python run of the identical
+    batched-peel algorithm."""
+    from jcpg_spark.operators.graph_analytics import densest_subgraph
+
+    clique = [(f"k{i}", f"k{j}") for i in range(5) for j in range(i + 1, 5)]
+    path = [(f"p{i}", f"p{i+1}") for i in range(30)] + [("k0", "p0")]
+    e = spark.createDataFrame(clique + path, ["a", "b"])
+    out, rho, rounds = densest_subgraph(e, epsilon=0.05)
+    got = {r["item"] for r in out.collect()}
+    assert got == {f"k{i}" for i in range(5)}
+    assert abs(rho - 2.0) < 1e-9 and rounds >= 2
+
+    def twin(pairs, eps):
+        es = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+        best, best_rho = set(), -1.0
+        while es:
+            vs = {v for p in es for v in p}
+            rho = len(es) / len(vs)
+            if rho > best_rho:
+                best_rho, best = rho, set(vs)
+            thr = 2 * (1 + eps) * rho
+            deg = {}
+            for x, y in es:
+                deg[x] = deg.get(x, 0) + 1
+                deg[y] = deg.get(y, 0) + 1
+            keep = {v for v, d in deg.items() if d > thr}
+            es = {p for p in es if p[0] in keep and p[1] in keep}
+        return best, best_rho
+
+    mixed = clique + path + [(f"p{i}", f"p{i+3}") for i in range(0, 24, 2)]
+    want_set, want_rho = twin(mixed, 0.05)
+    e2 = spark.createDataFrame(mixed, ["a", "b"])
+    out2, rho2, _ = densest_subgraph(e2, epsilon=0.05)
+    assert {r["item"] for r in out2.collect()} == want_set
+    assert abs(rho2 - want_rho) < 1e-9
