@@ -429,3 +429,61 @@ def sequence_typicality(
         .groupBy("conv_id")
         .agg(F.avg("logp").alias("typicality"))
     )
+
+
+def burrows_delta(
+    docs: DataFrame, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Burrows' Delta stylometry: each document's mean absolute z-score
+    of its relative frequencies over the corpus's top-``k`` words — the
+    classic authorship/style distance, here against the corpus norm, so
+    high delta = stylistic outlier (different author, different
+    generator, bot register) even when every quality filter passes.
+
+    Pipeline: one explode pass -> per-doc word counts; the top-k word
+    list is a k-row TakeOrdered broadcast; the dense doc x top-word
+    frequency grid comes from a broadcast crossJoin + left join (zeros
+    where a doc lacks the word — REQUIRED: missing-as-zero is what makes
+    the mean/std well-defined); per-word mu/sigma from power sums over
+    the grid; delta is one more doc-keyed rollup. Everything data-scale
+    is keyed by doc; the word dimension is k. sigma==0 words (constant
+    across the corpus) are excluded from the mean.
+    """
+    from jcpg_spark.caching import swap_persist
+
+    w = docs.select("doc_id", F.explode(words(F.col(text_col))).alias("word"))
+    dw = swap_persist(
+        "burrows.dw", w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("n"))
+    )
+    dlen = dw.groupBy("doc_id").agg(F.sum("n").alias("len"))
+    topk = (
+        dw.groupBy("word").agg(F.sum("n").alias("cn"))
+        .orderBy(F.desc("cn"), F.asc("word"))
+        .limit(k)
+        .select("word")
+    )
+    grid = (
+        dlen.crossJoin(F.broadcast(topk))
+        .join(dw, ["doc_id", "word"], "left")
+        .select(
+            "doc_id", "word",
+            (F.coalesce(F.col("n"), F.lit(0)) / F.col("len")).alias("f"),
+        )
+    )
+    stats = grid.groupBy("word").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("f").alias("s1"),
+        F.sum(F.col("f") * F.col("f")).alias("s2"),
+    )
+    mu = F.col("s1") / F.col("nd")
+    var = (F.col("nd") * F.col("s2") - F.col("s1") * F.col("s1")) / (
+        F.col("nd") * (F.col("nd") - 1)
+    )
+    wstats = stats.select(
+        "word", mu.alias("mu"), F.sqrt(var).alias("sd")
+    ).filter(F.col("sd") > 0)
+    return (
+        grid.join(F.broadcast(wstats), "word")
+        .groupBy("doc_id")
+        .agg(F.avg(F.abs((F.col("f") - F.col("mu")) / F.col("sd"))).alias("delta"))
+    )

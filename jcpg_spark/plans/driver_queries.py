@@ -5267,6 +5267,36 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_doc_burrows_delta(spark, sf_dir):
+    """Burrows' Delta stylometric outlier score per document vs the
+    corpus norm (top-20 words). 6 dp pins the IEEE tail like pagerank."""
+    out = lm.burrows_delta(_docs(spark, sf_dir), k=20)
+    return out.select("doc_id", F.round("delta", 6).alias("delta"))
+
+
+SQL_DOC_BURROWS_DELTA = r"""
+WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+           FROM documents),
+dw AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2),
+dlen AS (SELECT doc_id, sum(n) AS len FROM dw GROUP BY 1),
+topk AS (SELECT word FROM (SELECT word, sum(n) AS cn FROM dw GROUP BY 1)
+         ORDER BY cn DESC, word LIMIT 20),
+grid AS (SELECT d.doc_id, t.word,
+                CAST(coalesce(dw.n, 0) AS DOUBLE) / d.len AS f
+         FROM dlen d CROSS JOIN topk t
+         LEFT JOIN dw ON dw.doc_id = d.doc_id AND dw.word = t.word),
+st AS (SELECT word, count(*) AS nd, sum(f) AS s1, sum(f * f) AS s2
+       FROM grid GROUP BY word),
+ws AS (SELECT word, s1 / nd AS mu,
+              sqrt((nd * s2 - s1 * s1) / (nd * (nd - 1))) AS sd
+       FROM st),
+wf AS (SELECT word, mu, sd FROM ws WHERE sd > 0)
+SELECT g.doc_id, round(avg(abs((g.f - wf.mu) / wf.sd)), 6) AS delta
+FROM grid g JOIN wf USING (word)
+GROUP BY g.doc_id
+"""
+
+
 def q_kg_densest(spark, sf_dir):
     """Densest-subgraph core of the co-mention graph (Bahmani batched
     peel, eps=0.1) — where coordinated/template content concentrates.
@@ -6332,4 +6362,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_degree_powerlaw": (q_kg_degree_powerlaw, SQL_KG_DEGREE_POWERLAW),
     # densest-subgraph core (Bahmani batched peel; python-twin gated)
     "kg_densest": (q_kg_densest, None),
+    # Burrows' Delta stylometric outlier score (top-20 word z-profile)
+    "doc_burrows_delta": (q_doc_burrows_delta, SQL_DOC_BURROWS_DELTA),
 }
