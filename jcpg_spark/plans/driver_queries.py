@@ -5267,6 +5267,51 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_text_lexical_diversity(spark, sf_dir):
+    """Per-document lexical-diversity triple: type-token ratio, hapax
+    share (fraction of words occurring once — low = template), and
+    Simpson repeat probability sum n_w(n_w-1)/(N(N-1)) (high = a few
+    words dominate). All from one word-count rollup; exact integers
+    until the three divisions, 6 dp."""
+    d = _docs(spark, sf_dir)
+    wc = (
+        d.select("doc_id", F.explode(words(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return wc.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.count(F.lit(1)) / F.sum("n"), 6).alias("ttr"),
+        F.round(
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)) / F.count(F.lit(1)), 6
+        ).alias("hapax_share"),
+        F.round(
+            F.when(
+                F.sum("n") >= 2,
+                F.sum(F.col("n") * (F.col("n") - 1))
+                / (F.sum("n") * (F.sum("n") - 1)),
+            ),
+            6,
+        ).alias("simpson"),
+    )
+
+
+SQL_TEXT_LEXICAL_DIVERSITY = r"""
+WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+           FROM documents),
+c AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2)
+SELECT doc_id,
+       sum(n) AS n_tokens,
+       count(*) AS n_types,
+       round(CAST(count(*) AS DOUBLE) / sum(n), 6) AS ttr,
+       round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS hapax_share,
+       round(CASE WHEN sum(n) >= 2
+                  THEN CAST(sum(n * (n - 1)) AS DOUBLE) / (sum(n) * (sum(n) - 1)) END, 6) AS simpson
+FROM c GROUP BY doc_id
+"""
+
+
 def q_doc_burrows_delta(spark, sf_dir):
     """Burrows' Delta stylometric outlier score per document vs the
     corpus norm (top-20 words). 6 dp pins the IEEE tail like pagerank."""
@@ -6364,4 +6409,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_densest": (q_kg_densest, None),
     # Burrows' Delta stylometric outlier score (top-20 word z-profile)
     "doc_burrows_delta": (q_doc_burrows_delta, SQL_DOC_BURROWS_DELTA),
+    # lexical diversity: TTR + hapax share + Simpson repeat probability
+    "text_lexical_diversity": (q_text_lexical_diversity, SQL_TEXT_LEXICAL_DIVERSITY),
 }
