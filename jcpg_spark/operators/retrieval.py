@@ -93,3 +93,42 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "score", "rank")
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document keyword extraction: the ``k`` highest tf-idf terms,
+    tfidf = n_dw * ln((N + 1) / (df_w + 1)) (the smoothed idf, so a
+    corpus-universal word scores ~0 instead of -inf) — the doc-level
+    twin of ``entity_salience``'s entity weighting, and the cheapest
+    honest auto-tagger for corpus cards and retrieval facets.
+
+    One explode + (doc, word) rollup at data scale; df and N are
+    word-vocabulary- and scalar-sized rollups of it; top-k is a window
+    on the doc key with the (score desc, word asc) deterministic
+    tie-break on the 6-dp-pinned score (the bm25 convention).
+    """
+    from jcpg_spark.functions.text import words as _words
+
+    w = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(_words(F.col(text_col))).alias("word")
+    )
+    dw = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("n"))
+    dfw = dw.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.col(id_col)).distinct().count()
+    scored = dw.join(dfw, "word").select(
+        "doc_id", "word",
+        F.round(
+            F.col("n") * F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)), 6
+        ).alias("tfidf"),
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "word", "tfidf", "rank")
+    )

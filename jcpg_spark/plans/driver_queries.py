@@ -5267,6 +5267,32 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_doc_keywords(spark, sf_dir):
+    """Top-5 tf-idf keywords per document (smoothed idf, deterministic
+    word tie-break on the 6 dp score) — the auto-tagger for corpus
+    cards and retrieval facets."""
+    from jcpg_spark.operators import retrieval
+
+    return retrieval.tfidf_keywords(_docs(spark, sf_dir), k=5)
+
+
+SQL_DOC_KEYWORDS = r"""
+WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+           FROM documents),
+dw AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2),
+dfw AS (SELECT word, count(*) AS df FROM dw GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+sc AS (SELECT dw.doc_id, dw.word,
+              round(dw.n * ln(CAST(n_docs + 1 AS DOUBLE) / (dfw.df + 1)), 6) AS tfidf
+       FROM dw JOIN dfw USING (word), nd),
+r AS (SELECT doc_id, word, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, word) AS rank
+      FROM sc)
+SELECT doc_id, word, tfidf, rank FROM r WHERE rank <= 5
+"""
+
+
 def q_text_lexical_diversity(spark, sf_dir):
     """Per-document lexical-diversity triple: type-token ratio, hapax
     share (fraction of words occurring once — low = template), and
@@ -6411,4 +6437,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "doc_burrows_delta": (q_doc_burrows_delta, SQL_DOC_BURROWS_DELTA),
     # lexical diversity: TTR + hapax share + Simpson repeat probability
     "text_lexical_diversity": (q_text_lexical_diversity, SQL_TEXT_LEXICAL_DIVERSITY),
+    # per-document tf-idf keyword extraction (smoothed idf, top-5)
+    "doc_keywords": (q_doc_keywords, SQL_DOC_KEYWORDS),
 }
