@@ -5267,6 +5267,36 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_corpus_dup_rates(spark, sf_dir):
+    """Dataset-card duplication rates per source: docs, distinct
+    normalized texts (the dedup_exact key), and the dup rate — the
+    provenance-level number that decides which feeds get the aggressive
+    dedup settings. One hash-agg over (source, norm)."""
+    d = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return (
+        d.select("source", norm.alias("norm"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("norm").alias("n_unique"),
+            F.round(
+                1.0 - F.count_distinct("norm") / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
+SQL_CORPUS_DUP_RATES = r"""
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS n_unique,
+       round(1.0 - CAST(count(DISTINCT regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS DOUBLE)
+                 / count(*), 6) AS dup_rate
+FROM documents GROUP BY source
+"""
+
+
 def q_doc_keywords(spark, sf_dir):
     """Top-5 tf-idf keywords per document (smoothed idf, deterministic
     word tie-break on the 6 dp score) — the auto-tagger for corpus
@@ -6439,4 +6469,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "text_lexical_diversity": (q_text_lexical_diversity, SQL_TEXT_LEXICAL_DIVERSITY),
     # per-document tf-idf keyword extraction (smoothed idf, top-5)
     "doc_keywords": (q_doc_keywords, SQL_DOC_KEYWORDS),
+    # dataset-card duplication rates per source (dedup_exact key)
+    "corpus_dup_rates": (q_corpus_dup_rates, SQL_CORPUS_DUP_RATES),
 }
