@@ -29,6 +29,11 @@ from jcpg_spark.io import compaction_plan
 from jcpg_spark.operators.bpe import pair_counts as bpe_pair_counts, train as bpe_train
 from jcpg_spark.operators.curation import (
     corpus_build,
+    k_anonymity_audit,
+    k_anonymize,
+    log_odds_drift,
+    sft_pairs,
+    weighted_sample_topk,
     corpus_profile_approx,
     zipf_fit,
     curation_decision,
@@ -36,14 +41,26 @@ from jcpg_spark.operators.curation import (
 )
 from jcpg_spark.operators.lm import (
     bigram_lm_scores,
+    burrows_delta,
+    kn_bigram_scores,
+    sequence_transitions,
+    sequence_typicality,
     ccnet_buckets,
     dsir_weights,
     ppmi_weights,
     skipgram_counts,
 )
-from jcpg_spark.operators.linking import fuzzy_link, interval_join, link_asof
+from jcpg_spark.operators.linking import (
+    alias_priors,
+    fuzzy_link,
+    interval_join,
+    link_asof,
+    refresh_dictionary,
+)
 from jcpg_spark.operators.query import (
     ask,
+    predicate_stats,
+    reorder_patterns,
     construct,
     describe,
     match_pattern,
@@ -51,13 +68,15 @@ from jcpg_spark.operators.query import (
     union_patterns,
     update_graph,
 )
-from jcpg_spark.operators.reasoning import owl_entail, rdfs_entail, shacl_validate
-from jcpg_spark.operators.retrieval import bm25_topk
+from jcpg_spark.operators.reasoning import ifp_same_as, owl_entail, rdfs_entail, shacl_validate
+from jcpg_spark.operators.retrieval import bm25_topk, tfidf_keywords
+from jcpg_spark.operators.flow import interarrival_stats, topic_segments
 from jcpg_spark.operators.structural import conversation_audit
-from jcpg_spark.operators.subgraph import graph_diff, induced_subgraph
+from jcpg_spark.operators.subgraph import graph_asof, graph_diff, induced_subgraph
 from jcpg_spark.operators.decontaminate import corpus_overlap
 from jcpg_spark.operators.dedup import (
     boilerplate_spans,
+    containment_pairs,
     boilerplate_texts,
     decontaminate,
     duplicate_spans,
@@ -77,6 +96,10 @@ from jcpg_spark.operators.similarity import (
 )
 from jcpg_spark.operators.graph_analytics import (
     harmonic_centrality,
+    attribute_assortativity,
+    butterfly_counts,
+    densest_subgraph,
+    triad_census,
     link_predict_scores,
     bfs_distances,
     modularity,
@@ -115,6 +138,29 @@ from jcpg_spark.plans.materialize import (
 )
 
 __all__ = [
+    "alias_priors",
+    "attribute_assortativity",
+    "burrows_delta",
+    "butterfly_counts",
+    "containment_pairs",
+    "densest_subgraph",
+    "graph_asof",
+    "ifp_same_as",
+    "interarrival_stats",
+    "k_anonymity_audit",
+    "k_anonymize",
+    "kn_bigram_scores",
+    "log_odds_drift",
+    "predicate_stats",
+    "refresh_dictionary",
+    "reorder_patterns",
+    "sequence_transitions",
+    "sequence_typicality",
+    "sft_pairs",
+    "tfidf_keywords",
+    "topic_segments",
+    "triad_census",
+    "weighted_sample_topk",
     "get_spark",
     "build_graph",
     "resolve_functional",
