@@ -491,3 +491,75 @@ def reify_qualified(edges: DataFrame) -> DataFrame:
         "conv_id",
     )
     return plain.unionByName(quads)
+
+
+def _json_esc(col):
+    """JSON string-literal escaping for the id/pred vocabulary: backslash
+    first, then quote (the only two that occur in IRIs this KG emits —
+    control characters cannot appear in its content-keyed ids)."""
+    return F.regexp_replace(
+        F.regexp_replace(col, r"\\", r"\\\\"), '"', r"\\\""
+    )
+
+
+def jsonld_per_conversation(edges: DataFrame) -> DataFrame:
+    """-> (conv_id, jsonld): one compacted JSON-LD document per
+    conversation — ``@context`` maps the default vocabulary to the
+    ``urn:jcpg:pred:`` namespace, ``@graph`` lists each subject node
+    with its predicates as keys and ``{"@id": ...}`` object arrays
+    (var qualifiers ride the predicate key as a ``#<var>`` fragment,
+    the N-Quads convention, with literal '#' in a predicate
+    %23-encoded so it cannot alias into a qualifier). Everything is
+    SORTED (objects per predicate, predicates per node, nodes per
+    graph), so the document is byte-deterministic under any
+    partitioning — same grammar discipline as the DOT/GML/GraphML/
+    N-Quads sinks, hand-assembled so the exact-string oracle mirrors
+    it clause by clause.
+
+    Three conversation-co-partitioned aggregations (object lists,
+    predicate maps, node lists) — one exchange chain keyed by conv_id.
+    """
+    e = edges.filter(F.col("conv_id").isNotNull())
+    pred_term = F.regexp_replace(_json_esc(F.col("pred")), "#", "%23")
+    pred_key = F.concat(
+        pred_term,
+        F.when(
+            F.col("var").isNotNull(), F.concat(F.lit("#"), _json_esc(F.col("var")))
+        ).otherwise(F.lit("")),
+    ) if "var" in e.columns else pred_term
+    d1 = (
+        e.select("conv_id", "src", pred_key.alias("pk"), "dst")
+        .groupBy("conv_id", "src", "pk")
+        .agg(F.sort_array(F.collect_list("dst")).alias("ds"))
+    )
+    prop = F.concat(
+        F.lit('"'), F.col("pk"), F.lit('":['),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("ds"),
+                lambda x: F.concat(F.lit('{"@id":"urn:jcpg:'), _json_esc(x), F.lit('"}')),
+            ),
+        ),
+        F.lit("]"),
+    )
+    nodes = (
+        d1.select("conv_id", "src", prop.alias("prop"))
+        .groupBy("conv_id", "src")
+        .agg(
+            F.concat(
+                F.lit('{"@id":"urn:jcpg:'), _json_esc(F.first("src")), F.lit('",'),
+                F.concat_ws(",", F.sort_array(F.collect_list("prop"))),
+                F.lit("}"),
+            ).alias("node")
+        )
+    )
+    return nodes.groupBy("conv_id").agg(
+        F.concat(
+            F.lit('{"@context":{"@vocab":"urn:jcpg:pred:"},"@id":"urn:jcpg:conv:'),
+            _json_esc(F.first("conv_id")),
+            F.lit('","@graph":['),
+            F.concat_ws(",", F.sort_array(F.collect_list("node"))),
+            F.lit("]}"),
+        ).alias("jsonld")
+    )

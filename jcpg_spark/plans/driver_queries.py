@@ -5267,6 +5267,59 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_kg_export_jsonld(spark, sf_dir):
+    """JSON-LD export sink over the CFG+ICFG union — the sixth
+    serialization in the sink family (DOT/GML/GraphML/JSONL/N-Quads),
+    byte-deterministic via triple-level sorting, exact-string oracle
+    assembled clause-by-clause like the others."""
+    from jcpg_spark import export
+
+    t = transcripts_from_events(spark, sf_dir)
+    edges = (
+        flow.flow_next(t).select(
+            "src", "pred", "dst", F.lit(None).cast("string").alias("var"), "conv_id"
+        )
+        .unionByName(calls.call_triples(t).select("src", "pred", "dst", "var", "conv_id"))
+        .unionByName(calls.return_triples(t).select("src", "pred", "dst", "var", "conv_id"))
+    )
+    return export.jsonld_per_conversation(edges)
+
+
+_SQL_JESC_SRC = """replace(replace({c}, chr(92), chr(92) || chr(92)), '"', chr(92) || '"')"""
+
+
+def _jesc(c: str) -> str:
+    return _SQL_JESC_SRC.format(c=c)
+
+
+SQL_KG_EXPORT_JSONLD = (
+    "WITH cr AS (SELECT src, pred, dst, var, conv_id FROM ("
+    + SQL_KG_CALL_RETURN
+    + ")),\nfl AS (SELECT src, pred, dst, CAST(NULL AS VARCHAR) AS var, conv_id FROM ("
+    + SQL_KG_FLOW_NEXT
+    + ")),\ne AS (SELECT * FROM cr UNION ALL SELECT * FROM fl),\n"
+    + "pkt AS (SELECT conv_id, src, dst,\n"
+    + "              replace(" + _jesc("pred") + ", '#', '%23')\n"
+    + "              || CASE WHEN var IS NOT NULL THEN '#' || " + _jesc("var")
+    + " ELSE '' END AS pk\n"
+    + "       FROM e),\n"
+    + "props AS (SELECT conv_id, src, pk,\n"
+    + "                 '\"' || pk || '\":[' || string_agg('{\"@id\":\"urn:jcpg:' || "
+    + _jesc("dst")
+    + " || '\"}', ',' ORDER BY dst) || ']' AS prop\n"
+    + "          FROM pkt GROUP BY conv_id, src, pk),\n"
+    + "nodes AS (SELECT conv_id,\n"
+    + "                 '{\"@id\":\"urn:jcpg:' || " + _jesc("src")
+    + " || '\",' || string_agg(prop, ',' ORDER BY prop) || '}' AS node\n"
+    + "          FROM props GROUP BY conv_id, src)\n"
+    + "SELECT conv_id,\n"
+    + "       '{\"@context\":{\"@vocab\":\"urn:jcpg:pred:\"},\"@id\":\"urn:jcpg:conv:'\n"
+    + "       || " + _jesc("conv_id")
+    + " || '\",\"@graph\":[' || string_agg(node, ',' ORDER BY node) || ']}' AS jsonld\n"
+    + "FROM nodes GROUP BY conv_id"
+)
+
+
 def q_corpus_dup_rates(spark, sf_dir):
     """Dataset-card duplication rates per source: docs, distinct
     normalized texts (the dedup_exact key), and the dup rate — the
@@ -6471,4 +6524,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "doc_keywords": (q_doc_keywords, SQL_DOC_KEYWORDS),
     # dataset-card duplication rates per source (dedup_exact key)
     "corpus_dup_rates": (q_corpus_dup_rates, SQL_CORPUS_DUP_RATES),
+    # JSON-LD export sink (sixth serialization; exact-string oracle)
+    "kg_export_jsonld": (q_kg_export_jsonld, SQL_KG_EXPORT_JSONLD),
 }

@@ -325,3 +325,29 @@ def test_reify_qualified_roundtrip(spark):
     # determinism: a second run emits the identical stmt id
     again = {g[0] for g in reify_qualified(edges).collect() if g[0].startswith("stmt:")}
     assert again == {stmts[0][0]}
+
+
+def test_jsonld_parses_and_escapes(spark):
+    """The JSON-LD document is valid JSON with the @context/@graph shape;
+    hostile quotes/backslashes in ids and a '#' in a predicate escape
+    without aliasing into a qualifier; qualifiers ride the pred key."""
+    import json
+
+    from jcpg_spark.export import jsonld_per_conversation
+
+    rows = [
+        ('t:"q":0', "flow.next", "t:c:1", None, "c"),
+        ("t:c:1", "we#ird", "t:c:2", None, "c"),
+        ("t:c:0", "call", "tool:db", "db", "c"),
+        ("t:c:0", "call", "tool:s\\ash", "db", "c"),
+    ]
+    e = spark.createDataFrame(rows, ["src", "pred", "dst", "var", "conv_id"])
+    doc = jsonld_per_conversation(e).first()["jsonld"]
+    parsed = json.loads(doc)
+    assert parsed["@context"] == {"@vocab": "urn:jcpg:pred:"}
+    assert parsed["@id"] == "urn:jcpg:conv:c"
+    by_id = {n["@id"]: n for n in parsed["@graph"]}
+    assert 'urn:jcpg:t:"q":0' in by_id
+    assert by_id["urn:jcpg:t:c:1"]["we%23ird"] == [{"@id": "urn:jcpg:t:c:2"}]
+    call = by_id["urn:jcpg:t:c:0"]["call#db"]
+    assert {o["@id"] for o in call} == {"urn:jcpg:tool:db", "urn:jcpg:tool:s\\ash"}
