@@ -2369,3 +2369,58 @@ def densest_subgraph(
         else e.sparkSession.createDataFrame([], "item string")
     )
     return out, (best_rho if best_rho >= 0 else 0.0), rounds
+
+
+def shortest_path_trace(
+    edges: DataFrame, sources: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """-> (item, dist, path): multi-source BFS distances PLUS one
+    concrete witness path per reached vertex — the "HOW is this entity
+    connected to the seed set" explanation the bare distance can't give
+    (provenance for link-prediction hits, contamination traces,
+    escalation chains). ``path`` is the array [seed-side ... item].
+
+    Deterministic witness: each vertex's parent is the MINIMUM neighbor
+    in the previous BFS layer (min over strings — the same total-order
+    tie-break every ranked operator here uses), so the trace is unique,
+    partitioning-invariant, and exactly mirrorable in SQL. Built ON the
+    ``bfs_distances`` layering: one adjacency-meets-layer join computes
+    parents, then ``max_hops`` parent-chain joins (bounded unroll)
+    extend the path arrays — no driver loop over data, lineage bounded
+    by the hop budget.
+    """
+    dist = bfs_distances(edges, sources, max_hops=max_hops)
+    e = edges.select("a", "b")
+    adj = e.select(F.col("a").alias("s"), F.col("b").alias("t")).unionByName(
+        e.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    du = dist.select(F.col("item").alias("s"), F.col("dist").alias("ds"))
+    dv = dist.select(F.col("item").alias("t"), F.col("dist").alias("dt"))
+    parent = (
+        adj.join(du, "s").join(dv, "t")
+        .filter(F.col("dt") == F.col("ds") + 1)
+        .groupBy("t")
+        .agg(F.min("s").alias("par"))
+        .select(F.col("t").alias("item"), "par")
+    )
+    cur = dist.join(parent, "item", "left").select(
+        "item", "dist",
+        F.array(F.col("item")).alias("path"),
+        F.col("par").alias("head"),
+    )
+    for _ in range(max_hops):
+        pstep = parent.select(
+            F.col("item").alias("head"), F.col("par").alias("nhead")
+        )
+        cur = (
+            cur.join(pstep, "head", "left")
+            .select(
+                "item", "dist",
+                F.when(
+                    F.col("head").isNotNull(),
+                    F.concat(F.array(F.col("head")), F.col("path")),
+                ).otherwise(F.col("path")).alias("path"),
+                F.col("nhead").alias("head"),
+            )
+        )
+    return cur.select("item", "dist", "path")

@@ -5267,6 +5267,57 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_kg_path_trace(spark, sf_dir):
+    """BFS distances + one deterministic witness path per reached vertex
+    (min-parent tie-break) from the smallest co-mention vertex — the
+    provenance trace for "how is this entity connected". Path serialized
+    as a '->' string (the long-form convention: the comparator hashes
+    scalars, not arrays)."""
+    edges = _comention_edges(spark, sf_dir, min_weight=2)
+    src = edges.agg(F.min("a").alias("v"))
+    out = graph_analytics.shortest_path_trace(edges, src, max_hops=3)
+    return out.select(
+        "item", "dist",
+        F.concat_ws("->", F.transform("path", lambda x: x.cast("string"))).alias("path"),
+    )
+
+
+SQL_KG_PATH_TRACE = f"""
+WITH e AS ({_SQL_COMENTION}),
+adj AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+h0 AS (SELECT min(a) AS v, 0 AS d FROM e),
+h1 AS (SELECT DISTINCT t AS v, 1 AS d FROM adj WHERE s IN (SELECT v FROM h0)),
+h2 AS (SELECT DISTINCT t AS v, 2 AS d FROM adj WHERE s IN (SELECT v FROM h1)),
+h3 AS (SELECT DISTINCT t AS v, 3 AS d FROM adj WHERE s IN (SELECT v FROM h2)),
+dist AS (SELECT v AS item, CAST(min(d) AS INT) AS dist
+         FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1
+               UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3)
+         GROUP BY v),
+par AS (SELECT adj.t AS item, min(adj.s) AS par
+        FROM adj JOIN dist du ON du.item = adj.s
+                 JOIN dist dv ON dv.item = adj.t
+        WHERE dv.dist = du.dist + 1
+        GROUP BY adj.t),
+p0 AS (SELECT d.item, d.dist, [d.item] AS path, p.par AS head
+       FROM dist d LEFT JOIN par p ON p.item = d.item),
+p1 AS (SELECT p0.item, p0.dist,
+              CASE WHEN p0.head IS NOT NULL THEN [p0.head] || p0.path ELSE p0.path END AS path,
+              pr.par AS head
+       FROM p0 LEFT JOIN par pr ON pr.item = p0.head),
+p2 AS (SELECT p1.item, p1.dist,
+              CASE WHEN p1.head IS NOT NULL THEN [p1.head] || p1.path ELSE p1.path END AS path,
+              pr.par AS head
+       FROM p1 LEFT JOIN par pr ON pr.item = p1.head),
+p3 AS (SELECT p2.item, p2.dist,
+              CASE WHEN p2.head IS NOT NULL THEN [p2.head] || p2.path ELSE p2.path END AS path,
+              pr.par AS head
+       FROM p2 LEFT JOIN par pr ON pr.item = p2.head)
+SELECT item, dist,
+       array_to_string(list_transform(path, x -> CAST(x AS VARCHAR)), '->') AS path
+FROM p3
+"""
+
+
 def q_kg_export_jsonld(spark, sf_dir):
     """JSON-LD export sink over the CFG+ICFG union — the sixth
     serialization in the sink family (DOT/GML/GraphML/JSONL/N-Quads),
@@ -6526,4 +6577,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "corpus_dup_rates": (q_corpus_dup_rates, SQL_CORPUS_DUP_RATES),
     # JSON-LD export sink (sixth serialization; exact-string oracle)
     "kg_export_jsonld": (q_kg_export_jsonld, SQL_KG_EXPORT_JSONLD),
+    # BFS witness-path traces (min-parent deterministic reconstruction)
+    "kg_path_trace": (q_kg_path_trace, SQL_KG_PATH_TRACE),
 }

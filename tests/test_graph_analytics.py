@@ -1591,3 +1591,26 @@ def test_densest_subgraph_extracts_clique_and_matches_twin(spark):
     out2, rho2, _ = densest_subgraph(e2, epsilon=0.05)
     assert {r["item"] for r in out2.collect()} == want_set
     assert abs(rho2 - want_rho) < 1e-9
+
+
+def test_shortest_path_trace_witness_and_tiebreak(spark):
+    """Every reached vertex gets exactly one path, the path walks BFS
+    layers back to the seed, and equal-distance parents resolve to the
+    MINIMUM parent deterministically."""
+    from jcpg_spark.operators.graph_analytics import shortest_path_trace
+
+    # diamond: s-a, s-b, a-x, b-x (x has two dist-1 parents: a and b)
+    edges = spark.createDataFrame(
+        [("s", "a"), ("s", "b"), ("a", "x"), ("b", "x"), ("x", "y")],
+        ["a", "b"],
+    )
+    src = spark.createDataFrame([("s",)], ["v"])
+    got = {r["item"]: (r["dist"], r["path"]) for r in
+           shortest_path_trace(edges, src, max_hops=3).collect()}
+    assert got["s"] == (0, ["s"])
+    assert got["a"] == (1, ["s", "a"])
+    assert got["x"] == (2, ["s", "a", "x"])       # min parent 'a' beats 'b'
+    assert got["y"] == (3, ["s", "a", "x", "y"])
+    # path consistency: each path's last element is the item, first the seed
+    for item, (dist, path) in got.items():
+        assert path[-1] == item and path[0] == "s" and len(path) == dist + 1
