@@ -5267,6 +5267,39 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_kg_conv_digests(spark, sf_dir):
+    """Per-conversation triple-set digests over the CFG+ICFG union — the
+    lineage primitive for incremental verification (diff two snapshots'
+    digest tables to name exactly the changed conversations)."""
+    from jcpg_spark import metrics
+
+    t = transcripts_from_events(spark, sf_dir)
+    edges = (
+        flow.flow_next(t).select(
+            "src", "pred", "dst", F.lit(None).cast("string").alias("var"), "conv_id"
+        )
+        .unionByName(calls.call_triples(t).select("src", "pred", "dst", "var", "conv_id"))
+        .unionByName(calls.return_triples(t).select("src", "pred", "dst", "var", "conv_id"))
+    )
+    return metrics.conversation_digests(edges)
+
+
+SQL_KG_CONV_DIGESTS = (
+    "WITH cr AS (SELECT src, pred, dst, var, conv_id FROM ("
+    + SQL_KG_CALL_RETURN
+    + ")),\nfl AS (SELECT src, pred, dst, CAST(NULL AS VARCHAR) AS var, conv_id FROM ("
+    + SQL_KG_FLOW_NEXT
+    + ")),\ne AS (SELECT * FROM cr UNION ALL SELECT * FROM fl),\n"
+    + "lines AS (SELECT conv_id,\n"
+    + "                 src || chr(31) || pred || chr(31) || dst || chr(31)\n"
+    + "                 || coalesce(var, chr(0)) AS line\n"
+    + "          FROM e WHERE conv_id IS NOT NULL)\n"
+    + "SELECT conv_id, count(*) AS n_triples,\n"
+    + "       md5(string_agg(line, chr(10) ORDER BY line)) AS digest\n"
+    + "FROM lines GROUP BY conv_id"
+)
+
+
 def q_kg_path_trace(spark, sf_dir):
     """BFS distances + one deterministic witness path per reached vertex
     (min-parent tie-break) from the smallest co-mention vertex — the
@@ -6579,4 +6612,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_export_jsonld": (q_kg_export_jsonld, SQL_KG_EXPORT_JSONLD),
     # BFS witness-path traces (min-parent deterministic reconstruction)
     "kg_path_trace": (q_kg_path_trace, SQL_KG_PATH_TRACE),
+    # per-conversation lineage digests (incremental verification)
+    "kg_conv_digests": (q_kg_conv_digests, SQL_KG_CONV_DIGESTS),
 }
