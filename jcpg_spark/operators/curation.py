@@ -534,3 +534,51 @@ def weighted_sample_topk(
     return out.select(
         *[c for c in docs.columns], F.round("_key", 6).alias("es_key")
     )
+
+
+def ks_statistic(
+    docs: DataFrame,
+    value_col: str,
+    group_a: str,
+    group_col: str = "source",
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between group A
+    (``group_col == group_a``) and the rest, over a DISCRETE/binned
+    score column: D = max_x |F_A(x) - F_B(x)|, with the argmax value
+    (min on ties) — the distribution-level drift test complementing
+    ``log_odds_drift``'s per-word contrast (run it on length, LM score
+    buckets, quality tiers between snapshots or feeds).
+
+    Scale shape: one (value)-keyed hash-agg with the A/B split as
+    conditional sums, then the cumulative window runs over the VALUE
+    vocabulary, not the rows — which is why the contract demands a
+    discrete/binned column (bin continuous scores first; a raw
+    continuous column would make the window data-sized). CDFs are exact
+    integer ratios; D and its location are deterministic.
+    """
+    is_a = (F.col(group_col) == F.lit(group_a)).cast("long")
+    c = (
+        docs.select(F.col(value_col).alias("x"), is_a.alias("ia"))
+        .groupBy("x")
+        .agg(
+            F.sum("ia").alias("na_x"),
+            F.sum(F.lit(1) - F.col("ia")).alias("nb_x"),
+        )
+    )
+    tot = c.agg(F.sum("na_x").alias("n_a"), F.sum("nb_x").alias("n_b"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        c.crossJoin(F.broadcast(tot))
+        .withColumn("ca", F.sum("na_x").over(w))
+        .withColumn("cb", F.sum("nb_x").over(w))
+        .withColumn(
+            "gap",
+            F.abs(F.col("ca") / F.col("n_a") - F.col("cb") / F.col("n_b")),
+        )
+    )
+    return cum.agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.round(F.max("gap"), 6).alias("ks"),
+        F.min_by("x", F.struct((-F.col("gap")).alias("g"), F.col("x"))).alias("at_value"),
+    )

@@ -5267,6 +5267,32 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_doc_ks_drift(spark, sf_dir):
+    """Two-sample KS drift test: src0's n_chars distribution vs the rest
+    of the corpus — D, its location, and both sample sizes. Exact
+    integer CDF ratios over the discrete value vocabulary."""
+    return curation.ks_statistic(_docs(spark, sf_dir), "n_chars", group_a="src0")
+
+
+SQL_DOC_KS_DRIFT = """
+WITH c AS (SELECT n_chars AS x,
+                  sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS na_x,
+                  sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS nb_x
+           FROM documents GROUP BY n_chars),
+t AS (SELECT sum(na_x) AS n_a, sum(nb_x) AS n_b FROM c),
+cum AS (SELECT x,
+               sum(na_x) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+               sum(nb_x) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+        FROM c),
+g AS (SELECT x, abs(CAST(ca AS DOUBLE) / n_a - CAST(cb AS DOUBLE) / n_b) AS gap
+      FROM cum, t)
+SELECT t.n_a, t.n_b,
+       (SELECT round(max(gap), 6) FROM g) AS ks,
+       (SELECT x FROM g ORDER BY gap DESC, x LIMIT 1) AS at_value
+FROM t
+"""
+
+
 def q_kg_conv_digests(spark, sf_dir):
     """Per-conversation triple-set digests over the CFG+ICFG union — the
     lineage primitive for incremental verification (diff two snapshots'
@@ -6614,4 +6640,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_path_trace": (q_kg_path_trace, SQL_KG_PATH_TRACE),
     # per-conversation lineage digests (incremental verification)
     "kg_conv_digests": (q_kg_conv_digests, SQL_KG_CONV_DIGESTS),
+    # two-sample Kolmogorov-Smirnov drift test over a discrete score
+    "doc_ks_drift": (q_doc_ks_drift, SQL_DOC_KS_DRIFT),
 }

@@ -930,3 +930,22 @@ def test_weighted_sample_topk_aes_semantics(spark):
     again = [(r["doc_id"], r["lang"], r["es_key"])
              for r in weighted_sample_topk(docs, k=2, weight_col="w", group_col="lang").collect()]
     assert sorted(again) == sorted(got)
+
+
+def test_ks_statistic_closed_form(spark):
+    """Hand-computed D on discrete samples: A = {1,2,3}, B = {3,4,5,6}
+    -> CDF gaps 1/3 (x=1), 2/3 (x=2), 3/4 (x=3, the max), ...; identical
+    distributions give D = 0."""
+    from jcpg_spark.operators.curation import ks_statistic
+
+    rows = [(1, "A"), (2, "A"), (3, "A"), (3, "B"), (4, "B"), (5, "B"), (6, "B")]
+    d = spark.createDataFrame(rows, ["n", "grp"])
+    r = ks_statistic(d, "n", group_a="A", group_col="grp").first()
+    assert (r["n_a"], r["n_b"]) == (3, 4)
+    assert r["ks"] == 0.75 and r["at_value"] == 3
+
+    same = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (1, "B"), (2, "B")], ["n", "grp"]
+    )
+    r2 = ks_statistic(same, "n", group_a="A", group_col="grp").first()
+    assert r2["ks"] == 0.0 and r2["at_value"] == 1
