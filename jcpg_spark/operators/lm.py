@@ -487,3 +487,55 @@ def burrows_delta(
         .groupBy("doc_id")
         .agg(F.avg(F.abs((F.col("f") - F.col("mu")) / F.col("sd"))).alias("delta"))
     )
+
+
+def absorbing_expected_steps(
+    transitions: DataFrame, absorbing: str
+) -> DataFrame:
+    """Expected number of steps to reach the ``absorbing`` category from
+    each transient category under the first-order model — the classic
+    absorbing-Markov-chain fundamental-matrix solve, turning
+    ``sequence_transitions`` into a forward-looking risk number
+    ("expected turns until first error from a purchase state").
+
+    The transition matrix is category-vocabulary-sized by construction
+    (K x K for K event types/roles), so collecting it to the driver and
+    solving (I - Q) t = 1 with numpy is the bounded-collect pattern the
+    k-means/dictionary operators use — nothing data-scale leaves the
+    cluster. Rows whose transition mass cannot reach the absorbing
+    state get t = null (infinite expectation) via the standard
+    reachability pre-check instead of a misleading huge number.
+    """
+    import numpy as np
+
+    rows = transitions.select("cat", "nxt", "p").collect()
+    cats = sorted({r["cat"] for r in rows} | {r["nxt"] for r in rows})
+    if absorbing not in cats:
+        raise ValueError(f"absorbing state {absorbing!r} not in the model")
+    trans = [c for c in cats if c != absorbing]
+    idx = {c: i for i, c in enumerate(trans)}
+    p = {(r["cat"], r["nxt"]): r["p"] for r in rows}
+    # reachability of the absorbing state through the transition graph
+    reach, frontier = {absorbing}, {absorbing}
+    while frontier:
+        frontier = {
+            a for (a, b) in p if b in reach and a not in reach
+        }
+        reach |= frontier
+    q = np.zeros((len(trans), len(trans)))
+    for (a, b), v in p.items():
+        if a != absorbing and b != absorbing:
+            q[idx[a], idx[b]] = v
+    t = np.full(len(trans), np.nan)
+    solvable = [i for c, i in idx.items() if c in reach]
+    if solvable:
+        sub = np.ix_(solvable, solvable)
+        t_sub = np.linalg.solve(np.eye(len(solvable)) - q[sub], np.ones(len(solvable)))
+        for j, i in enumerate(solvable):
+            t[i] = t_sub[j]
+    spark = transitions.sparkSession
+    out = [
+        (c, None if np.isnan(t[idx[c]]) else round(float(t[idx[c]]), 6))
+        for c in trans
+    ]
+    return spark.createDataFrame(out, "cat string, expected_steps double")

@@ -5267,6 +5267,17 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_kg_steps_to_failure(spark, sf_dir):
+    """Expected turns until the first error event from each event-type
+    state, under the corpus's own transition model — the absorbing-chain
+    fundamental-matrix solve on the K x K (vocabulary-sized) matrix.
+    Rows-only: a matrix inverse has no single-statement SQL; the
+    closed-form solve is pinned in tests/test_curation.py."""
+    t = transcripts_from_events(spark, sf_dir)
+    tr = lm.sequence_transitions(t, F.split(F.col("text"), " ").getItem(1))
+    return lm.absorbing_expected_steps(tr, "error")
+
+
 def q_doc_ks_drift(spark, sf_dir):
     """Two-sample KS drift test: src0's n_chars distribution vs the rest
     of the corpus — D, its location, and both sample sizes. Exact
@@ -6642,4 +6653,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_conv_digests": (q_kg_conv_digests, SQL_KG_CONV_DIGESTS),
     # two-sample Kolmogorov-Smirnov drift test over a discrete score
     "doc_ks_drift": (q_doc_ks_drift, SQL_DOC_KS_DRIFT),
+    # absorbing-chain expected turns-to-failure (K x K driver solve)
+    "kg_steps_to_failure": (q_kg_steps_to_failure, None),
 }

@@ -949,3 +949,21 @@ def test_ks_statistic_closed_form(spark):
     )
     r2 = ks_statistic(same, "n", group_a="A", group_col="grp").first()
     assert r2["ks"] == 0.0 and r2["at_value"] == 1
+
+
+def test_absorbing_expected_steps_closed_form(spark):
+    """Hand-solved chain: a->b (1.0), b->error (0.5), b->a (0.5) gives
+    t_b = 3, t_a = 4; a state with no path to the absorber gets null."""
+    from jcpg_spark.operators.lm import absorbing_expected_steps
+
+    rows = [
+        ("a", "b", 2, 2, 1.0),
+        ("b", "error", 1, 2, 0.5),
+        ("b", "a", 1, 2, 0.5),
+        ("z", "z", 1, 1, 1.0),          # closed: never reaches error
+    ]
+    tr = spark.createDataFrame(rows, ["cat", "nxt", "n", "n_cat", "p"])
+    got = {r["cat"]: r["expected_steps"]
+           for r in absorbing_expected_steps(tr, "error").collect()}
+    assert got["a"] == 4.0 and got["b"] == 3.0
+    assert got["z"] is None
