@@ -5267,6 +5267,80 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_kg_conv_entropy(spark, sf_dir):
+    """Shannon entropy of each conversation's event-type distribution —
+    behavioral diversity (near 0 = single-action bots, high = varied
+    sessions). Exact integer counts into one ln per (conv, type)."""
+    t = transcripts_from_events(spark, sf_dir)
+    c = (
+        t.select("conv_id", F.split(F.col("text"), " ").getItem(1).alias("cat"))
+        .groupBy("conv_id", "cat")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = c.groupBy("conv_id").agg(F.sum("n").alias("nt"))
+    return (
+        c.join(tot, "conv_id")
+        .groupBy("conv_id")
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("n") / F.col("nt")) * F.log(F.col("n") / F.col("nt"))
+                ),
+                6,
+            ).alias("entropy"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+    )
+
+
+SQL_KG_CONV_ENTROPY = f"""
+WITH o AS ({_SQL_ORDERED}),
+c AS (SELECT conv_id, event_type AS cat, count(*) AS n FROM o GROUP BY 1, 2),
+t AS (SELECT conv_id, sum(n) AS nt FROM c GROUP BY 1)
+SELECT c.conv_id,
+       round(-sum((CAST(n AS DOUBLE) / nt) * ln(CAST(n AS DOUBLE) / nt)), 6) AS entropy,
+       count(*) AS n_types
+FROM c JOIN t ON t.conv_id = c.conv_id
+GROUP BY c.conv_id
+"""
+
+
+def q_kg_mention_gini(spark, sf_dir):
+    """Gini coefficient of entity-mention concentration — the corpus
+    inequality audit ("do a few entities absorb all the mentions"),
+    G = (2 * sum i*x_i) / (n * sum x) - (n + 1) / n over ascending-rank
+    mention counts. The rank window runs over the entity VOCABULARY.
+    Deterministic rank tie-break on the entity id."""
+    ev = _ev(spark, sf_dir)
+    cnt = (
+        ev.select(F.round("value").cast("int").alias("entity"))
+        .groupBy("entity")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = Window.orderBy(F.asc("x"), F.asc("entity"))
+    r = cnt.withColumn("i", F.row_number().over(w))
+    return r.agg(
+        F.count(F.lit(1)).alias("n_entities"),
+        F.sum("x").alias("n_mentions"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (F.count(F.lit(1)) * F.sum("x"))
+            - (F.count(F.lit(1)) + 1) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
+SQL_KG_MENTION_GINI = """
+WITH c AS (SELECT CAST(round(value) AS INT) AS entity, count(*) AS x
+           FROM events GROUP BY 1),
+r AS (SELECT x, row_number() OVER (ORDER BY x, entity) AS i FROM c)
+SELECT count(*) AS n_entities, sum(x) AS n_mentions,
+       round(2.0 * sum(i * x) / (count(*) * sum(x))
+             - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
+FROM r
+"""
+
+
 def q_kg_steps_to_failure(spark, sf_dir):
     """Expected turns until the first error event from each event-type
     state, under the corpus's own transition model — the absorbing-chain
@@ -6655,4 +6729,7 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "doc_ks_drift": (q_doc_ks_drift, SQL_DOC_KS_DRIFT),
     # absorbing-chain expected turns-to-failure (K x K driver solve)
     "kg_steps_to_failure": (q_kg_steps_to_failure, None),
+    # behavioral entropy per conversation + mention-concentration Gini
+    "kg_conv_entropy": (q_kg_conv_entropy, SQL_KG_CONV_ENTROPY),
+    "kg_mention_gini": (q_kg_mention_gini, SQL_KG_MENTION_GINI),
 }
