@@ -5982,17 +5982,21 @@ FROM dirs WHERE containment >= 0.5
 
 def q_kg_triad_census(spark, sf_dir):
     """Holland-Leinhardt connected-triad census over the directed
-    CFG+ICFG union (flow.next + call + return): the micro-structure
-    signature of the interaction graph. Exact mirror: the oracle runs
-    the same wedge + dedup + pair-bit algorithm with the 64-entry
-    classification VALUES table."""
+    CFG+ICFG union (flow.next + call + return). max_degree=64 caps
+    WEDGE CENTERS: the two global tool nodes are adjacent to every call
+    site corpus-wide, so an uncapped census is quadratic in corpus size
+    around them (timed: >10 min at sf0.1 uncapped, seconds capped) —
+    hubs still count as wedge leaves, so per-conversation structure is
+    untouched. Exact mirror: the oracle runs the same capped wedge +
+    dedup + pair-bit algorithm with the 64-entry classification
+    VALUES table."""
     t = transcripts_from_events(spark, sf_dir)
     edges = (
         flow.flow_next(t).select("src", "dst")
         .unionByName(calls.call_triples(t).select("src", "dst"))
         .unionByName(calls.return_triples(t).select("src", "dst"))
     )
-    return graph_analytics.triad_census(edges)
+    return graph_analytics.triad_census(edges, max_degree=64)
 
 
 _TRIAD_VALUES = ", ".join(
@@ -6007,8 +6011,10 @@ e AS (SELECT DISTINCT src, dst
 su AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v,
               sum(CASE WHEN src < dst THEN 1 ELSE 2 END) AS b
        FROM e GROUP BY 1, 2),
-incid AS (SELECT u AS node, v AS other FROM su
-          UNION ALL SELECT v, u FROM su),
+incid0 AS (SELECT u AS node, v AS other FROM su
+           UNION ALL SELECT v, u FROM su),
+ok AS (SELECT node FROM incid0 GROUP BY node HAVING count(*) <= 64),
+incid AS (SELECT incid0.* FROM incid0 JOIN ok USING (node)),
 w AS (SELECT a.node AS c0, a.other AS n1, b.other AS n2
       FROM incid a JOIN incid b ON a.node = b.node AND a.other < b.other),
 tr AS (SELECT DISTINCT l[1] AS x, l[2] AS y, l[3] AS z
