@@ -5267,6 +5267,102 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_kg_tool_reliability(spark, sf_dir):
+    """Per-tool reliability scorecard from the ICFG layers: calls,
+    failed runs (THROWS), failure rate, and mean seconds between
+    failures — the ops rollup a tool-routing policy consumes. Exact
+    integer counts + epoch-second arithmetic; MTBF null under two
+    failures."""
+    from jcpg_spark import schema as S
+
+    t = transcripts_from_events(spark, sf_dir)
+    calls_df = calls.call_triples(t).select(F.col("var").alias("tool"))
+    th = calls.throw_triples(t, failure_rx=r"^event error").select(
+        F.col("var").alias("tool")
+    )
+    fail_ts = (
+        calls.throw_triples(t, failure_rx=r"^event error")
+        .join(
+            t.select(
+                S.turn_node(F.col("conv_id"), F.col("turn_idx")).alias("src"),
+                F.unix_timestamp("ts").alias("es"),
+            ),
+            "src",
+        )
+        .select(F.col("var").alias("tool"), "es")
+    )
+    nc = calls_df.groupBy("tool").agg(F.count(F.lit(1)).alias("n_calls"))
+    nf = fail_ts.groupBy("tool").agg(
+        F.count(F.lit(1)).alias("n_failures"),
+        F.min("es").alias("t0"),
+        F.max("es").alias("t1"),
+    )
+    return (
+        nc.join(nf, "tool", "left")
+        .select(
+            "tool",
+            "n_calls",
+            F.coalesce("n_failures", F.lit(0)).alias("n_failures"),
+            F.round(
+                F.coalesce(F.col("n_failures"), F.lit(0)) / F.col("n_calls"), 6
+            ).alias("failure_rate"),
+            F.round(
+                F.when(
+                    F.col("n_failures") >= 2,
+                    (F.col("t1") - F.col("t0")) / (F.col("n_failures") - 1),
+                ),
+                6,
+            ).alias("mtbf_sec"),
+        )
+    )
+
+
+def _sql_throws_tool() -> str:
+    # THROWS rows joined back to their failing tool + turn epoch: the
+    # failing turn is a tool-role turn whose run's call site was a
+    # tool-invoking assistant turn (same forward-fill as the call/return
+    # oracle); every tool turn in the events adapter is an error event.
+    return f"""
+  SELECT f.callee_tool AS tool, CAST(floor(epoch(f.ts)) AS BIGINT) AS es
+  FROM (
+    WITH o AS ({_SQL_ORDERED}),
+    r AS (SELECT conv_id, idx, ts, {_SQL_ROLE} AS role, {_SQL_TOOL} AS tool FROM o),
+    x AS (SELECT conv_id, idx, ts, role, tool,
+                 lag(role) OVER (PARTITION BY conv_id ORDER BY idx) AS prole,
+                 lag(tool) OVER (PARTITION BY conv_id ORDER BY idx) AS ptool
+          FROM r),
+    m AS (SELECT conv_id, idx, ts, role,
+                 CASE WHEN role = 'tool' AND (prole IS NULL OR prole <> 'tool')
+                      THEN CASE WHEN prole = 'assistant' AND ptool IS NOT NULL
+                                THEN ptool ELSE '~' END END AS run_tool
+          FROM x),
+    ff AS (SELECT conv_id, idx, ts, role,
+                  last_value(run_tool IGNORE NULLS) OVER
+                    (PARTITION BY conv_id ORDER BY idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS callee_tool
+           FROM m)
+    SELECT * FROM ff WHERE role = 'tool' AND callee_tool IS NOT NULL AND callee_tool <> '~'
+  ) f
+"""
+
+
+SQL_KG_TOOL_RELIABILITY = f"""
+WITH o AS ({_SQL_ORDERED}),
+c AS (SELECT {_SQL_TOOL} AS tool FROM o
+      WHERE {_SQL_ROLE} = 'assistant' AND {_SQL_TOOL} IS NOT NULL),
+nc AS (SELECT tool, count(*) AS n_calls FROM c GROUP BY tool),
+fails AS ({_sql_throws_tool()}),
+nf AS (SELECT tool, count(*) AS n_failures, min(es) AS t0, max(es) AS t1
+       FROM fails GROUP BY tool)
+SELECT nc.tool, nc.n_calls,
+       coalesce(nf.n_failures, 0) AS n_failures,
+       round(CAST(coalesce(nf.n_failures, 0) AS DOUBLE) / nc.n_calls, 6) AS failure_rate,
+       round(CASE WHEN nf.n_failures >= 2
+                  THEN CAST(nf.t1 - nf.t0 AS DOUBLE) / (nf.n_failures - 1) END, 6) AS mtbf_sec
+FROM nc LEFT JOIN nf ON nf.tool = nc.tool
+"""
+
+
 def q_kg_conv_entropy(spark, sf_dir):
     """Shannon entropy of each conversation's event-type distribution —
     behavioral diversity (near 0 = single-action bots, high = varied
@@ -6738,4 +6834,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     # behavioral entropy per conversation + mention-concentration Gini
     "kg_conv_entropy": (q_kg_conv_entropy, SQL_KG_CONV_ENTROPY),
     "kg_mention_gini": (q_kg_mention_gini, SQL_KG_MENTION_GINI),
+    # per-tool reliability scorecard (calls, THROWS, failure rate, MTBF)
+    "kg_tool_reliability": (q_kg_tool_reliability, SQL_KG_TOOL_RELIABILITY),
 }
