@@ -5267,6 +5267,55 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_kg_value_outliers(spark, sf_dir):
+    """Robust outlier audit of event values per type: median, MAD, and
+    the count of modified-z outliers (|0.6745*(x-med)/mad| > 3.5, the
+    Iglewicz-Hoaglin rule) — the robust screen that survives the heavy
+    tails that wreck mean/std rules. Medians of doubles are exact order
+    statistics (plus one midpoint average), engine-identical."""
+    ev = _ev(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(med, "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"), F.median("ad").alias("mad")
+    )
+    z = (
+        ev.join(mad, "event_type")
+        .select(
+            "event_type", "med", "mad",
+            F.when(
+                F.col("mad") > 0,
+                F.abs(0.6745 * (F.col("value") - F.col("med")) / F.col("mad")),
+            ).alias("mz"),
+        )
+    )
+    return z.groupBy("event_type").agg(
+        F.round(F.first("med"), 6).alias("med"),
+        F.round(F.first("mad"), 6).alias("mad"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("mz") > 3.5, 1).otherwise(0)).alias("n_outliers"),
+    )
+
+
+SQL_KG_VALUE_OUTLIERS = """
+WITH med AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+dev AS (SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+        FROM events e JOIN med m USING (event_type)),
+mad AS (SELECT event_type, any_value(med) AS med, median(ad) AS mad
+        FROM dev GROUP BY event_type),
+z AS (SELECT e.event_type, m.med, m.mad,
+             CASE WHEN m.mad > 0
+                  THEN abs(0.6745 * (e.value - m.med) / m.mad) END AS mz
+      FROM events e JOIN mad m USING (event_type))
+SELECT event_type, round(any_value(med), 6) AS med, round(any_value(mad), 6) AS mad,
+       count(*) AS n,
+       sum(CASE WHEN mz > 3.5 THEN 1 ELSE 0 END) AS n_outliers
+FROM z GROUP BY event_type
+"""
+
+
 def q_kg_tool_reliability(spark, sf_dir):
     """Per-tool reliability scorecard from the ICFG layers: calls,
     failed runs (THROWS), failure rate, and mean seconds between
@@ -6836,4 +6885,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_mention_gini": (q_kg_mention_gini, SQL_KG_MENTION_GINI),
     # per-tool reliability scorecard (calls, THROWS, failure rate, MTBF)
     "kg_tool_reliability": (q_kg_tool_reliability, SQL_KG_TOOL_RELIABILITY),
+    # robust MAD modified-z outlier audit of event values per type
+    "kg_value_outliers": (q_kg_value_outliers, SQL_KG_VALUE_OUTLIERS),
 }
