@@ -5267,6 +5267,53 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_kg_daily_cusum(spark, sf_dir):
+    """CUSUM changepoint screen on the daily event-ingest series: the
+    running cumulative deviation from the global daily mean, its
+    extremes, and the argmax |S_t| day — where the level shifted, the
+    monitoring companion of kg_growth_timeline. The window runs over
+    DAYS (calendar-sized); the global mean is an exact integer ratio."""
+    ev = _ev(spark, sf_dir)
+    daily = (
+        ev.select(F.floor(F.unix_timestamp("ts") / 86400).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = daily.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    s = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn("dev", F.col("n") - F.col("total") / F.col("n_days"))
+        .withColumn("cusum", F.sum("dev").over(w))
+    )
+    return s.agg(
+        F.first("n_days").alias("n_days"),
+        F.round(F.max("cusum"), 6).alias("s_max"),
+        F.round(F.min("cusum"), 6).alias("s_min"),
+        F.min_by("day", F.struct((-F.abs(F.col("cusum"))).alias("a"), F.col("day"))).alias(
+            "changepoint_day"
+        ),
+    )
+
+
+SQL_KG_DAILY_CUSUM = """
+WITH daily AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, count(*) AS n
+               FROM events GROUP BY 1),
+t AS (SELECT sum(n) AS total, count(*) AS n_days FROM daily),
+s AS (SELECT day,
+             sum(n - CAST(total AS DOUBLE) / n_days)
+               OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+      FROM daily, t)
+SELECT (SELECT n_days FROM t) AS n_days,
+       round(max(cusum), 6) AS s_max,
+       round(min(cusum), 6) AS s_min,
+       (SELECT day FROM s ORDER BY abs(cusum) DESC, day LIMIT 1) AS changepoint_day
+FROM s
+"""
+
+
 def q_kg_value_outliers(spark, sf_dir):
     """Robust outlier audit of event values per type: median, MAD, and
     the count of modified-z outliers (|0.6745*(x-med)/mad| > 3.5, the
@@ -6887,4 +6934,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_tool_reliability": (q_kg_tool_reliability, SQL_KG_TOOL_RELIABILITY),
     # robust MAD modified-z outlier audit of event values per type
     "kg_value_outliers": (q_kg_value_outliers, SQL_KG_VALUE_OUTLIERS),
+    # CUSUM level-shift screen on the daily ingest series
+    "kg_daily_cusum": (q_kg_daily_cusum, SQL_KG_DAILY_CUSUM),
 }
