@@ -5267,6 +5267,50 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_kg_coverage_curve(spark, sf_dir):
+    """Head-coverage curve of entity mentions: the fraction of all
+    mentions absorbed by the top-k entities at k in {1, 5, 10, 25, 50}
+    — the concentration profile behind the Gini scalar, and the number
+    that sizes entity-dictionary caches and hot-key salting. Rank
+    window over the entity vocabulary, deterministic tie-break."""
+    ev = _ev(spark, sf_dir)
+    cnt = (
+        ev.select(F.round("value").cast("int").alias("entity"))
+        .groupBy("entity")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = Window.orderBy(F.desc("x"), F.asc("entity")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = cnt.withColumn("cum", F.sum("x").over(w)).withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("x"), F.asc("entity")))
+    )
+    tot = cnt.agg(F.sum("x").alias("total"))
+    ks = spark.createDataFrame([(1,), (5,), (10,), (25,), (50,)], ["k"])
+    at_k = r.join(ks, r["rk"] == ks["k"]).crossJoin(F.broadcast(tot))
+    return at_k.select(
+        "k",
+        F.col("cum").alias("mentions_covered"),
+        F.round(F.col("cum") / F.col("total"), 6).alias("coverage"),
+    )
+
+
+SQL_KG_COVERAGE_CURVE = """
+WITH c AS (SELECT CAST(round(value) AS INT) AS entity, count(*) AS x
+           FROM events GROUP BY 1),
+r AS (SELECT x,
+             sum(x) OVER (ORDER BY x DESC, entity
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             row_number() OVER (ORDER BY x DESC, entity) AS rk
+      FROM c),
+t AS (SELECT sum(x) AS total FROM c),
+ks(k) AS (VALUES (1), (5), (10), (25), (50))
+SELECT ks.k, r.cum AS mentions_covered,
+       round(CAST(r.cum AS DOUBLE) / t.total, 6) AS coverage
+FROM r JOIN ks ON r.rk = ks.k, t
+"""
+
+
 def q_kg_daily_cusum(spark, sf_dir):
     """CUSUM changepoint screen on the daily event-ingest series: the
     running cumulative deviation from the global daily mean, its
@@ -6936,4 +6980,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_value_outliers": (q_kg_value_outliers, SQL_KG_VALUE_OUTLIERS),
     # CUSUM level-shift screen on the daily ingest series
     "kg_daily_cusum": (q_kg_daily_cusum, SQL_KG_DAILY_CUSUM),
+    # head-coverage curve (top-k mention share; sizes caches and salting)
+    "kg_coverage_curve": (q_kg_coverage_curve, SQL_KG_COVERAGE_CURVE),
 }
