@@ -5267,6 +5267,51 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
 }
 
+def q_kg_alias_ambiguity(spark, sf_dir):
+    """Ambiguity audit of the mined alias dictionary: surfaces grouped
+    by sense count, with the mean entropy of their P(entity | surface)
+    distributions — how much disambiguation work the linker actually
+    faces (monosemous surfaces are free; high-entropy heads are where
+    context scoring earns its keep). Rollup of alias_priors; exact
+    integer counts + one ln per (surface, sense)."""
+    from jcpg_spark.operators import linking
+
+    d = _docs(spark, sf_dir)
+    obs = d.select(
+        F.explode(words(F.col("text"))).alias("surface"),
+        F.col("lang").alias("entity"),
+    )
+    pri = linking.alias_priors(obs, min_count=1)
+    ent = pri.groupBy("surface").agg(
+        F.count(F.lit(1)).alias("n_senses"),
+        (
+            -F.sum(
+                (F.col("n") / F.col("n_surface"))
+                * F.log(F.col("n") / F.col("n_surface"))
+            )
+        ).alias("h"),
+    )
+    return ent.groupBy("n_senses").agg(
+        F.count(F.lit(1)).alias("n_surfaces"),
+        F.round(F.avg("h"), 6).alias("mean_entropy"),
+    )
+
+
+SQL_KG_ALIAS_AMBIGUITY = r"""
+WITH obs AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS surface,
+                    lang AS entity
+             FROM documents),
+c AS (SELECT surface, entity, count(*) AS n FROM obs GROUP BY 1, 2),
+t AS (SELECT surface, sum(n) AS n_surface FROM c GROUP BY 1),
+e AS (SELECT c.surface, count(*) AS n_senses,
+             -sum((CAST(n AS DOUBLE) / n_surface) * ln(CAST(n AS DOUBLE) / n_surface)) AS h
+      FROM c JOIN t ON t.surface = c.surface
+      GROUP BY c.surface)
+SELECT n_senses, count(*) AS n_surfaces, round(avg(h), 6) AS mean_entropy
+FROM e GROUP BY n_senses
+"""
+
+
 def q_kg_coverage_curve(spark, sf_dir):
     """Head-coverage curve of entity mentions: the fraction of all
     mentions absorbed by the top-k entities at k in {1, 5, 10, 25, 50}
@@ -6982,4 +7027,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_daily_cusum": (q_kg_daily_cusum, SQL_KG_DAILY_CUSUM),
     # head-coverage curve (top-k mention share; sizes caches and salting)
     "kg_coverage_curve": (q_kg_coverage_curve, SQL_KG_COVERAGE_CURVE),
+    # alias-ambiguity audit (sense counts + P(e|m) entropy rollup)
+    "kg_alias_ambiguity": (q_kg_alias_ambiguity, SQL_KG_ALIAS_AMBIGUITY),
 }
