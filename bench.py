@@ -95,6 +95,22 @@ BW_REL_MAX = float(os.environ.get("SPARK_GRAFT_BW_REL_MAX", "1.25"))
 # calibrated at 0.0769 vs history's 0.0552-0.0605); such a calibration is
 # excluded from the floor so it cannot raise the gate.
 CALIB_REL_MAX = float(os.environ.get("SPARK_GRAFT_CALIB_REL_MAX", "1.12"))
+# Common-mode pair certification (v5): when a level cannot certify a single
+# run by probe/bw (session-wide pressure inflating EVERY window alike — the
+# driver's r4 session: six local[1] runs probing 0.062-0.066 vs floor
+# 0.0455, walls +7.6..+17.8% over anchor), the RATIO can still be certified:
+# efficiency = (wall_lo/wall_hi)/(hi/lo), and multiplicative pressure common
+# to both windows cancels in the ratio. Certify the pair of completed,
+# steal-clean runs (one per level) whose wall excesses vs the committed
+# clean anchors agree within PAIR_MATCH_MAX — the gap bounds the residual
+# ratio distortion directly (r4's best pair: lo +7.6% / hi +6.8%, gap 0.8%,
+# ratio distortion <1%). Both excesses must stay under
+# COMMON_MODE_EXCESS_MAX: the multiplicative-common-mode model is only
+# credible for moderate pressure; a +50% window is burst-shaped, not
+# session-shaped. Steal remains a hard per-run gate (measured in-window).
+PAIR_MATCH_MAX = float(os.environ.get("SPARK_GRAFT_PAIR_MATCH_MAX", "0.04"))
+COMMON_MODE_EXCESS_MAX = float(
+    os.environ.get("SPARK_GRAFT_COMMON_MODE_EXCESS_MAX", "0.25"))
 # Wall-corroborated certification (v4.4): a COMPLETED run whose wall sits
 # within this fraction of the committed clean wall anchor is certified even
 # if its probe/bw readings are flagged — contamination only ever SLOWS a
@@ -273,6 +289,43 @@ def classify_run(noise: dict, wall_excess: float | None, floor: float,
         return None, (f"probe/bw flagged ({why}) but wall sits "
                       f"{wall_excess:+.1%} vs the committed clean anchor")
     return why, None
+
+
+def common_mode_pair(runs_lo: list[dict], runs_hi: list[dict],
+                     wall_anchor: dict | None, scale_lo: int,
+                     scale_hi: int) -> tuple[dict, dict, float] | None:
+    """Matched-excess pair (v5, see PAIR_MATCH_MAX): the completed,
+    steal-clean (lo, hi) pair whose wall excesses vs the committed clean
+    anchors agree most closely, if that gap is within PAIR_MATCH_MAX and
+    both excesses stay under COMMON_MODE_EXCESS_MAX. Session-wide
+    multiplicative pressure inflates both walls alike and cancels in the
+    ratio; the gap bounds the residual distortion."""
+    if wall_anchor is None:
+        return None
+    found = None
+    found_key = None
+    for rl in runs_lo:
+        dl = wall_vs_hist(rl, scale_lo, wall_anchor)
+        sl = rl["noise"].get("steal_frac")
+        if dl is None or dl > COMMON_MODE_EXCESS_MAX or sl is None or sl > STEAL_MAX:
+            continue
+        for rh in runs_hi:
+            dh = wall_vs_hist(rh, scale_hi, wall_anchor)
+            sh = rh["noise"].get("steal_frac")
+            if dh is None or dh > COMMON_MODE_EXCESS_MAX or sh is None or sh > STEAL_MAX:
+                continue
+            gap = round(abs(dl - dh), 3)
+            if gap > PAIR_MATCH_MAX:
+                continue
+            # among qualifying pairs prefer the LEAST-INFLATED one, then the
+            # tightest gap: contamination is one-sided, so lower excess means
+            # both walls sit closer to their clean values and the ratio
+            # leans less on the common-mode model (gap-first would pick a
+            # +13.4%/+13.6% pair over a +7.6%/+6.8% one).
+            key = (round(max(dl, dh), 3), gap)
+            if found is None or key < found_key:
+                found, found_key = (rl, rh, gap), key
+    return found
 
 
 def log(*a):
@@ -485,6 +538,7 @@ def main() -> None:
     t_meas = time.time()  # budget clock starts after synthesis
 
     attempts = 0
+    level_hist: list[int] = []  # every attempted level, aborts included
     # 2x guard: hard stop even when a level still has zero completed runs
     # (a blackout of consecutive RUN_TIMEOUT kills must not run unbounded —
     # an incomplete scaling record beats a driver-killed process with none)
@@ -532,13 +586,38 @@ def main() -> None:
                 level = SCALE_LO if n_lo <= n_hi else SCALE_HI
         else:
             level = SCALE_LO if n_lo <= n_hi else SCALE_HI
+        # Interleave (v5, r4 verdict task 2): when the resampler locks onto
+        # one stuck level (r4: six consecutive lo attempts, none certifiable
+        # under session-wide pressure), the OTHER level stops sampling the
+        # ambient window and the common-mode pair gets stale. After 3
+        # consecutive attempts at the same level, spend one attempt on the
+        # other level so both levels track the same host conditions — that
+        # is what makes matched-excess pairs (and a late clean window at
+        # BOTH levels) possible.
+        other = SCALE_HI if level == SCALE_LO else SCALE_LO
+        if (len(level_hist) >= 3 and all(l == level for l in level_hist[-3:])
+                and runs[level]):
+            level = other
+        level_hist.append(level)
         # the budget is soft for the must-haves: each level needs at least
         # one recorded run or best()/the report have nothing to stand on.
         # HI resamples get a grace window past the budget — they are ~3x
         # cheaper and the cheapest way to lift a just-under-target ratio
         # (r4 first run: 0.797 recorded, budget exhausted at second 983).
         if runs[SCALE_LO] and runs[SCALE_HI]:
-            allowance = BENCH_BUDGET + (BENCH_HI_GRACE if level == SCALE_HI else 0)
+            # grace past the budget: hi resamples (cheap, numerator of the
+            # ratio) and — v5 — the level that has NOT certified while the
+            # other already has (that one run decides whether the basis is
+            # certified or fallback; r4 ended its budget with hi certified
+            # and lo six-for-six flagged).
+            uncertified_needy = (
+                not clean(level)
+                and len(clean(SCALE_HI if level == SCALE_LO else SCALE_LO))
+                >= MIN_CLEAN
+            )
+            allowance = BENCH_BUDGET + (
+                BENCH_HI_GRACE if level == SCALE_HI or uncertified_needy else 0
+            )
             if time.time() - t_meas >= allowance:
                 break
             if time.time() - T_START >= TOTAL_GUARD:
@@ -565,19 +644,40 @@ def main() -> None:
                 f" -> {'DISCARD: ' + r['contaminated'] if r['contaminated'] else 'clean'}"
             )
 
+    pair_gap = None
+    basis_note = None
     if runs[SCALE_LO] and runs[SCALE_HI]:
         lo, hi = best(SCALE_LO), best(SCALE_HI)
         efficiency = round(current_eff(), 3)
         if not lo.get("contaminated") and not hi.get("contaminated"):
             eff_basis = "certified-minima"
             if lo.get("wall_corroborated") or hi.get("wall_corroborated"):
-                eff_basis += (
-                    " (wall-corroborated: probe/bw flagged but the wall sits "
-                    "within the v4.4 bound of the committed clean anchor)"
-                )
+                eff_basis = "certified-minima-wall-corroborated"
+                basis_note = ("probe/bw flagged on a level but its wall sits "
+                              "within the v4.4 bound of the committed clean "
+                              "anchor")
         else:
-            eff_basis = ("fallback-fastest-overall (no window certified at "
-                         "one or both levels; see minima_vs_hist/context)")
+            pair = common_mode_pair(
+                runs[SCALE_LO], runs[SCALE_HI], wall_anchor,
+                SCALE_LO, SCALE_HI)
+            if pair is not None:
+                lo, hi, pair_gap = pair
+                efficiency = round(
+                    (hi["triples_per_sec"] / lo["triples_per_sec"])
+                    / (SCALE_HI / SCALE_LO), 3)
+                eff_basis = "certified-common-mode-pair"
+                basis_note = (
+                    f"no single window certified at one/both levels; the "
+                    f"recorded pair's wall excesses vs the committed clean "
+                    f"anchors agree within {pair_gap:.1%}, so session-wide "
+                    f"multiplicative pressure cancels in the lo/hi ratio — "
+                    f"residual distortion is bounded by the gap (protocol "
+                    f"v5, BENCH/BASELINE.md)")
+            else:
+                eff_basis = "fallback-fastest-overall"
+                basis_note = ("no window certified at one or both levels and "
+                              "no matched-excess pair exists; see "
+                              "minima_vs_hist/context")
     else:
         # blackout fallback: a level never completed a run (every attempt
         # timed out under gross contamination). Record what exists instead
@@ -587,7 +687,8 @@ def main() -> None:
         lo = best(SCALE_LO) if runs[SCALE_LO] else blank
         hi = best(SCALE_HI) if runs[SCALE_HI] else blank
         efficiency = None
-        eff_basis = "blackout (a level never completed a run)"
+        eff_basis = "blackout"
+        basis_note = "a level never completed a run"
     run_log = [
         {
             "cpus": c,
@@ -772,6 +873,8 @@ def main() -> None:
             f"local{SCALE_HI}_wall_sec": hi["wall_sec"],
             "scaling_efficiency": efficiency,
             "efficiency_basis": eff_basis,
+            **({"basis_note": basis_note} if basis_note else {}),
+            **({"pair_match_gap": pair_gap} if pair_gap is not None else {}),
             # the efficiency the committed best-ever noise-certified walls
             # imply for this exact input and pair geometry — the cross-
             # session corroboration to read NEXT TO a fallback-basis record
@@ -804,7 +907,56 @@ def main() -> None:
     }
 
     write_bench_md(result, SCALE_LO, SCALE_HI, CPUS)
-    print(json.dumps(result))
+    print(compact_line(result, SCALE_LO, SCALE_HI))
+
+
+def compact_line(result: dict, scale_lo: int, scale_hi: int) -> str:
+    """The single stdout line, hard-capped under 2 KB.
+
+    The driver captures only a ~4 KB TAIL of stdout: BENCH_r04.json recorded
+    ``parsed: null`` because the r4 line carried per-query noise dicts and
+    the full run log (4.6-6.2 KB), so the line's head — including "metric"
+    and "scaling_efficiency" — fell off the front of the capture. The full
+    record (runs, query_noise, gates, protocol prose) lives in
+    .bench/history.jsonl (write_bench_md); stdout gets only the graded
+    fields. tests/test_hostnoise.py pins the <2048 invariant against a
+    worst-case synthetic record."""
+    s = result["scaling"]
+    slim = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "queries": {k: round(v, 2) for k, v in result["queries"].items()},
+        "sf": result["sf"],
+        "triples": result["triples"],
+        "scaling": {
+            k: s.get(k)
+            for k in (
+                f"local{scale_lo}_wall_sec",
+                f"local{scale_hi}_wall_sec",
+                f"local{scale_lo}_triples_per_sec",
+                f"local{scale_hi}_triples_per_sec",
+                "scaling_efficiency",
+                "efficiency_basis",
+                "anchor_implied_efficiency",
+                "pair_match_gap",
+                "turns",
+                "minima_vs_hist",
+            )
+            if k in s
+        },
+    }
+    slim["scaling"]["runs_summary"] = {
+        "n": len(s.get("runs", [])),
+        "clean": sum(1 for r in s.get("runs", []) if not r.get("contaminated")),
+    }
+    line = json.dumps(slim, separators=(",", ":"))
+    if len(line) >= 2048:  # never trade the whole record for detail
+        slim.pop("queries", None)
+        slim["scaling"].pop("minima_vs_hist", None)
+        line = json.dumps(slim, separators=(",", ":"))
+    assert len(line) < 2048, f"compact bench line still {len(line)}B"
+    return line
 
 
 def write_bench_md(result: dict, lo: int, hi: int, cpus: int) -> None:
@@ -832,6 +984,7 @@ or probe_p50 > {s['gates']['probe_rel_max']}x level floor (calib {s['gates']['pr
 **Scaling efficiency ({lo}->{hi} cores, fastest clean run per level):
 {s['scaling_efficiency']}** (target >= 0.8; basis: {s.get('efficiency_basis')};
 committed clean wall anchors imply {s.get('anchor_implied_efficiency')})
+{s.get('basis_note') or ''}
 
 Headline query times at sf={result['sf']} (local[{cpus}]): min over >=2
 independent windows (corroborated = another attempt within 30% of the

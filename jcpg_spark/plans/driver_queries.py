@@ -5237,14 +5237,24 @@ REGISTRY: dict[str, tuple] = {
     "j1_ranked_link": (q_j1_ranked_link, SQL_J1_RANKED),
     "j4_positional_zip": (q_j4_positional_zip, SQL_J4_POSITIONAL_ZIP),
     "j7_generic_instantiation": (q_j7_generic_instantiation, SQL_J7_GENERIC_INST),
-    "f7_type_alias": (q_f7_type_alias, SQL_F7_TYPE_ALIAS),
     "a6_cc_islands": (q_a6_cc_islands, SQL_A6_CC),
-    "a1_group_collect": (q_a1_group_collect, SQL_A1_GROUP_COLLECT),
     "a2_collect_set": (q_a2_collect_set, SQL_A2_COLLECT_SET),
-    "f_escape": (q_f_escape, SQL_F_ESCAPE),
-    "f_literal_class": (q_f_literal_class, SQL_F_LITERAL_CLASS),
     "p3_usability": (q_p3_usability, SQL_P3_USABILITY),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    # r5 rotation (r4 verdict task 3): the registry allocates its 50 rows
+    # to what users of the engine actually run daily. f_escape /
+    # f_literal_class / f7_type_alias / a1_group_collect (trivial scalar
+    # ops, driver-stable for 3 rounds) moved to FOLDED_REGISTRY with their
+    # exact oracles intact; promoted in their place, each already
+    # exact-oracled since birth: PageRank over the co-mention graph (the
+    # graph exists to be QUERIED — reference analog
+    # CodePropertyGraph.java:84-381), the corpus_build curation funnel,
+    # the dedup_keep_list pairs->clusters->keep composition, and BM25
+    # retrieval.
+    "kg_pagerank": (q_kg_pagerank, SQL_KG_PAGERANK),
+    "corpus_build": (q_corpus_build, SQL_CORPUS_BUILD),
+    "dedup_keep_list": (q_dedup_keep_list, SQL_DEDUP_KEEP_LIST),
+    "doc_bm25_topk": (q_doc_bm25_topk, SQL_DOC_BM25_TOPK),
     # dedup + similarity
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
@@ -6757,8 +6767,14 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_degree_topk": (q_kg_degree_topk, SQL_KG_DEGREE_TOPK),
     "kg_call_resolved": (q_kg_call_resolved, SQL_KG_CALL_RESOLVED),
     "kg_khop2": (q_kg_khop2, SQL_KG_KHOP2),
-    "kg_pagerank": (q_kg_pagerank, SQL_KG_PAGERANK),
     "doc_length_stats": (q_doc_length_stats, SQL_DOC_LENGTH_STATS),
+    # r5 rotation: demoted from REGISTRY (stable trivial scalar ops) to
+    # make room for kg_pagerank/corpus_build/dedup_keep_list/doc_bm25_topk;
+    # their exact oracles keep running here every pytest sweep.
+    "f7_type_alias": (q_f7_type_alias, SQL_F7_TYPE_ALIAS),
+    "a1_group_collect": (q_a1_group_collect, SQL_A1_GROUP_COLLECT),
+    "f_escape": (q_f_escape, SQL_F_ESCAPE),
+    "f_literal_class": (q_f_literal_class, SQL_F_LITERAL_CLASS),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "doc_pack": (q_doc_pack, SQL_DOC_PACK),
     "dedup_jaccard_index": (q_dedup_jaccard_index, SQL_DEDUP_NGRAM),
@@ -6772,10 +6788,8 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "doc_temperature_mix": (q_doc_temperature_mix, SQL_DOC_TEMPERATURE_MIX),
     # the capstone composition: filter -> dedup -> decontaminate -> mix as
     # one per-document disposition ledger, exact end-to-end.
-    "corpus_build": (q_corpus_build, SQL_CORPUS_BUILD),
     # the shipped dedup composition (pairs -> clusters -> keep); the CC
     # step gets an exact recursive-CTE oracle at test scale.
-    "dedup_keep_list": (q_dedup_keep_list, SQL_DEDUP_KEEP_LIST),
     # cluster-granular split (no near-dup pair straddles train/eval),
     # PMI-monotone edge weighting, tf-idf entity salience, and the
     # Iceberg-style file-compaction binpack planner — all exact-oracled.
@@ -6873,7 +6887,6 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     # kind-level schema census with dangling-endpoint surfacing
     "kg_schema_graph": (q_kg_schema_graph, SQL_KG_SCHEMA_GRAPH),
     # Okapi BM25 top-k retrieval (broadcast query vocabulary)
-    "doc_bm25_topk": (q_doc_bm25_topk, SQL_DOC_BM25_TOPK),
     # chat-format well-formedness ingest gate
     "kg_conv_wellformed": (q_kg_conv_wellformed, SQL_KG_CONV_WELLFORMED),
     # Newman modularity of the LPA partition (grades kg_labelprop)
