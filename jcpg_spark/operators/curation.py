@@ -357,9 +357,15 @@ def sft_pairs(transcripts: DataFrame) -> DataFrame:
     ``ok`` is false when the assistant's action failed (the very next
     turn after the response is a tool turn, which in this engine's
     transcript model carries the failure/result events the THROWS layer
-    builds on). The standard mining step for turning 10^12 turns of
-    agent logs into SFT / preference data: ok pairs feed SFT, (prompt,
-    ok-response, failed-response) groupings feed DPO downstream.
+    builds on). When the response is the conversation's LAST turn the
+    outcome is unobserved and ``ok`` is null — not true: labeling open
+    tails as success would feed optimistically-labeled pairs to SFT,
+    and it is exactly the pending set the streaming twin
+    (``streaming_sft_pairs``) withholds, so batch ``ok IS NOT NULL``
+    equals the streamed output on any prefix. The standard mining step
+    for turning 10^12 turns of agent logs into SFT / preference data:
+    ok pairs feed SFT, (prompt, ok-response, failed-response)
+    groupings feed DPO downstream.
 
     ONE exchange: a single conv-partitioned window pass computes both
     lead()s; everything else is map-side. Emits ``turn_idx`` of the
@@ -382,7 +388,7 @@ def sft_pairs(transcripts: DataFrame) -> DataFrame:
             "turn_idx",
             F.col("text").alias("prompt"),
             F.col("ntext").alias("response"),
-            (F.coalesce(F.col("nnrole"), F.lit("")) != "tool").alias("ok"),
+            (F.col("nnrole") != "tool").alias("ok"),  # null nnrole -> null ok
         )
     )
 

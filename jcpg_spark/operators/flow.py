@@ -234,12 +234,17 @@ def flow_branch(transcripts: DataFrame) -> DataFrame:
 
 
 def topic_segments(
-    transcripts: DataFrame, threshold: float = 0.8
+    transcripts: DataFrame, threshold: float = 0.15
 ) -> DataFrame:
     """TextTiling-style topic segmentation: a boundary opens wherever the
     LEXICAL COHESION between a turn and its predecessor (Jaccard over
     distinct word sets) drops below ``threshold``; ``seg_idx`` is the
-    running boundary count. The linguistic complement of the structural
+    running boundary count. The default 0.15 sits in the typical
+    lexical-cohesion range for adjacent natural-language turns (distinct-
+    word Jaccard between on-topic neighbors usually lands 0.1-0.4; a
+    threshold like 0.8 is near-unreachable and would open a segment at
+    almost every turn). Calibrate per corpus: pick the threshold at the
+    dip of the cohesion histogram this operator itself emits. The linguistic complement of the structural
     W3 segmentation (``cdg_segments`` cuts on the control-flow role
     pattern; this cuts on vocabulary shift — "the conversation changed
     subject"), and the per-turn ``cohesion`` score doubles as a

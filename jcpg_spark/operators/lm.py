@@ -502,9 +502,13 @@ def absorbing_expected_steps(
     (K x K for K event types/roles), so collecting it to the driver and
     solving (I - Q) t = 1 with numpy is the bounded-collect pattern the
     k-means/dictionary operators use — nothing data-scale leaves the
-    cluster. Rows whose transition mass cannot reach the absorbing
-    state get t = null (infinite expectation) via the standard
-    reachability pre-check instead of a misleading huge number.
+    cluster. A state gets t = null (infinite expectation) unless its
+    absorption probability is 1: both states that cannot reach the
+    absorbing state at all AND states that can reach it but can also
+    wander into a non-reaching class (positive probability of never
+    absorbing makes the expectation infinite — restricting the (I-Q)
+    solve to reaching states alone would silently condition on
+    absorption and report a finite number).
     """
     import numpy as np
 
@@ -522,12 +526,27 @@ def absorbing_expected_steps(
             a for (a, b) in p if b in reach and a not in reach
         }
         reach |= frontier
+    # doomed closure: a state whose transition graph can reach any
+    # NON-reaching state has absorption probability < 1, so its true
+    # expectation is infinite even though it also reaches the absorbing
+    # state (A->X 0.5 / A->B 0.5 / B->B 1.0: A must be null, not 1.0).
+    # Non-reaching states never re-enter the reaching set (else they
+    # would reach), so the doomed set is the backward closure of the
+    # non-reaching states.
+    doomed = {c for c in cats if c != absorbing and c not in reach}
+    frontier = set(doomed)
+    while frontier:
+        frontier = {
+            a for (a, b) in p
+            if b in frontier and a not in doomed and a != absorbing
+        }
+        doomed |= frontier
     q = np.zeros((len(trans), len(trans)))
     for (a, b), v in p.items():
         if a != absorbing and b != absorbing:
             q[idx[a], idx[b]] = v
     t = np.full(len(trans), np.nan)
-    solvable = [i for c, i in idx.items() if c in reach]
+    solvable = [i for c, i in idx.items() if c in reach and c not in doomed]
     if solvable:
         sub = np.ix_(solvable, solvable)
         t_sub = np.linalg.solve(np.eye(len(solvable)) - q[sub], np.ones(len(solvable)))

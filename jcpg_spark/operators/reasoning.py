@@ -447,8 +447,11 @@ def ifp_same_as(
     assertions must not re-emit pairs) and the anchor agg; the join back
     is co-partitioned with the agg. ``max_group`` drops degenerate hub
     keys (an empty-string email shared by 10^7 subjects is identity
-    NOISE, not evidence) — dropped groups surface in the count column of
-    the anchor side, never silently.
+    NOISE, not evidence). Every emitted pair carries its key group's
+    subject count as ``group_n`` — the evidence weight downstream
+    adjudication needs (a 2-subject email match is strong; a 40-subject
+    one is a shared inbox), and the audit trail for the hub cap: a
+    group_n at the cap boundary shows exactly what max_group kept.
     """
     e = (
         edges.filter(F.col("pred").isin(list(ifp_preds)))
@@ -463,5 +466,5 @@ def ifp_same_as(
     return (
         e.join(grp, ["pred", "key"])
         .filter(F.col("src") != F.col("a"))
-        .select("pred", "key", "a", F.col("src").alias("b"))
+        .select("pred", "key", "a", F.col("src").alias("b"), "group_n")
     )

@@ -6525,7 +6525,7 @@ x AS (SELECT conv_id, idx, role, text,
              lead(role, 2) OVER w AS nnrole
       FROM r WINDOW w AS (PARTITION BY conv_id ORDER BY idx))
 SELECT conv_id, idx AS turn_idx, text AS prompt, ntext AS response,
-       coalesce(nnrole, '') <> 'tool' AS ok
+       nnrole <> 'tool' AS ok
 FROM x WHERE role = 'user' AND nrole = 'assistant'
 """
 
@@ -6587,8 +6587,9 @@ WITH e AS (SELECT DISTINCT 'device_key' AS pred,
                   printf('u:u%06d', user_id) AS src,
                   'k:' || (props ->> '$.k') AS key
            FROM events WHERE event_type = 'signup'),
-g AS (SELECT pred, key, min(src) AS a FROM e GROUP BY pred, key)
-SELECT e.pred, e.key, g.a, e.src AS b
+g AS (SELECT pred, key, min(src) AS a, CAST(count(*) AS BIGINT) AS group_n
+      FROM e GROUP BY pred, key)
+SELECT e.pred, e.key, g.a, e.src AS b, g.group_n
 FROM e JOIN g ON g.pred = e.pred AND g.key = e.key
 WHERE e.src <> g.a
 """

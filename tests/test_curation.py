@@ -761,8 +761,9 @@ def test_kn_bigram_scores_closed_form(spark):
 
 def test_sft_pairs_adjacency_and_outcome_label(spark):
     """user->assistant adjacency only; ok flips to False exactly when the
-    turn after the response is a tool turn; conversation tail (no next
-    turn) is ok; one exchange for the whole extraction."""
+    turn after the response is a tool turn; a conversation-tail response
+    has no observed outcome -> ok is null, matching the streaming twin's
+    pending semantics; one exchange for the whole extraction."""
     from jcpg_spark.operators.curation import sft_pairs
 
     rows = [
@@ -772,7 +773,7 @@ def test_sft_pairs_adjacency_and_outcome_label(spark):
         ("c", 3, "user", "ask b"),
         ("c", 4, "assistant", "do b"),     # next is user -> ok True
         ("c", 5, "user", "ask c"),         # answered at tail
-        ("c", 6, "assistant", "do c"),     # no next turn -> ok True
+        ("c", 6, "assistant", "do c"),     # no next turn -> outcome unknown
         ("d", 0, "user", "unanswered"),    # next is user -> no pair
         ("d", 1, "user", "also unanswered"),
     ]
@@ -783,7 +784,7 @@ def test_sft_pairs_adjacency_and_outcome_label(spark):
     assert got == {
         ("c", 0): ("ask a", "do a", False),
         ("c", 3): ("ask b", "do b", True),
-        ("c", 5): ("ask c", "do c", True),
+        ("c", 5): ("ask c", "do c", None),
     }
     final_plan = (
         out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
@@ -967,3 +968,27 @@ def test_absorbing_expected_steps_closed_form(spark):
            for r in absorbing_expected_steps(tr, "error").collect()}
     assert got["a"] == 4.0 and got["b"] == 3.0
     assert got["z"] is None
+
+
+def test_absorbing_expected_steps_leaky_state_is_null(spark):
+    """A state that CAN reach the absorber but can also fall into a
+    non-reaching closed class has absorption probability < 1, so its
+    expectation is infinite -> null (dropping the leak from the (I-Q)
+    solve would condition on absorption and report 1.0). The doomed
+    closure also propagates backwards through pure predecessors."""
+    from jcpg_spark.operators.lm import absorbing_expected_steps
+
+    rows = [
+        ("A", "X", 1, 2, 0.5),
+        ("A", "B", 1, 2, 0.5),
+        ("B", "B", 1, 1, 1.0),          # trap: never reaches X
+        ("P", "A", 1, 1, 1.0),          # pure predecessor of the leaky A
+        ("C", "X", 1, 1, 1.0),          # clean: absorbs surely in 1 step
+    ]
+    tr = spark.createDataFrame(rows, ["cat", "nxt", "n", "n_cat", "p"])
+    got = {r["cat"]: r["expected_steps"]
+           for r in absorbing_expected_steps(tr, "X").collect()}
+    assert got["A"] is None            # advice case: was 1.0
+    assert got["P"] is None            # doomed through A
+    assert got["B"] is None
+    assert got["C"] == 1.0

@@ -238,6 +238,10 @@ def test_ifp_same_as_star_pairs_and_cc_composition(spark):
         ("phone", "+1", "u3", "u4"),
         ("email", "", "h1", "h2"), ("email", "", "h1", "h3"),
     }
+    # every pair carries its key group's subject count (evidence weight;
+    # also makes the max_group cap auditable instead of silent)
+    gn = {(r["pred"], r["key"]): r["group_n"] for r in pairs.collect()}
+    assert gn == {("email", "e@x"): 3, ("phone", "+1"): 2, ("email", ""): 3}
     # hub-key guard: the empty-email group (3 subjects) drops at max_group=2
     capped = {(r["a"], r["b"]) for r in ifp_same_as(e, ["email", "phone"], max_group=2).collect()}
     assert capped == {("u3", "u4")}
