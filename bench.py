@@ -822,10 +822,22 @@ def main() -> None:
         "kg_pagerank",
         "tpch_q1",
     ]
+    # dedup_minhash/dedup_simhash registry entries run the md5 hash family
+    # (the exact-oracle twin, r4 verdict task 4); the bench times the
+    # PRODUCTION xxhash64 family — same plan, the hash users run at 100 TB.
+    from jcpg_spark.operators import dedup as _dedup
+    from jcpg_spark.plans.driver_queries import _docs as _bench_docs
+
+    production_family = {
+        "dedup_minhash": lambda s, d: _dedup.minhash_lsh_pairs(_bench_docs(s, d)),
+        "dedup_simhash": lambda s, d: _dedup.simhash_pairs(_bench_docs(s, d)),
+    }
     qtimes: dict[str, float] = {}
     qnoise: dict[str, dict] = {}
     for name in headliners:
-        fn, _sql = REGISTRY.get(name) or FOLDED_REGISTRY[name]
+        fn = production_family.get(name)
+        if fn is None:
+            fn, _sql = REGISTRY.get(name) or FOLDED_REGISTRY[name]
         r = certified_wall(name, lambda fn=fn: fn(spark, SF_DIR).count())
         qtimes[name] = r["sec"]
         qnoise[name] = {

@@ -304,23 +304,55 @@ def embedding_lsh_pairs(
     )
 
 
-def minhash_signatures(docs: DataFrame, num_perm: int = 32, n: int = 3) -> DataFrame:
+def _hash64_sql(family: str, *parts: str) -> str:
+    """SQL fragment producing a 64-bit signed long from the given column/
+    literal fragments — the hash-family seam behind every LSH sketch here.
+
+    ``xxhash64`` (production default): Spark's native seedable hash —
+    fastest, but with no DuckDB twin, so sketches built on it can only be
+    rows-only checked by the driver. ``md5``: a 60-bit non-negative long
+    from the first 15 hex chars of md5 over the ':'-joined string-cast
+    parts — bit-identical in DuckDB as
+    ``CAST(('0x'||substr(md5(a||':'||b),1,15)) AS BIGINT)``, which makes
+    the FULL candidate generation (signatures, band hashes, buckets)
+    exactly oracle-checkable at driver scale. Same plan shape either way;
+    only the hash expression differs, so the md5-certified pipeline is
+    the xxhash64 pipeline users run at 100 TB.
+    """
+    if family == "xxhash64":
+        return "xxhash64(" + ",".join(parts) + ")"
+    if family == "md5":
+        joined = ",':',".join(f"cast({p} as string)" for p in parts)
+        return f"cast(conv(substr(md5(concat({joined})),1,15),16,10) as bigint)"
+    raise ValueError(f"unknown hash family {family!r}")
+
+
+def minhash_signatures(
+    docs: DataFrame, num_perm: int = 32, n: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
     """-> (doc_id, sig: array<bigint>) MinHash signatures over word shingles.
 
-    Permutation i is ``xxhash64(i, shingle)``; min per doc per permutation.
-    Computed as one explode + groupBy (single shuffle), sketch size constant.
+    Permutation i is ``hash(i, shingle)`` under ``hash_family`` (see
+    ``_hash64_sql`` — xxhash64 in production, md5 for exact DuckDB
+    oracles); min per doc per permutation. Computed as one explode +
+    groupBy (single shuffle), sketch size constant.
     """
     sh = word_shingles(docs, n=n)
     # one JVM-parsed aggregate expression (array over the num_perm mins):
     # the per-Column form cost ~300 py4j round trips of serial driver time
     # per call. SQL integer literals hash identically to F.lit(i) (both
     # int32 inputs to xxhash64).
-    mins = ",".join(f"min(xxhash64({i},shingle))" for i in range(num_perm))
+    mins = ",".join(
+        f"min({_hash64_sql(hash_family, str(i), 'shingle')})"
+        for i in range(num_perm)
+    )
     return sh.groupBy("doc_id").agg(F.expr(f"array({mins})").alias("sig"))
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, num_perm: int = 32, bands: int = 8, n: int = 3, threshold: float = 0.4
+    docs: DataFrame, num_perm: int = 32, bands: int = 8, n: int = 3,
+    threshold: float = 0.4, hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash LSH candidate pairs verified by estimated Jaccard.
 
@@ -340,14 +372,20 @@ def minhash_lsh_pairs(
     # join; exchange reuse does not dedupe it (measured: 4 recomputes of
     # the shingle aggregate), so persist — swap_persist releases the
     # previous call's cache, so repeated calls never accumulate
-    sig = swap_persist("minhash_lsh_pairs.sig", minhash_signatures(docs, num_perm=num_perm, n=n))
+    sig = swap_persist(
+        "minhash_lsh_pairs.sig",
+        minhash_signatures(docs, num_perm=num_perm, n=n, hash_family=hash_family),
+    )
     # band hashes + bucket explosion as ONE inline() expression (same py4j
     # round-trip collapse as minhash_signatures above; band ids as SQL int
     # literals hash identically to the previous F.lit form)
     entries = ",".join(
-        f"struct({b} as band,xxhash64({b},"
-        + ",".join(f"element_at(sig,{b * rows_per_band + r + 1})" for r in range(rows_per_band))
-        + ") as bh)"
+        f"struct({b} as band,"
+        + _hash64_sql(
+            hash_family, str(b),
+            *[f"element_at(sig,{b * rows_per_band + r + 1})" for r in range(rows_per_band)],
+        )
+        + " as bh)"
         for b in range(bands)
     )
     bucketed = sig.select("doc_id", F.expr(f"inline(array({entries}))"))
@@ -378,15 +416,19 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def simhash(
+    docs: DataFrame, text_col: str = "text", hash_family: str = "xxhash64"
+) -> DataFrame:
     """-> (doc_id, simhash: bigint). 64-bit sign sketch over word hashes.
 
-    Per word w: h = xxhash64(w); bit b contributes +1/-1 to counter b; the
+    Per word w: h = hash(w) under ``hash_family`` (see ``_hash64_sql``;
+    the md5 family yields 60-bit hashes, so bits 60-63 are always clear —
+    consistent on both engines); bit b contributes +1/-1 to counter b; the
     sketch sets bit b iff counter b > 0. Expressed as explode + groupBy with
     64 conditional sums (one shuffle; JVM-side).
     """
     w = docs.select("doc_id", F.explode(words(F.col(text_col))).alias("word"))
-    w = w.withColumn("h", F.xxhash64("word"))
+    w = w.withColumn("h", F.expr(_hash64_sql(hash_family, "word")))
     sums = [
         F.sum(F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
         for b in range(64)
@@ -400,11 +442,13 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return sh
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 8, hash_family: str = "xxhash64"
+) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, candidates via 4x16-bit
     band equality (a doc pair within Hamming<=3 of each other must agree on
     at least one band; wider radii still prune massively)."""
-    sh = simhash(docs)
+    sh = simhash(docs, hash_family=hash_family)
     bands = [
         (F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))).alias(f"band{i}")
         for i in range(4)

@@ -1522,16 +1522,76 @@ WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.4
 """
 
 
+def _duck_md5h(*parts: str) -> str:
+    """DuckDB twin of ``dedup._hash64_sql('md5', ...)``: 60-bit long from
+    the first 15 hex chars of md5 over the ':'-joined string-cast parts.
+    Bit-equality with the Spark expression is pinned in
+    tests/test_dedup_similarity.py."""
+    joined = " || ':' || ".join(f"CAST({p} AS VARCHAR)" for p in parts)
+    return f"CAST(('0x' || substr(md5({joined}), 1, 15)) AS BIGINT)"
+
+
 def q_dedup_minhash(spark, sf_dir):
-    """MinHash+LSH near-dup pairs — hash functions are engine-specific, so
-    this entry has no SQL oracle (rows-only check); exactness is covered by
-    pytest against jaccard_pairs."""
-    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+    """MinHash+LSH near-dup pairs under the md5 hash family (r4 verdict
+    task 4): the ENTIRE candidate machinery — 32 per-shingle permutation
+    hashes, per-doc minima, 8 band hashes over the signature slices, the
+    bucket join, and the signature-agreement estimate — is exactly
+    reproduced by the DuckDB oracle, because the md5-derived 60-bit longs
+    are bit-identical on both engines (dedup._hash64_sql). Production
+    keeps xxhash64 (same plan, faster hash; bench.py times that family);
+    this entry certifies the pipeline itself, not just its row count."""
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), hash_family="md5")
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs — engine-specific hashing, rows-only check."""
-    return dedup.simhash_pairs(_docs(spark, sf_dir))
+    """SimHash near-dup pairs under the md5 hash family — exact DuckDB
+    oracle for the full sketch: 60-bit word hashes, 64 per-bit sign
+    counters, the 4x16-bit band candidate join, and the Hamming verify.
+    Production keeps xxhash64 (see q_dedup_minhash)."""
+    return dedup.simhash_pairs(_docs(spark, sf_dir), hash_family="md5")
+
+
+SQL_DEDUP_MINHASH = f"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+s AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 3
+          THEN list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+          ELSE [] END)) AS shingle
+      FROM w),
+hs AS (SELECT doc_id, p.perm, min({_duck_md5h('p.perm', 'shingle')}) AS mh
+       FROM s CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS perm) p
+       GROUP BY doc_id, p.perm),
+bh AS (SELECT doc_id, perm // 4 AS band,
+              CAST(('0x' || substr(md5(CAST(perm // 4 AS VARCHAR) || ':' ||
+                    string_agg(CAST(mh AS VARCHAR), ':' ORDER BY perm)), 1, 15)) AS BIGINT) AS bhv
+       FROM hs GROUP BY doc_id, perm // 4),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bh a JOIN bh b ON a.band = b.band AND a.bhv = b.bhv AND a.doc_id < b.doc_id),
+est AS (SELECT c.doc_a, c.doc_b,
+               sum(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) / 32.0 AS ej
+        FROM cand c
+        JOIN hs ha ON ha.doc_id = c.doc_a
+        JOIN hs hb ON hb.doc_id = c.doc_b AND hb.perm = ha.perm
+        GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b, round(ej, 6) AS est_jaccard FROM est WHERE ej >= 0.4
+"""
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH wd AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
+h AS (SELECT doc_id, {_duck_md5h('word')} AS h FROM wd),
+bits AS (SELECT doc_id, bb.b, sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bb
+         GROUP BY doc_id, bb.b),
+sh AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+       FROM bits GROUP BY doc_id),
+banded AS (SELECT doc_id, simhash, t.band, (simhash >> (16 * t.band)) & 65535 AS bv
+           FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) t),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.simhash AS ha, b.simhash AS hb
+         FROM banded a JOIN banded b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 8
+"""
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
@@ -1545,10 +1605,56 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 def q_dedup_embedding_lsh(spark, sf_dir):
     """Scale-path embedding near-dup: RHP-LSH bucketed candidates + exact
     cosine verify within buckets (no crossJoin; plan-gated in pytest).
-    Rows-only driver check (bucketing is hash-defined); recall >= 0.9 vs the
-    exact baseline asserted in pytest."""
+
+    EXACT driver oracle since r5: the hyperplanes are driver-side sha256
+    literals (similarity._plane_signs), not runtime hashes, so the DuckDB
+    twin embeds the SAME +/-1 plane matrices and reproduces every (table,
+    bucket) cell, the candidate join, and the cosine verify bit-for-bit —
+    the previous rows-only check assumed the bucketing was engine-defined
+    when it never was. Recall >= 0.9 vs the exact baseline stays asserted
+    in pytest."""
     emb = _emb(spark, sf_dir)
     return dedup.embedding_lsh_pairs(emb, threshold=0.4)
+
+
+def _duck_rhp_bucket(vec: str, dim: int, n_planes: int, seed: int) -> str:
+    """DuckDB twin of similarity._rhp_signature_sql: bit p of the bucket is
+    sign(vec . plane_p) with the SAME sha256-derived literal +/-1 planes.
+    The dot product is an explicit left-associated sum of signed elements
+    — bit-identical to Spark's sequential aggregate() fold, because
+    multiplying by +/-1.0 is exact and both engines then add the same
+    doubles in the same order."""
+    from jcpg_spark.operators.similarity import _plane_signs
+
+    bits = []
+    for p, signs in enumerate(_plane_signs(dim, n_planes, seed)):
+        terms = " + ".join(
+            f"{'-' if s < 0 else ''}{vec}[{d + 1}]" for d, s in enumerate(signs)
+        )
+        bits.append(f"(CASE WHEN ({terms}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _duck_rhp_cells(dim: int, n_planes: int, n_tables: int, seed0: int,
+                    src: str = "e") -> str:
+    """UNION ALL of one bucket projection per LSH table over CTE ``src``."""
+    return "\nUNION ALL\n".join(
+        f"SELECT vec_id, {t} AS tbl, "
+        f"{_duck_rhp_bucket('v', dim, n_planes, seed0 + t)} AS bucket FROM {src}"
+        for t in range(n_tables)
+    )
+
+
+SQL_DEDUP_EMB_LSH = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cells AS ({_duck_rhp_cells(64, 3, 12, 1042)}),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM cells a JOIN cells b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                                  AND a.vec_id < b.vec_id)
+SELECT c.id_a, c.id_b, round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
+WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4
+"""
 
 
 SQL_DEDUP_EMB_COSINE = """
@@ -1592,10 +1698,34 @@ SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM r WHERE rank <
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN — scale path; no SQL oracle (bucketing is
-    hash-defined), recall vs brute force is asserted in pytest."""
+    """LSH-bucketed ANN — scale path. EXACT driver oracle since r5: like
+    q_dedup_embedding_lsh, the buckets come from sha256-literal
+    hyperplanes, so the DuckDB twin reproduces the multi-table candidate
+    set, the cosine re-rank, and the (score desc, id) tiebreak exactly.
+    Recall vs brute force stays asserted in pytest."""
     emb = _emb(spark, sf_dir)
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+SQL_ANN_LSH = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+bcells AS ({_duck_rhp_cells(64, 4, 8, 42, src="e")}),
+qcells AS ({_duck_rhp_cells(64, 4, 8, 42, src="q")}),
+cand AS (SELECT DISTINCT qc.vec_id AS query_id, bc.vec_id AS neighbor_id
+         FROM bcells bc JOIN qcells qc ON bc.tbl = qc.tbl AND bc.bucket = qc.bucket
+         WHERE bc.vec_id <> qc.vec_id),
+scored AS (SELECT c.query_id, c.neighbor_id,
+                  list_cosine_similarity(eq.v, en.v) AS score
+           FROM cand c
+           JOIN e eq ON eq.vec_id = c.query_id
+           JOIN e en ON en.vec_id = c.neighbor_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, rank, round(score, 6) AS score
+FROM r WHERE rank <= 5
+"""
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -5258,12 +5388,15 @@ REGISTRY: dict[str, tuple] = {
     # dedup + similarity
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
-    "dedup_minhash": (q_dedup_minhash, None),
-    "dedup_simhash": (q_dedup_simhash, None),
+    # exact since r5 (r4 verdict task 4): md5 hash-family seam for the
+    # minhash/simhash sketches; sha256-literal hyperplanes for the RHP
+    # buckets — the full LSH candidate machinery is DuckDB-reproducible.
+    "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMB_COSINE),
-    "dedup_embedding_lsh": (q_dedup_embedding_lsh, None),
+    "dedup_embedding_lsh": (q_dedup_embedding_lsh, SQL_DEDUP_EMB_LSH),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE),
-    "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH),
     "ann_ivf_topk": (q_ann_ivf_topk, None),
     # text analysis + curation + multimodal
     "text_lang_predict": (q_text_lang_predict, SQL_TEXT_LANG_PREDICT),

@@ -747,3 +747,71 @@ def test_containment_pairs_quote_detection(spark):
     assert got == {(1, 2): 1.0}
     # the symmetric measure misses it
     assert jaccard_pairs(docs, n=3, threshold=0.4).count() == 0
+
+
+def test_md5_hash_family_bit_identical_to_duckdb(spark):
+    """The r5 hash-family seam invariant: dedup._hash64_sql('md5', ...)
+    produces the SAME 60-bit long in Spark and DuckDB for the same
+    inputs — the property that makes the full minhash/simhash LSH
+    machinery exactly oracle-checkable. Covers single- and multi-part
+    hashing (word hash / permuted shingle hash / band hash shapes),
+    empty strings, unicode, and negative bigint parts."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from jcpg_spark.operators.dedup import _hash64_sql
+
+    rows = [("hello", 0), ("the quick fox", 7), ("", 31),
+            ("ünïcode wörds", 3), ("a:b:c", 12)]
+    df = spark.createDataFrame(rows, ["s", "i"])
+    got = df.select(
+        "s", "i",
+        F.expr(_hash64_sql("md5", "s")).alias("h1"),
+        F.expr(_hash64_sql("md5", "i", "s")).alias("h2"),
+        F.expr(_hash64_sql("md5", "i", "cast(-42 as bigint)")).alias("h3"),
+    ).collect()
+    con = duckdb.connect()
+    for r in got:
+        d1 = con.execute(
+            "SELECT CAST(('0x'||substr(md5(CAST(? AS VARCHAR)),1,15)) AS BIGINT)",
+            [r["s"]]).fetchone()[0]
+        d2 = con.execute(
+            "SELECT CAST(('0x'||substr(md5(CAST(? AS VARCHAR)||':'||CAST(? AS VARCHAR)),1,15)) AS BIGINT)",
+            [r["i"], r["s"]]).fetchone()[0]
+        d3 = con.execute(
+            "SELECT CAST(('0x'||substr(md5(CAST(? AS VARCHAR)||':'||CAST(-42 AS VARCHAR)),1,15)) AS BIGINT)",
+            [r["i"]]).fetchone()[0]
+        assert (r["h1"], r["h2"], r["h3"]) == (d1, d2, d3)
+        assert 0 <= r["h1"] < (1 << 60)  # 60-bit non-negative by construction
+    # unknown family fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _hash64_sql("fnv", "s")
+
+
+def test_md5_family_minhash_simhash_same_shape_as_production(spark, docs_df):
+    """The md5 family is a hash SWAP, not a different algorithm: schemas
+    match the xxhash64 pipeline, exact duplicates are still found with
+    est_jaccard 1.0 / hamming 0, and signatures stay 32 longs."""
+    from jcpg_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        simhash_pairs,
+    )
+
+    sig = minhash_signatures(docs_df, hash_family="md5")
+    assert sig.columns == ["doc_id", "sig"]
+    assert all(len(r["sig"]) == 32 for r in sig.collect())
+
+    mh = minhash_lsh_pairs(docs_df, hash_family="md5")
+    xx = minhash_lsh_pairs(docs_df)
+    assert mh.columns == xx.columns
+    exact = {(r["doc_a"], r["doc_b"]) for r in mh.collect()
+             if r["est_jaccard"] == 1.0}
+    assert exact  # docs_df carries an exact duplicate pair
+
+    sh = simhash_pairs(docs_df, hash_family="md5")
+    assert sh.columns == simhash_pairs(docs_df).columns
+    assert any(r["hamming"] == 0 for r in sh.collect())
