@@ -7,16 +7,19 @@ real — schema, deterministic synthesis, partition-friendly batch shape,
 
 The codec boundary is split honestly by what stdlib can do:
 
-- **container/header decode is REAL**: PNG IHDR (width/height/bit-depth/
-  color-type, CRC-verified) and WAV RIFF (sample-rate/channels/bits/
-  duration) parse with ``struct`` + ``zlib.crc32`` — no external codec
-  libraries needed — and ``synth_media`` emits payloads with VALID
-  headers so the real parse is exercised end-to-end;
-- **pixel/sample decode is STUBBED**: full image raster and audio PCM
-  decoding (and everything video) needs Pillow/torchaudio/ffmpeg, absent
-  from this container, so ``decode_stub(fake=False)`` on video raises
-  ``NotImplementedError`` and ``fake=True`` keeps the deterministic test
-  vector for all kinds.
+- **container/header decode is REAL for all three kinds**: PNG IHDR
+  (width/height/bit-depth/color-type, CRC-verified), WAV RIFF
+  (sample-rate/channels/bits/duration), and — since r5 — MP4 ISO-BMFF
+  (``moov``/``mvhd`` timescale+duration, ``trak``/``tkhd`` 16.16
+  fixed-point dimensions, version 0 and 1) parse with ``struct`` +
+  ``zlib.crc32`` — no external codec libraries needed — and
+  ``synth_media`` emits payloads with VALID headers/boxes so every real
+  parse is exercised end-to-end;
+- **pixel/sample/frame decode is STUBBED**: image raster, audio PCM, and
+  video frame decoding need Pillow/torchaudio/ffmpeg, absent from this
+  container, so ``resize_images(fake=False)`` / ``sample_frames(
+  fake=False)`` raise ``NotImplementedError`` and ``fake=True`` keeps the
+  deterministic test vector.
 
 At 100 TB: binaries dominate bytes, so the operators below never shuffle
 the payload — feature extraction is map-side, metadata-only results are
@@ -86,11 +89,112 @@ def _wav_payload(filler: bytes, duration_ms: int) -> bytes:
     )
 
 
+def _mp4_box(btype: bytes, body: bytes) -> bytes:
+    """One ISO BMFF box: 32-bit big-endian size (header included) + type."""
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+_MP4_TIMESCALE = 1000  # mvhd ticks per second; 1000 makes duration_ms exact
+
+
+def _mp4_payload(filler: bytes, width: int, height: int, duration_ms: int) -> bytes:
+    """Minimal VALID MP4: ``ftyp`` + ``moov``(``mvhd`` + ``trak``/``tkhd``)
+    + ``mdat`` carrying the filler as the opaque sample data. The mvhd
+    declares timescale/duration (version 0), the tkhd declares the visual
+    width/height as 16.16 fixed point — exactly the fields a metadata scan
+    reads; frame data stays out of scope like PNG IDAT / WAV PCM."""
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = _mp4_box(
+        b"mvhd",
+        struct.pack(">B3xIIII", 0, 0, 0, _MP4_TIMESCALE,
+                    duration_ms * _MP4_TIMESCALE // 1000)
+        + struct.pack(">iH10x", 0x00010000, 0x0100)  # rate 1.0, volume 1.0
+        + matrix
+        + struct.pack(">6I", 0, 0, 0, 0, 0, 0)       # pre_defined
+        + struct.pack(">I", 2),                       # next_track_id
+    )
+    tkhd = _mp4_box(
+        b"tkhd",
+        struct.pack(">B3BIIII", 0, 0, 0, 7, 0, 0, 1, 0)  # flags 7: enabled
+        + struct.pack(">I8x", duration_ms * _MP4_TIMESCALE // 1000)
+        + struct.pack(">HHHH", 0, 0, 0, 0)            # layer/group/volume
+        + matrix
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    moov = _mp4_box(b"moov", mvhd + _mp4_box(b"trak", tkhd))
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp42")
+    return ftyp + moov + _mp4_box(b"mdat", filler)
+
+
+def parse_mp4_header(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, duration_ms) from the MP4 ``moov`` box — a real
+    stdlib box walk (mvhd for timescale/duration, first trak's tkhd for
+    the 16.16 fixed-point visual dimensions), handling version 0 and 1
+    field widths. Raises ``ValueError`` on anything that is not a
+    well-formed ISO BMFF container with those boxes."""
+
+    def boxes(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            size, btype = struct.unpack(">I4s", buf[pos : pos + 8])
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > end:
+                    raise ValueError("MP4 truncated largesize box header")
+                (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+                body = pos + 16
+            elif size == 0:  # box extends to end of enclosing scope
+                size = end - pos
+                body = pos + 8
+            else:
+                body = pos + 8
+            if size < body - pos or pos + size > end:
+                raise ValueError("MP4 box size out of bounds")
+            yield btype, body, pos + size
+            pos += size
+
+    moov = None
+    for btype, body, bend in boxes(payload, 0, len(payload)):
+        if btype == b"moov":
+            moov = (body, bend)
+            break
+    if moov is None:
+        raise ValueError("not an MP4: no moov box")
+    duration_ms = width = height = None
+    for btype, body, bend in boxes(payload, *moov):
+        if btype == b"mvhd":
+            version = payload[body]
+            if version == 1:
+                _c, _m, timescale, duration = struct.unpack(
+                    ">QQIQ", payload[body + 4 : body + 32])
+            else:
+                _c, _m, timescale, duration = struct.unpack(
+                    ">IIII", payload[body + 4 : body + 20])
+            if timescale == 0:
+                raise ValueError("MP4 mvhd timescale 0")
+            duration_ms = duration * 1000 // timescale
+        elif btype == b"trak" and width is None:
+            for t2, b2, _e2 in boxes(payload, body, bend):
+                if t2 == b"tkhd":
+                    version = payload[b2]
+                    # width/height sit after version/flags(4) +
+                    # creation/modification/track/reserved/duration
+                    # (20 at v0, 32 at v1) + reserved(8) + layer/group/
+                    # volume/reserved(8) + matrix(36) = 76 (v0) / 88 (v1)
+                    off = b2 + (88 if version == 1 else 76)
+                    w_fp, h_fp = struct.unpack(">II", payload[off : off + 8])
+                    width, height = w_fp >> 16, h_fp >> 16
+    if duration_ms is None:
+        raise ValueError("MP4 moov missing mvhd")
+    if width is None or height is None:
+        raise ValueError("MP4 moov missing trak/tkhd dimensions")
+    return width, height, duration_ms
+
+
 def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     """Deterministic fake media table — stable under any partitioning.
-    Image and audio payloads carry VALID PNG/WAV headers (consistent with
-    the metadata columns) so the real header codecs below are exercised;
-    video payloads are opaque bytes (video decode is the remaining stub)."""
+    Every payload carries a VALID container header consistent with the
+    metadata columns — PNG IHDR, WAV RIFF, and (since r5) MP4
+    ftyp/moov/mvhd/tkhd — so all three real header codecs below are
+    exercised end-to-end; only pixel/sample/frame DATA stays synthetic."""
 
     def gen(it):
         for pdf in it:
@@ -99,15 +203,15 @@ def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                 kind, mime = _KINDS[mid % 3]
                 h = hashlib.sha256(f"{seed}:{mid}".encode()).digest()
                 filler = (h * ((64 + mid % 128) // len(h) + 1))[: 64 + mid % 128]
-                width = (mid % 32 + 1) * 16 if kind == "image" else None
-                height = (mid % 18 + 1) * 16 if kind == "image" else None
+                width = (mid % 32 + 1) * 16 if kind != "audio" else None
+                height = (mid % 18 + 1) * 16 if kind != "audio" else None
                 duration = (mid % 300 + 1) * 100 if kind != "image" else None
                 if kind == "image":
                     payload = _png_payload(filler, width, height)
                 elif kind == "audio":
                     payload = _wav_payload(filler, duration)
                 else:
-                    payload = filler
+                    payload = _mp4_payload(filler, width, height, duration)
                 rows.append((mid, kind, mime, payload, width, height, duration))
             yield pd.DataFrame(
                 rows,
@@ -161,13 +265,13 @@ def decode_stub(payload: bytes, kind: str, fake: bool = False) -> list[float]:
     pixel/sample-level features.
 
     ``fake=True`` returns a deterministic 8-dim sha-derived vector (the
-    plumbing test stub, all kinds). ``fake=False`` is REAL for image and
-    audio since round 4: an 8-dim feature from the stdlib-parsed container
-    header (PNG IHDR / WAV RIFF — parse_png_header/parse_wav_header) plus
-    raw byte statistics, each dimension normalized into [0, 1]. Video still
-    raises ``NotImplementedError`` (container walking for MP4 boxes buys
-    nothing without a frame decoder), so the remaining stub cannot ship
-    silently.
+    plumbing test stub, all kinds). ``fake=False`` is REAL for all three
+    kinds since r5: an 8-dim feature from the stdlib-parsed container
+    header (PNG IHDR / WAV RIFF / MP4 moov-mvhd-tkhd —
+    parse_png_header/parse_wav_header/parse_mp4_header) plus raw byte
+    statistics, each dimension normalized into [0, 1]. Only pixel/sample/
+    frame DATA decode remains a seam (resize_images / sample_frames raise
+    without ``fake`` — that step genuinely needs Pillow/ffmpeg).
     """
     if fake:
         h = hashlib.sha256(payload).digest()
@@ -199,10 +303,19 @@ def decode_stub(payload: bytes, kind: str, fake: bool = False) -> list[float]:
             size_dim,
             mean_byte,
         ]
-    raise NotImplementedError(
-        "video decoding requires codec libraries not present in this "
-        "container; pass fake=True for the deterministic test stub"
-    )
+    if kind == "video":
+        width, height, duration_ms = parse_mp4_header(payload)
+        return [
+            min(1.0, width / 65535.0),
+            min(1.0, height / 65535.0),
+            min(1.0, duration_ms / 3_600_000.0),  # vs 1 hour
+            min(1.0, duration_ms / 60_000.0),  # vs 1 minute (finer scale)
+            min(1.0, width * height / 16_777_216.0),  # vs 4096x4096
+            min(1.0, (width / height) / 8.0) if height else 0.0,
+            size_dim,
+            mean_byte,
+        ]
+    raise ValueError(f"unknown media kind {kind!r}")
 
 
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:

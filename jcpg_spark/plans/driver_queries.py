@@ -2005,14 +2005,16 @@ FROM x
 
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing through the driver: deterministic synthetic media
-    table (binary payloads) -> mapInPandas feature extraction with the fake
-    codec (decode seam documented in operators/multimodal.py). Rows-only:
-    payload synthesis is python-side, so no SQL oracle — determinism and
-    payload-never-shuffles are pytest-gated."""
+    table (binary payloads with VALID PNG/WAV/MP4 container headers) ->
+    mapInPandas feature extraction with the REAL header codecs (fake=False
+    since r5 — every row's payload is struct-parsed, PNG CRC-verified, MP4
+    boxes walked; a malformed payload would fail the whole entry loudly).
+    Rows-only: payload synthesis is python-side, so no SQL oracle —
+    determinism and payload-never-shuffles are pytest-gated."""
     from jcpg_spark.operators.multimodal import extract_features, synth_media
 
     media = synth_media(spark, 500)
-    return extract_features(media, fake=True).select(
+    return extract_features(media, fake=False).select(
         "media_id", "kind", "n_bytes", "payload_sha256"
     )
 

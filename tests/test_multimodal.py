@@ -15,43 +15,85 @@ def test_synth_media_deterministic(spark):
     assert kinds == {"image", "audio", "video"}
 
 
-def test_decode_stub_video_raises_without_fake():
-    # video is the remaining honest stub; image/audio now decode for real
-    with pytest.raises(NotImplementedError):
-        mm.decode_stub(b"abc", "video")
-
-
 def test_decode_rejects_malformed_headers():
     with pytest.raises(ValueError):
         mm.decode_stub(b"abc", "image")
     with pytest.raises(ValueError):
         mm.decode_stub(b"RIFFxxxxJUNK", "audio")
+    with pytest.raises(ValueError):  # no moov box
+        mm.decode_stub(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00", "video")
+    with pytest.raises(ValueError):
+        mm.decode_stub(b"abc", "unknown-kind")
     # corrupt the IHDR CRC of an otherwise-valid PNG
     good = mm._png_payload(b"\x00" * 32, 64, 48)
     bad = good[:29] + b"\xff\xff\xff\xff" + good[33:]
     with pytest.raises(ValueError, match="CRC"):
         mm.parse_png_header(bad)
+    # mp4 with a box whose declared size overruns the payload
+    mp4 = mm._mp4_payload(b"\x00" * 16, 320, 240, 5000)
+    with pytest.raises(ValueError, match="bounds"):
+        mm.parse_mp4_header(mp4[:40])
+    # moov present but no mvhd
+    import struct
+
+    hollow = mm._mp4_box(b"ftyp", b"isom\x00\x00\x02\x00") + mm._mp4_box(
+        b"moov", mm._mp4_box(b"free", b""))
+    with pytest.raises(ValueError, match="mvhd"):
+        mm.parse_mp4_header(hollow)
+    del struct
 
 
 def test_real_header_decode_matches_metadata(spark):
-    """PNG IHDR and WAV RIFF parses (stdlib struct/zlib — real, not stubbed)
-    recover exactly the width/height/duration the synthesizer declared in
-    the metadata columns."""
-    rows = mm.synth_media(spark, 60).filter("kind != 'video'").collect()
-    assert rows
+    """PNG IHDR, WAV RIFF, and MP4 moov/mvhd/tkhd parses (stdlib struct/
+    zlib — real, not stubbed) recover exactly the width/height/duration
+    the synthesizer declared in the metadata columns, for ALL kinds."""
+    rows = mm.synth_media(spark, 60).collect()
+    assert {r.kind for r in rows} == {"image", "audio", "video"}
     for r in rows:
         if r.kind == "image":
             w, h, depth, color = mm.parse_png_header(r.payload)
             assert (w, h) == (r.width, r.height)
             assert (depth, color) == (8, 2)
-        else:
+        elif r.kind == "audio":
             rate, channels, bits, dur = mm.parse_wav_header(r.payload)
             assert dur == r.duration_ms
             assert (rate, channels, bits) == (mm._WAV_RATE, 1, 16)
+        else:
+            w, h, dur = mm.parse_mp4_header(r.payload)
+            assert (w, h, dur) == (r.width, r.height, r.duration_ms)
 
 
-def test_extract_features_real_decode_image_audio(spark):
-    media = mm.synth_media(spark, 30).filter("kind != 'video'")
+def test_parse_mp4_version1_and_largesize_boxes():
+    """The walker handles 64-bit mvhd/tkhd fields (version 1) and
+    largesize/size-0 box encodings, not just the synthesizer's output."""
+    import struct
+
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd_v1 = mm._mp4_box(
+        b"mvhd",
+        struct.pack(">B3xQQIQ", 1, 0, 0, 90_000, 90_000 * 7)  # 7s at 90kHz
+        + struct.pack(">iH10x", 0x00010000, 0x0100)
+        + matrix + struct.pack(">6I", 0, 0, 0, 0, 0, 0) + struct.pack(">I", 2),
+    )
+    tkhd_v1 = mm._mp4_box(
+        b"tkhd",
+        struct.pack(">B3BQQI4xQ8x", 1, 0, 0, 7, 0, 0, 1, 90_000 * 7)
+        + struct.pack(">HHHH", 0, 0, 0, 0) + matrix
+        + struct.pack(">II", 1920 << 16, 1080 << 16),
+    )
+    moov = mm._mp4_box(b"moov", mvhd_v1 + mm._mp4_box(b"trak", tkhd_v1))
+    # wrap moov in a largesize encoding: size=1 + 64-bit largesize
+    body = moov[8:]
+    large = struct.pack(">I4sQ", 1, b"moov", 16 + len(body)) + body
+    ftyp = mm._mp4_box(b"ftyp", b"isom\x00\x00\x02\x00")
+    assert mm.parse_mp4_header(ftyp + large) == (1920, 1080, 7000)
+    # size-0 final box (extends to EOF)
+    zero = struct.pack(">I4s", 0, b"moov") + body
+    assert mm.parse_mp4_header(ftyp + zero) == (1920, 1080, 7000)
+
+
+def test_extract_features_real_decode_all_kinds(spark):
+    media = mm.synth_media(spark, 30)
     feats = mm.extract_features(media, fake=False)
     rows = feats.collect()
     assert len(rows) == media.count() > 0
