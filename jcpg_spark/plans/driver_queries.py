@@ -1205,6 +1205,77 @@ SELECT doc_id, min(doc_id) OVER (PARTITION BY grp) AS canonical_id FROM g
 """
 
 
+def q_kg_stream_canonical(spark, sf_dir):
+    """§2.8 driver entry (r4 verdict task 8): the REAL incremental
+    canonicalization path — Structured Streaming file source split into
+    micro-batches, foreachBatch driving IncrementalCanonicalizer
+    (streaming/incremental.py:398): per-batch trie mention detection with
+    the INTRO_RX turn flag, broadcast-dictionary linking, alias-pair
+    extraction, and the cross-batch driver union-find — replayed over
+    alias-introduction turns derived from the sf documents chain graph
+    (one 'introducing dA as dB' turn per consecutive same-lang pair, the
+    a6_cc_islands graph). The final mapping is identical BY CONSTRUCTION
+    to batch connected_components over the same pairs (min-label roots;
+    batch-order independence is pytest-gated in test_streaming), so the
+    entry shares a6's exact gaps-and-islands SQL oracle — the streaming
+    stage is no longer the one pytest-only row of SURVEY §2."""
+    import os
+    import tempfile
+
+    from jcpg_spark.streaming import incremental as inc
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("lang").alias("lang_next")
+    )
+    pairs = (
+        docs.join(nxt, "doc_id")
+        .filter(F.col("lang") == F.col("lang_next"))
+        .select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
+    )
+    turns = pairs.select(
+        F.format_string("sc%08d", F.col("a")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        F.format_string("introducing d%08d as d%08d", F.col("a"), F.col("b")).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    # 4 parquet files + maxFilesPerTrigger=1 => the union-find state must
+    # survive 4 micro-batches (file->batch assignment is hash-arbitrary;
+    # the mapping is batch-order independent, so the result is stable)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"jcpg_stream_canon_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    turns.repartition(4).write.mode("overwrite").parquet(path)
+    dictionary = docs.select(
+        F.format_string("d%08d", F.col("doc_id")).alias("surface"),
+        F.format_string("d%08d", F.col("doc_id")).alias("canonical"),
+        F.lit("core").alias("namespace"),
+        F.lit("artifact").alias("kind"),
+        F.lit(0.9).alias("prior"),
+        F.lit(False).alias("defs_state"),
+    )
+    stream = (
+        spark.readStream.schema(turns.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    canon, q = inc.streaming_canonicalize(stream, dictionary)
+    q.processAllAvailable()
+    q.stop()
+    rows = [(int(e[1:]), int(r[1:])) for e, r in canon.mapping().items()]
+    mdf = spark.createDataFrame(
+        rows or [(None, None)], "doc_id bigint, canonical_id bigint"
+    ).where(F.col("doc_id").isNotNull())
+    return (
+        docs.select("doc_id")
+        .join(mdf, "doc_id", "left")
+        .select("doc_id", F.coalesce("canonical_id", "doc_id").alias("canonical_id"))
+    )
+
+
 def q_kg_er_quality(spark, sf_dir):
     """ER-quality scorecard for the canonicalizer: the chain-CC clustering
     (a6's real iterative connected components) scored against the
@@ -5339,8 +5410,13 @@ REGISTRY: dict[str, tuple] = {
     "kg_flow_next_salted": (q_kg_flow_next_salted, SQL_KG_FLOW_NEXT),
     "kg_branch": (q_kg_branch, SQL_KG_BRANCH),
     "kg_call_return": (q_kg_call_return, SQL_KG_CALL_RETURN),
-    "kg_throws": (q_kg_throws, SQL_KG_THROWS),
     "kg_reaching_ref": (q_kg_reaching_ref, SQL_KG_REACHING_REF),
+    # §2.8 rotated in for r5 (verdict task 8): the streaming incremental
+    # canonicalizer, driver-checked against a6's exact CC oracle.
+    # kg_throws folded to stay at 50 — THROWS keeps its green driver
+    # evidence inside kg_full_pipeline_sql (which emits the throws layer)
+    # and its dedicated exact oracle keeps running in FOLDED_REGISTRY.
+    "kg_stream_canonical": (q_kg_stream_canonical, SQL_A6_CC),
     "kg_segment": (q_kg_segment, SQL_KG_SEGMENT),
     "kg_metrics_rollup": (q_kg_metrics_rollup, SQL_KG_METRICS_ROLLUP),
     "kg_export_dot": (q_kg_export_dot, SQL_KG_EXPORT_DOT),
@@ -6896,6 +6972,9 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     # folded in r4 to make room for kg_sentences (W3 stays green via
     # kg_segment; the session-window semantics remain exactly oracled here)
     "w3_sessionize": (q_w3_sessionize, SQL_W3_SESSIONIZE),
+    # folded in r5 for kg_stream_canonical (§2.8): THROWS stays driver-
+    # green via kg_full_pipeline_sql; the dedicated exact oracle runs here.
+    "kg_throws": (q_kg_throws, SQL_KG_THROWS),
     # folded in r4 for kg_triangles / decontaminate (see REGISTRY comments):
     # §2.6 keeps tpch_q1 green, J2 keeps kg_call_return green; both entries
     # keep their exact oracles here. kg_khop2 is the second graph-analytics

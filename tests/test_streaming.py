@@ -332,3 +332,24 @@ def test_streaming_topic_segments_match_batch_exactly(spark, stream_dir):
     got = {tuple(r) for r in spark.sql("SELECT * FROM topic_out").collect()}
     want = {tuple(r) for r in topic_segments(t).collect()}
     assert got == want and want
+
+
+def test_driver_stream_canonical_equals_batch_cc_entry(spark):
+    """The r5 driver entry kg_stream_canonical (foreachBatch incremental
+    canonicalization over micro-batched alias-introduction turns derived
+    from the documents chain graph) must emit exactly the batch
+    a6_cc_islands mapping — same graph, same min-label rule — which is
+    why the two entries share one exact SQL oracle."""
+    from jcpg_spark.plans.driver_queries import (
+        q_a6_cc_islands,
+        q_kg_stream_canonical,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r.doc_id, r.canonical_id)
+           for r in q_kg_stream_canonical(spark, sf).collect()}
+    want = {(r.doc_id, r.canonical_id)
+            for r in q_a6_cc_islands(spark, sf).collect()}
+    assert got == want and got
+    # the chain graph actually merged something (non-trivial components)
+    assert any(a != b for a, b in got)
