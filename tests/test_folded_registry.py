@@ -21,32 +21,49 @@ SF = "/root/testdata/sf0.001"
 # exactness gate elsewhere (pure-python/numpy twins, sketch-tolerance
 # gates, the kg_full_pipeline_sql composite), but a bare count()>0 in THIS
 # sweep would miss a silent value regression between those gates' runs.
-# All ten are deterministic under partitioning (partition-invariance is
-# itself pytest-gated for the trained/iterative ones), so the golden is
-# stable; recompute deliberately when an operator's semantics change:
-#   python - <<'PY'
-#   ... df_rows-based sha256 over FOLDED_REGISTRY[name] at sf0.001 (see
-#   test_rows_only_fold_matches_golden below for the exact recipe)
-#   PY
+# Floats (including inside array cells) are quantized to 6 dp BEFORE
+# hashing: several of these outputs are distributed float sums whose
+# combine order legitimately jitters at ~1e-15 relative (fastrp's
+# docstring says so explicitly — full-precision str() of its emb arrays
+# hashed differently run-to-run), while a real regression moves values by
+# far more than 1e-6. Goldens verified stable over 3 independent runs;
+# recompute deliberately when an operator's semantics change (same
+# _norm6/_rows_hash recipe over FOLDED_REGISTRY[name] at sf0.001).
 ROWS_ONLY_GOLDEN = {
-    "ann_pq_topk": ("03f1c5aa715e519a", 25),
-    "corpus_overlap": ("500762fc3fe0973c", 1),
+    "ann_pq_topk": ("7d94130ccac9ed97", 25),
+    "corpus_overlap": ("8a40b98d069c9fa5", 1),
     "corpus_profile": ("cd4fce918de932c9", 99),
     "emb_semantic_dedup": ("fd8aa2e45c3d89dd", 500),
-    "kg_densest": ("529d156bf21670bc", 131),
-    "kg_fastrp": ("3768446d5ebe77b8", 131),
+    "kg_densest": ("645d3129c72477f0", 131),
+    "kg_fastrp": ("895c8255f7939193", 131),
     "kg_full_pipeline": ("445460a84f9a57b0", 9327),
     "kg_neighborhood_fn": ("2ef764d04db82c8d", 7),
-    "kg_steps_to_failure": ("704ee9a4c62d3e25", 4),
-    "text_compression": ("7c8164ae247f7be1", 500),
+    "kg_steps_to_failure": ("cca49e90a4241cae", 4),
+    "text_compression": ("6ef1edca586e0123", 500),
 }
+
+
+def _norm6(v) -> str:
+    import math
+
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{round(v, 6):.6f}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm6(x) for x in v) + "]"
+    if hasattr(v, "as_integer_ratio") and not isinstance(v, (int, float)):
+        return f"{float(v):.6f}"
+    return str(v)
 
 
 def _rows_hash(cols, rows) -> str:
     import hashlib
 
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    srt = sorted(tuple(_norm6(r[i]) for i in order) for r in rows)
     return hashlib.sha256(
-        "\n".join("\x1f".join(t) for t in df_rows(cols, rows)).encode()
+        "\n".join("\x1f".join(t) for t in srt).encode()
     ).hexdigest()[:16]
 
 
