@@ -598,14 +598,16 @@ def _topic_fn(threshold):
     return fn
 
 
-def streaming_topic_segments(stream: DataFrame, threshold: float = 0.8) -> DataFrame:
+def streaming_topic_segments(stream: DataFrame, threshold: float = 0.15) -> DataFrame:
     """Stateful streaming topic segmentation: the batch
     ``flow.topic_segments`` lexical-cohesion boundaries carried across
     micro-batches with one state row per conversation (previous turn's
     word set + the running segment counter). Unlike the SFT miner there
     is no lookahead — cohesion only needs the PREVIOUS turn — so the
     stream emits every turn immediately and equals the batch operator
-    row-for-row (pytest-gated), including the 6 dp HALF_UP rounding."""
+    row-for-row (pytest-gated), including the 6 dp HALF_UP rounding.
+    The default threshold mirrors the batch operator's 0.15 (the r5
+    advice fix — the twins' defaults must never diverge)."""
     return (
         stream.select("conv_id", "turn_idx", "text")
         .groupBy("conv_id")
