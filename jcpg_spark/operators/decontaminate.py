@@ -96,3 +96,69 @@ def corpus_overlap(
             "containment_left"
         ),
     )
+
+
+def semantic_decontaminate(
+    embeddings: DataFrame,
+    eval_embeddings: DataFrame,
+    threshold: float = 0.5,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed0: int = 7042,
+) -> DataFrame:
+    """Embedding-space decontamination: -> (vec_id, eval_id, cos) — every
+    corpus vector whose cosine to SOME eval vector reaches ``threshold``,
+    with its best match (max cosine; ties to the smallest eval id) as the
+    triage exemplar.
+
+    The semantic complement of ``contamination``'s n-gram containment:
+    paraphrased or translated benchmark leakage shares no 13-gram but
+    sits next to the eval set in embedding space (the LLM-decontamination
+    setting of Yang et al. 2023, "Rethinking Benchmark and Contamination
+    ... n-gram overlap is not enough"). Same scale shape too — the eval
+    side is tiny by nature, the corpus side is the 100 TB one:
+
+    - candidates come from multi-table random-hyperplane buckets
+      (``similarity._rhp_buckets`` — the sha256-literal plane family, so
+      the FULL candidate generation has an exact DuckDB twin, r5 seam);
+      the eval cells BROADCAST, the corpus side never shuffles its
+      vectors into candidate generation (ids only);
+    - every emitted pair is verified by exact cosine, so LSH costs
+      recall only, never precision (recall for a pair at cosine s:
+      1-(1-p^n_planes)^n_tables, p = 1 - arccos(s)/pi);
+    - the rank-1 pick shares the candidate join's partitioning (window
+      over vec_id), so the whole operator is ONE corpus-side exchange.
+    """
+    from pyspark.sql import Window
+
+    from jcpg_spark.operators.similarity import _dot, _rhp_buckets, _unit
+
+    def cells(df: DataFrame, ident: str) -> DataFrame:
+        b = _rhp_buckets(vec_col, dim, n_planes, n_tables, seed0=seed0)
+        return df.select(F.col(id_col).alias(ident), F.explode(b).alias("tb")).select(
+            ident, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+        )
+
+    cand = (
+        cells(embeddings, "vec_id")
+        .join(F.broadcast(cells(eval_embeddings, "eval_id")), ["table", "bucket"])
+        .select("vec_id", "eval_id")
+        .distinct()
+    )
+    corp = _unit(embeddings, id_col, vec_col, "vec_id", "cv")
+    ev = _unit(eval_embeddings, id_col, vec_col, "eval_id", "ev")
+    scored = (
+        cand.join(corp, "vec_id")
+        .join(F.broadcast(ev), "eval_id")
+        .withColumn("cos", _dot(F.col("cv"), F.col("ev")))
+        .filter(F.col("cos") >= threshold)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("eval_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "eval_id", F.round("cos", 6).alias("cos"))
+    )

@@ -1799,6 +1799,45 @@ FROM r WHERE rank <= 5
 """
 
 
+def q_emb_decontaminate(spark, sf_dir):
+    """Semantic decontamination (r5): corpus vectors within cosine 0.35 of
+    any eval vector (deterministic eval split: vec_id % 7 == 0; 0.35
+    sits just under the synthetic corpus's max cross-split cosine 0.49,
+    yielding a non-trivial contaminated set), best
+    match per contaminated vector. RHP-LSH bucketed candidates with the
+    broadcast eval side + exact cosine verify — the paraphrase-leakage
+    complement of the 13-gram `decontaminate` protocol. Exact oracle:
+    the sha256-literal hyperplanes are embedded in the SQL verbatim
+    (same seam as dedup_embedding_lsh / ann_lsh_topk)."""
+    from jcpg_spark.operators.decontaminate import semantic_decontaminate
+
+    emb = _emb(spark, sf_dir)
+    ev = emb.filter(F.col("vec_id") % 7 == 0)
+    corp = emb.filter(F.col("vec_id") % 7 != 0)
+    return semantic_decontaminate(corp, ev, threshold=0.35)
+
+
+SQL_EMB_DECONTAMINATE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ev AS (SELECT vec_id, v FROM e WHERE vec_id % 7 = 0),
+corp AS (SELECT vec_id, v FROM e WHERE vec_id % 7 <> 0),
+bc AS ({_duck_rhp_cells(64, 4, 8, 7042, src="corp")}),
+be AS ({_duck_rhp_cells(64, 4, 8, 7042, src="ev")}),
+cand AS (SELECT DISTINCT bc.vec_id AS vec_id, be.vec_id AS eval_id
+         FROM bc JOIN be ON bc.tbl = be.tbl AND bc.bucket = be.bucket),
+scored AS (SELECT c.vec_id, c.eval_id,
+                  list_cosine_similarity(a.v, b.v) AS cos
+           FROM cand c
+           JOIN corp a ON a.vec_id = c.vec_id
+           JOIN ev b ON b.vec_id = c.eval_id
+           WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, eval_id) AS rk
+      FROM scored)
+SELECT vec_id, eval_id, round(cos, 6) AS cos FROM r WHERE rk = 1
+"""
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN: k-means-trained coarse quantizer (2 distributed Lloyd
     rounds over the deterministic first-k seed) + nprobe search — rows-only
@@ -7097,6 +7136,9 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     "kg_export_nquads": (q_kg_export_nquads, SQL_KG_EXPORT_NQUADS),
     # benchmark decontamination vs a held-out eval set (13-gram protocol)
     "doc_decontaminate": (q_doc_decontaminate, SQL_DOC_DECONTAMINATE),
+    # semantic (embedding-space) decontamination — paraphrase leakage the
+    # n-gram rule misses; exact-oracled via the sha256-literal RHP planes
+    "emb_decontaminate": (q_emb_decontaminate, SQL_EMB_DECONTAMINATE),
     # characteristic sets (RDF join-cardinality statistic / structural census)
     "kg_charsets": (q_kg_charsets, SQL_KG_CHARSETS),
     # kind-level schema census with dangling-endpoint surfacing

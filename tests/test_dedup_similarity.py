@@ -815,3 +815,43 @@ def test_md5_family_minhash_simhash_same_shape_as_production(spark, docs_df):
     sh = simhash_pairs(docs_df, hash_family="md5")
     assert sh.columns == simhash_pairs(docs_df).columns
     assert any(r["hamming"] == 0 for r in sh.collect())
+
+
+def test_semantic_decontaminate_closed_form_and_broadcast(spark):
+    """A corpus vector parallel to an eval vector is flagged with its
+    argmax match (ties to the smallest eval id); orthogonal vectors are
+    not; the eval cells + eval vectors both reach the corpus side as
+    broadcasts (the corpus never shuffles its payload into candidate
+    generation)."""
+    from jcpg_spark.operators.decontaminate import semantic_decontaminate
+
+    dim = 8
+
+    def vec(*hot):
+        v = [0.0] * dim
+        for i, w in hot:
+            v[i] = w
+        return v
+
+    ev = spark.createDataFrame(
+        [(100, vec((0, 1.0))), (101, vec((0, 1.0))), (102, vec((3, 1.0)))],
+        "vec_id long, embedding array<float>",
+    )
+    corp = spark.createDataFrame(
+        [
+            (1, vec((0, 2.0))),              # parallel to BOTH 100 and 101
+            (2, vec((0, 1.0), (3, 1.0))),    # cos ~0.707 to each axis
+            (3, vec((5, 1.0))),              # orthogonal to every eval vec
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = semantic_decontaminate(
+        corp, ev, threshold=0.6, dim=dim, n_planes=2, n_tables=8)
+    got = {r["vec_id"]: (r["eval_id"], r["cos"]) for r in out.collect()}
+    assert got[1] == (100, 1.0)              # tie 100 vs 101 -> smaller id
+    assert 3 not in got                       # orthogonal never flagged
+    if 2 in got:                              # LSH recall at 0.707 is high
+        assert round(got[2][1], 3) == 0.707
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
