@@ -1841,11 +1841,60 @@ SELECT vec_id, eval_id, round(cos, 6) AS cos FROM r WHERE rk = 1
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN: k-means-trained coarse quantizer (2 distributed Lloyd
     rounds over the deterministic first-k seed) + nprobe search — rows-only
-    (centroid assignment is engine-defined); recall vs brute force and
-    training-objective improvement asserted in pytest."""
+    (TRAINED centroids are the one non-SQL-expressible piece; recall vs
+    brute force and training-objective improvement asserted in pytest).
+    The search machinery itself IS exactly checkable: see the folded
+    ann_ivf_seeded_topk twin below, which runs the identical
+    assignment/probe/re-rank path over the deterministic seed centroids
+    with a full DuckDB oracle."""
     emb = _emb(spark, sf_dir)
     cents = similarity.kmeans_centroids(emb, k=16, iters=2)
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), cents, k=5, nprobe=4)
+
+
+def q_ann_ivf_seeded_topk(spark, sf_dir):
+    """The exact-oracle twin of ann_ivf_topk (r5): the SAME ivf_assign /
+    nprobe-probe / exact-re-rank code path, over the deterministic seed
+    centroids (first 16 vectors by id) instead of the Lloyd-trained ones —
+    so the entire IVF SEARCH machinery (argmax assignment with
+    first-max-index ties, probe prefix ordered (sim desc, idx), candidate
+    union, (score desc, id) re-rank) is certified rows+schema+hash by SQL,
+    isolating the genuinely untestable-by-SQL part of IVF to the training
+    loop alone (which keeps its objective-improvement pytest gate)."""
+    emb = _emb(spark, sf_dir)
+    cents = similarity.default_centroids(emb, k=16)
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), cents, k=5, nprobe=4)
+
+
+SQL_ANN_IVF_SEEDED = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c16 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16),
+cn AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv FROM c16),
+sims AS (SELECT e.vec_id, cn.cid, list_cosine_similarity(e.v, cn.cv) AS s
+         FROM e CROSS JOIN cn),
+best AS (SELECT vec_id, cid FROM (
+           SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rk
+           FROM sims) WHERE rk = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+qs AS (SELECT q.query_id, cn.cid, list_cosine_similarity(q.qv, cn.cv) AS s
+       FROM q CROSS JOIN cn),
+probes AS (SELECT query_id, cid FROM (
+             SELECT query_id, cid,
+                    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, cid) AS rk
+             FROM qs) WHERE rk <= 4),
+cand AS (SELECT p.query_id, b.vec_id FROM probes p JOIN best b ON b.cid = p.cid
+         WHERE b.vec_id <> p.query_id),
+sc AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+              list_cosine_similarity(eq.v, en.v) AS score
+       FROM cand c JOIN e eq ON eq.vec_id = c.query_id
+                   JOIN e en ON en.vec_id = c.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM sc)
+SELECT query_id, neighbor_id, rank, round(score, 6) AS score
+FROM r WHERE rank <= 5
+"""
 
 
 def q_text_lang_predict(spark, sf_dir):
@@ -7139,6 +7188,9 @@ FOLDED_REGISTRY: dict[str, tuple] = {
     # semantic (embedding-space) decontamination — paraphrase leakage the
     # n-gram rule misses; exact-oracled via the sha256-literal RHP planes
     "emb_decontaminate": (q_emb_decontaminate, SQL_EMB_DECONTAMINATE),
+    # IVF search machinery certified exactly over seed centroids (the
+    # registry twin keeps the trained quantizer, rows-only for training)
+    "ann_ivf_seeded_topk": (q_ann_ivf_seeded_topk, SQL_ANN_IVF_SEEDED),
     # characteristic sets (RDF join-cardinality statistic / structural census)
     "kg_charsets": (q_kg_charsets, SQL_KG_CHARSETS),
     # kind-level schema census with dangling-endpoint surfacing
