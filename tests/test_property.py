@@ -111,3 +111,95 @@ def test_pipeline_matches_oracle_on_random_transcripts(spark, prop_dict, rows):
     )
     got_canonical = {r.mention_id: r.canonical_id for r in res.canonical.collect()}
     assert got_canonical == want_canonical
+
+
+# ---------------------------------------------------------------------------
+# MP4 box walker (r5): the parser must recover exactly what the boxes
+# declare under adversarial container layouts the synthesizer never emits —
+# unknown sibling boxes, permuted moov children, version-1 64-bit fields,
+# largesize and to-end-of-file size encodings.
+# ---------------------------------------------------------------------------
+import struct as _struct
+
+from jcpg_spark.operators import multimodal as _mm
+
+
+def _mvhd(version, timescale, dur_ticks):
+    matrix = _struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    tail = (_struct.pack(">iH10x", 0x00010000, 0x0100) + matrix
+            + _struct.pack(">6I", 0, 0, 0, 0, 0, 0) + _struct.pack(">I", 2))
+    if version:
+        head = _struct.pack(">B3xQQIQ", 1, 0, 0, timescale, dur_ticks)
+    else:
+        head = _struct.pack(">B3xIIII", 0, 0, 0, timescale, dur_ticks)
+    return _mm._mp4_box(b"mvhd", head + tail)
+
+
+def _tkhd(version, width, height, dur_ticks):
+    matrix = _struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    if version:
+        head = _struct.pack(">B3BQQI4xQ8x", 1, 0, 0, 7, 0, 0, 1, dur_ticks)
+    else:
+        head = _struct.pack(">B3BIII4xI8x", 0, 0, 0, 7, 0, 0, 1, dur_ticks)
+    return _mm._mp4_box(
+        b"tkhd",
+        head + _struct.pack(">HHHH", 0, 0, 0, 0) + matrix
+        + _struct.pack(">II", width << 16, height << 16),
+    )
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    width=st.integers(min_value=1, max_value=8192),
+    height=st.integers(min_value=1, max_value=8192),
+    dur_ms=st.integers(min_value=0, max_value=86_400_000),
+    version=st.integers(min_value=0, max_value=1),
+    timescale=st.sampled_from([1000, 600, 90_000, 48_000]),
+    pre_boxes=st.lists(st.sampled_from([b"free", b"skip", b"wide"]), max_size=3),
+    junk=st.binary(max_size=64),
+    mvhd_first=st.booleans(),
+    moov_encoding=st.sampled_from(["plain", "largesize", "eof"]),
+)
+def test_mp4_walker_recovers_declared_metadata(width, height, dur_ms, version,
+                                               timescale, pre_boxes, junk,
+                                               mvhd_first, moov_encoding):
+    from hypothesis import assume
+
+    ticks = dur_ms * timescale // 1000
+    # version-0 boxes carry 32-bit durations; a tick count needing 64 bits
+    # is exactly what version 1 exists for
+    assume(version == 1 or ticks < 2**32)
+    children = [_mvhd(version, timescale, ticks),
+                _mm._mp4_box(b"trak", _tkhd(version, width, height, ticks))]
+    if not mvhd_first:
+        children.reverse()
+    moov_body = b"".join(children) + _mm._mp4_box(b"udta", junk)
+    if moov_encoding == "plain":
+        moov = _mm._mp4_box(b"moov", moov_body)
+    elif moov_encoding == "largesize":
+        moov = _struct.pack(">I4sQ", 1, b"moov", 16 + len(moov_body)) + moov_body
+    else:  # size=0: moov extends to end of file, must be last
+        moov = _struct.pack(">I4s", 0, b"moov") + moov_body
+    payload = (_mm._mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isommp42")
+               + b"".join(_mm._mp4_box(t, junk) for t in pre_boxes)
+               + moov)
+    got_w, got_h, got_ms = _mm.parse_mp4_header(payload)
+    assert (got_w, got_h) == (width, height)
+    # duration round-trips through the declared timescale (floor division
+    # on both sides: ms -> ticks at build, ticks -> ms at parse)
+    assert got_ms == ticks * 1000 // timescale
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(payload=st.binary(min_size=0, max_size=256))
+def test_mp4_walker_never_crashes_on_garbage(payload):
+    """Arbitrary bytes must raise ValueError (or parse, if hypothesis
+    stumbles onto a valid container) — never IndexError/struct.error:
+    a malformed payload in a 100 TB scan must fail as a classified
+    per-row error, not an executor crash."""
+    try:
+        _mm.parse_mp4_header(payload)
+    except ValueError:
+        pass
