@@ -60,3 +60,13 @@ def ship_package(spark) -> None:
     if not os.path.exists(dest):
         build_pyfiles_zip(dest)
     spark.sparkContext.addPyFile(dest)
+
+
+if __name__ == "__main__":
+    # `python -m jcpg_spark.packaging [dest]` — the documented build step
+    # for `spark-submit --py-files dist/jcpg_spark.zip` (north_rule run
+    # mode; scripts/run_kg_job.py's usage header). Prints the artifact
+    # path so shell pipelines can capture it.
+    import sys
+
+    print(build_pyfiles_zip(sys.argv[1] if len(sys.argv) > 1 else None))
