@@ -203,3 +203,33 @@ def test_mp4_walker_never_crashes_on_garbage(payload):
         _mm.parse_mp4_header(payload)
     except ValueError:
         pass
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(strings=st.lists(
+    st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40),
+    min_size=1, max_size=8, unique=True),
+    seed=st.integers(min_value=0, max_value=63))
+def test_md5_hash_family_matches_duckdb_on_random_strings(spark, strings, seed):
+    """The r5 oracle seam invariant under hypothesis: for ARBITRARY
+    unicode strings and seeds, dedup._hash64_sql('md5', seed, s) in Spark
+    equals the DuckDB expression byte-for-byte — the property every
+    md5-family LSH oracle rests on. (The fixed-vector test pins known
+    values; this pins the encoding-agreement edge cases: astral-plane
+    chars, combining marks, embedded colons and quotes.)"""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from jcpg_spark.operators.dedup import _hash64_sql
+
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {r["s"]: r["h"] for r in df.select(
+        "s", F.expr(_hash64_sql("md5", str(seed), "s")).alias("h")).collect()}
+    con = duckdb.connect()
+    for s in strings:
+        want = con.execute(
+            "SELECT CAST(('0x'||substr(md5(CAST(? AS VARCHAR)||':'||?),1,15)) AS BIGINT)",
+            [seed, s]).fetchone()[0]
+        assert got[s] == want, repr(s)
