@@ -821,6 +821,14 @@ def main() -> None:
         "kg_triangles",
         "kg_pagerank",
         "tpch_q1",
+        # r5 registry rotation: the promoted daily-driver surfaces get
+        # measured walls too (corpus_build is the full curation funnel —
+        # the heaviest single query by design; kg_stream_canonical runs a
+        # real 4-micro-batch Structured Streaming replay inside its wall)
+        "corpus_build",
+        "dedup_keep_list",
+        "doc_bm25_topk",
+        "kg_stream_canonical",
     ]
     # dedup_minhash/dedup_simhash registry entries run the md5 hash family
     # (the exact-oracle twin, r4 verdict task 4); the bench times the

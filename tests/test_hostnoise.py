@@ -176,7 +176,7 @@ def test_compact_line_under_driver_tail_capture():
         "value": 88.888,
         "unit": "sec",
         "queries": {f"a_very_long_query_name_number_{i:02d}": 123.456789
-                    for i in range(12)},
+                    for i in range(16)},
         "sf": 0.1,
         "triples": 55_000_000,
         "scaling": {
