@@ -208,6 +208,7 @@ def corpus_build(
     distribution the sampler actually draws from), matching how a real
     pipeline rebalances after cleaning.
     """
+    from jcpg_spark.caching import swap_persist
     from jcpg_spark.operators.decontaminate import contamination
 
     base = docs.select(
@@ -218,6 +219,12 @@ def corpus_build(
         F.md5(normalize_text(F.col(text_col))).alias("norm_h"),
         doc_uniform().alias("u"),
     )
+    # base feeds FOUR branches (canon agg, dedup join, contamination's
+    # shingle derivation, the filtered union arm) and each branch would
+    # otherwise re-scan the corpus and re-run the whole regex chain
+    # (reason + normalize + md5) — the plan showed 26 duplicated parquet
+    # scans before this persist. One scan, one regex pass.
+    base = swap_persist("corpus_build.base", base)
     curated = base.where(F.col("reason") == "ok")
     canon = curated.groupBy("norm_h").agg(F.min("doc_id").alias("canonical_id"))
     dd = curated.select("doc_id", "grp", "norm_h", "u").join(canon, "norm_h")
@@ -235,6 +242,10 @@ def corpus_build(
             F.coalesce(F.col("is_contaminated"), F.lit(False)).alias("is_cont"),
         )
     )
+    # marked feeds the survivor-marginal rate table AND the staged output,
+    # and its tree holds the dedup join + contamination semi-join — persist
+    # so the funnel upstream runs once, not once per consumer.
+    marked = swap_persist("corpus_build.marked", marked)
     survivors = marked.where(F.col("is_canon") & ~F.col("is_cont"))
     rates = temperature_rates(survivors, target_frac_ppm=target_frac_ppm, group_col="grp")
     staged = marked.join(F.broadcast(rates), "grp", "left").select(
