@@ -69,7 +69,9 @@ def _driver_union_find_rows(rows, pairs: DataFrame) -> DataFrame:
 INTRO_RX = r"^introducing\b"
 
 
-def alias_pairs(transcripts: DataFrame, linked_mentions: DataFrame) -> DataFrame:
+def alias_pairs(
+    transcripts: DataFrame, linked_mentions: DataFrame, dedupe: bool = True
+) -> DataFrame:
     """Extract (entity_a, entity_b) assertions from alias-introduction turns.
 
     A turn whose text matches the introduction form ('introducing X as Y')
@@ -109,9 +111,14 @@ def alias_pairs(transcripts: DataFrame, linked_mentions: DataFrame) -> DataFrame
         F.count(F.lit(1)).alias("n"),
     )
     pairs = per_turn.filter((F.col("n") >= 2) & (F.col("first") != F.col("second")))
-    return pairs.select(
+    out = pairs.select(
         F.least("first", "second").alias("a"), F.greatest("first", "second").alias("b")
-    ).distinct()
+    )
+    # dedupe=False skips the distinct exchange for callers that dedupe the
+    # (entity-vocabulary-sized) pair set themselves — the streaming
+    # canonicalizer folds each micro-batch into a driver set, so the extra
+    # shuffle bought nothing per batch.
+    return out.distinct() if dedupe else out
 
 
 def _large_star(edges: DataFrame) -> DataFrame:

@@ -28,7 +28,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -49,6 +49,27 @@ def score_links(
     bonus = ((kind == "tool") & (namespace == tool)).astype("float64") * 0.3
     bonus = bonus + (role == "assistant").astype("float64") * 0.05
     return prior.astype("float64") + bonus
+
+
+def score_links_expr(
+    prior: Column, kind: Column, namespace: Column, role: Column, tool: Column
+) -> Column:
+    """JVM-expression twin of ``score_links`` — bit-identical doubles.
+
+    The scoring input is dictionary-x-context sized (tiny), but the pandas
+    UDF still cost one ArrowEvalPython stage (python worker launch + Arrow
+    round trip) per link_mentions call — per MICRO-BATCH on the streaming
+    path. The same arithmetic as built-in expressions runs inside whole-
+    stage codegen with no Python boundary (guide §4.1). Identical IEEE tree:
+    prior + ((m * 0.3) + (a * 0.05)), with pandas' null semantics (a
+    comparison involving null is False, so each conjunct coalesces to
+    False) — equality with the UDF is pytest-gated on a null-bearing grid.
+    """
+    m = F.coalesce((kind == "tool") & (namespace == tool), F.lit(False))
+    a = F.coalesce(role == "assistant", F.lit(False))
+    return prior.cast("double") + (
+        m.cast("double") * F.lit(0.3) + a.cast("double") * F.lit(0.05)
+    )
 
 
 def link_mentions(
@@ -73,9 +94,17 @@ def link_mentions(
     fallback = ctx is not None
     if ctx is None:
         ctx = mentions.select("role", "tool").distinct()
+    best = _context_best(dictionary, ctx)
+    best0 = _surface_best(dictionary) if fallback else None
+    return _apply_link(mentions, best, best0)
+
+
+def _context_best(dictionary: DataFrame, ctx: DataFrame) -> DataFrame:
+    """Dictionary-side rank-1 table per (surface, role, tool) context —
+    the build side of the linking broadcast join."""
     cand = ctx.crossJoin(dictionary).withColumn(
         "score",
-        score_links(
+        score_links_expr(
             F.col("prior"), F.col("kind"), F.col("namespace"), F.col("role"), F.col("tool")
         ),
     )
@@ -83,7 +112,7 @@ def link_mentions(
     # (score desc, canonical asc, namespace asc) — deterministic; the input
     # is dictionary-sized, so the aggregate is trivial.
     payload = [c for c in cand.columns if c not in ("surface", "role", "tool")]
-    best = cand.groupBy("surface", "role", "tool").agg(
+    return cand.groupBy("surface", "role", "tool").agg(
         F.min_by(
             F.struct(*payload),
             F.struct((-F.col("score")).alias("s"), F.col("canonical"), F.col("namespace")),
@@ -94,16 +123,12 @@ def link_mentions(
         F.coalesce(F.col("tool"), F.lit("\x00")).alias("_tool_key"),
         *[F.col(f"best.{c}").alias(c) for c in payload if c != "prior"],
     )
-    # broadcast hash join on (surface, role, tool) — null-safe via sentinel
-    m = mentions.withColumn("_tool_key", F.coalesce(F.col("tool"), F.lit("\x00")))
-    hit = m.join(F.broadcast(best), on=["surface", "role", "_tool_key"], how="inner").drop(
-        "_tool_key"
-    )
-    if not fallback:
-        return hit
-    # context-free rank-1 per surface (prior only, same deterministic
-    # tie-break) for mentions whose context the static ctx did not declare
-    best0 = (
+
+
+def _surface_best(dictionary: DataFrame) -> DataFrame:
+    """Context-free rank-1 per surface (prior only, same deterministic
+    tie-break) for mentions whose context a static ctx did not declare."""
+    return (
         dictionary.groupBy("surface")
         .agg(
             F.min_by(
@@ -120,12 +145,44 @@ def link_mentions(
             F.col("b.prior").cast("double").alias("score"),
         )
     )
+
+
+def _apply_link(mentions: DataFrame, best: DataFrame, best0: DataFrame | None) -> DataFrame:
+    """Probe side of the link: broadcast hash join on (surface, role, tool)
+    — null-safe via sentinel; with ``best0`` set, undeclared contexts fall
+    back to the context-free winner instead of being dropped."""
+    m = mentions.withColumn("_tool_key", F.coalesce(F.col("tool"), F.lit("\x00")))
+    hit = m.join(F.broadcast(best), on=["surface", "role", "_tool_key"], how="inner").drop(
+        "_tool_key"
+    )
+    if best0 is None:
+        return hit
     miss = m.join(
         F.broadcast(best.select("surface", "role", "_tool_key")),
         on=["surface", "role", "_tool_key"],
         how="left_anti",
     ).drop("_tool_key")
     return hit.unionByName(miss.join(F.broadcast(best0), "surface", "inner"))
+
+
+def make_context_linker(dictionary: DataFrame, ctx: DataFrame):
+    """Repeated-linking closure for STATIC-context callers (micro-batch
+    streaming): the dictionary-side rank-1 tables (``_context_best`` over
+    the declared ctx, plus the context-free fallback) are built and
+    persisted ONCE, so each micro-batch pays only the probe-side broadcast
+    join — not a per-batch ctx distinct + dictionary crossJoin + rank
+    aggregation. Semantics equal ``link_mentions(m, dictionary, ctx=ctx)``
+    exactly (same tables, same join tree), pytest-gated.
+    """
+    from jcpg_spark.caching import swap_persist
+
+    best = swap_persist("context_linker.best", _context_best(dictionary, ctx))
+    best0 = swap_persist("context_linker.best0", _surface_best(dictionary))
+
+    def link(mentions: DataFrame) -> DataFrame:
+        return _apply_link(mentions, best, best0)
+
+    return link
 
 
 def import_triples(linked_mentions: DataFrame) -> DataFrame:

@@ -57,7 +57,16 @@ def bm25_topk(
     corpus has no tf rows and drops out of the sum on both engines.
     """
     toks = tokens(docs, text_col, id_col)
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    # document length = token count, computable MAP-SIDE as the size of the
+    # regex match array — no explode and no corpus-wide hash-agg shuffle for
+    # the dl table (previously the full token stream was exploded twice:
+    # once for dl, once for tf). Zero-token docs are excluded to match the
+    # exploded form exactly (they contribute no token rows, so the groupBy
+    # never saw them in n_docs/avgdl).
+    dl = docs.select(
+        F.col(id_col),
+        F.size(F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RX}', 0)")).alias("dl"),
+    ).where(F.col("dl") > 0)
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )

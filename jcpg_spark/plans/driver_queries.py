@@ -1262,7 +1262,12 @@ def q_kg_stream_canonical(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    canon, q = inc.streaming_canonicalize(stream, dictionary)
+    # every synthesized turn above is role='assistant' with a null tool, so
+    # the context set is STATIC and the linking build side computes once for
+    # the whole replay instead of once per micro-batch (identical output:
+    # the declared ctx covers every turn, so the fallback arm is empty)
+    ctx = spark.createDataFrame([("assistant", None)], "role string, tool string")
+    canon, q = inc.streaming_canonicalize(stream, dictionary, ctx=ctx)
     q.processAllAvailable()
     q.stop()
     rows = [(int(e[1:]), int(r[1:])) for e, r in canon.mapping().items()]

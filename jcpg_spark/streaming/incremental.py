@@ -347,14 +347,33 @@ class IncrementalCanonicalizer:
     union of all pairs seen so far (pytest-gated batch equivalence).
     """
 
-    def __init__(self, spark: SparkSession, dictionary: DataFrame):
+    def __init__(
+        self, spark: SparkSession, dictionary: DataFrame, ctx: DataFrame | None = None
+    ):
+        from jcpg_spark.caching import swap_persist
         from jcpg_spark.operators import linking, mentions
 
         self._mentions = mentions
         self._linking = linking
         self.spark = spark
-        self.dictionary = dictionary
-        self.surfaces = [r["surface"] for r in dictionary.select("surface").distinct().collect()]
+        # the dictionary plan is re-executed by EVERY micro-batch's linking
+        # crossJoin (it may itself be a derived plan with its own scan and
+        # exchanges); persist it for the canonicalizer's lifetime — the
+        # surfaces collect below doubles as the materializing action.
+        self.dictionary = swap_persist("incremental_canonicalizer.dictionary", dictionary)
+        self.surfaces = [
+            r["surface"] for r in self.dictionary.select("surface").distinct().collect()
+        ]
+        # static-context fast path (link_mentions' own streaming contract):
+        # with a declared ctx the dictionary-side rank tables build ONCE
+        # instead of per micro-batch; identical output as long as the
+        # stream's (role, tool) pairs are covered — uncovered ones fall
+        # back to the context-free winner rather than dropping.
+        self._link = (
+            linking.make_context_linker(self.dictionary, ctx)
+            if ctx is not None
+            else (lambda m: linking.link_mentions(m, self.dictionary))
+        )
         self.parent: dict[str, str] = {}
 
     def _find(self, x: str) -> str:
@@ -369,18 +388,33 @@ class IncrementalCanonicalizer:
         Returns the number of (distinct) pairs observed in the batch."""
         from jcpg_spark.operators import canonicalize
 
+        from jcpg_spark.caching import swap_persist
+
         m = self._mentions.detect_mentions(
             self.spark, transcripts_batch, self.surfaces,
             turn_flag_rx=canonicalize.INTRO_RX,
         )
-        linked = self._linking.link_mentions(m, self.dictionary)
-        rows = canonicalize.alias_pairs(transcripts_batch, linked).collect()
-        for r in rows:
-            ra, rb = self._find(r["a"]), self._find(r["b"])
+        # m feeds link_mentions' observed-context distinct AND its join
+        # side; unpersisted, the mapInPandas detection pass ran TWICE per
+        # micro-batch. The slot swap releases the previous batch's cache.
+        m = swap_persist("incremental_canonicalizer.mentions", m)
+        linked = self._link(m)
+        # dedupe=False drops alias_pairs' closing distinct — one fewer
+        # exchange per MICRO-BATCH; the driver-side set dedupes the tiny
+        # collected pair list instead (the union-find is idempotent, and
+        # the returned count is the distinct count either way).
+        pairs = {
+            (r["a"], r["b"])
+            for r in canonicalize.alias_pairs(
+                transcripts_batch, linked, dedupe=False
+            ).collect()
+        }
+        for a, b in pairs:
+            ra, rb = self._find(a), self._find(b)
             if ra != rb:
                 lo, hi = sorted((ra, rb))
                 self.parent[hi] = lo
-        return len(rows)
+        return len(pairs)
 
     def mapping(self) -> dict[str, str]:
         """entity -> component root (min label), for every entity seen in a
@@ -397,14 +431,19 @@ class IncrementalCanonicalizer:
 
 
 def streaming_canonicalize(
-    stream: DataFrame, dictionary: DataFrame
+    stream: DataFrame, dictionary: DataFrame, ctx: DataFrame | None = None
 ) -> tuple["IncrementalCanonicalizer", object]:
     """Drive IncrementalCanonicalizer over a transcript stream via
     foreachBatch (canonicalization is a fixpoint over global state — it is
     a sink-side fold, not a per-row transformation, so foreachBatch is the
     right streaming primitive). Returns (canonicalizer, streaming query);
-    callers stop/await the query and then read the canonicalizer."""
-    canon = IncrementalCanonicalizer(stream.sparkSession, dictionary)
+    callers stop/await the query and then read the canonicalizer.
+
+    ``ctx``: optional static (role, tool) context set — when the caller
+    knows the stream's contexts up front, the linking build side is
+    computed once instead of per micro-batch (see
+    ``linking.make_context_linker``)."""
+    canon = IncrementalCanonicalizer(stream.sparkSession, dictionary, ctx=ctx)
     q = (
         stream.writeStream.foreachBatch(lambda df, _id: canon.update(df))
         .trigger(availableNow=True)

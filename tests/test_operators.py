@@ -858,3 +858,62 @@ def test_refresh_dictionary_blend_semantics(spark):
     assert out[("db", "tool_db")] == (round(0.5 * 0.8 + 0.5 * 0.75, 6), False)
     assert out[("db", "generic_db")] == (round(0.5 * 0.2 + 0.5 * 0.25, 6), False)
     assert out[("ghost", "never_seen")] == (0.7, True)
+
+
+def test_score_links_expr_matches_pandas_udf(spark):
+    # the JVM-expression scoring twin (r6: no ArrowEvalPython stage per
+    # link_mentions call) must be bit-identical to the declared pandas UDF,
+    # including pandas' null semantics (null comparisons -> False bonus)
+    import pyspark.sql.functions as F
+
+    rows = [
+        (0.5, "tool", "db", "assistant", "db"),      # both bonuses
+        (0.6, "artifact", "core", "assistant", "db"),  # role bonus only
+        (0.5, "tool", "db", "user", "db"),           # ns bonus only
+        (0.7, "tool", "db", None, "db"),             # null role
+        (0.7, "tool", None, "assistant", None),      # null ns AND null tool
+        (0.7, None, "db", "assistant", "db"),        # null kind
+        (0.7, "tool", "db", "assistant", None),      # null tool
+        (0.31, "artifact", "x", "user", None),       # no bonus
+    ]
+    df = spark.createDataFrame(
+        rows, "prior double, kind string, namespace string, role string, tool string"
+    )
+    both = df.select(
+        linking.score_links(
+            F.col("prior"), F.col("kind"), F.col("namespace"), F.col("role"), F.col("tool")
+        ).alias("udf"),
+        linking.score_links_expr(
+            F.col("prior"), F.col("kind"), F.col("namespace"), F.col("role"), F.col("tool")
+        ).alias("expr"),
+    ).collect()
+    for r in both:
+        assert r.udf == r.expr, (r.udf, r.expr)
+
+
+def test_make_context_linker_matches_link_mentions(spark):
+    # the persisted-build-side closure (r6: micro-batch linking without a
+    # per-batch dictionary aggregation) must emit exactly link_mentions'
+    # rows for the same static ctx, declared and undeclared contexts alike
+    dic = spark.createDataFrame(
+        [
+            ("alpha cache", "alpha_cache", "core", "artifact", 0.9, False),
+            ("alpha cache", "alpha_cache_alt", "alt", "tool", 0.7, False),
+        ],
+        "surface string, canonical string, namespace string, kind string, prior double, defs_state boolean",
+    )
+    ments = spark.createDataFrame(
+        [
+            ("c0", 0, 0, "alpha cache", "assistant", "alt"),
+            ("c1", 0, 0, "alpha cache", "assistant", "newtool"),
+            ("c2", 0, 0, "alpha cache", "operator", None),
+        ],
+        "conv_id string, turn_idx int, ordinal int, surface string, role string, tool string",
+    )
+    ctx = spark.createDataFrame(
+        [("assistant", "alt"), ("assistant", None)], "role string, tool string"
+    )
+    want = sorted(map(tuple, linking.link_mentions(ments, dic, ctx=ctx).collect()))
+    link = linking.make_context_linker(dic, ctx)
+    got = sorted(map(tuple, link(ments).collect()))
+    assert got == want
