@@ -3331,7 +3331,11 @@ def q_dedup_keep_list(spark, sf_dir):
     the component minimum — the same min-label the engine's union-find /
     star alternation converges to."""
     docs = _docs(spark, sf_dir)
-    pairs = dedup.jaccard_pairs(docs, n=3, threshold=0.4).select("doc_a", "doc_b")
+    # r6: pair generation via the AllPairs/PPJoin prefix filter — the same
+    # swap dedup_ngram_jaccard shipped in r4 (identical pair set on the
+    # same oracle, ~2x cheaper candidate join); the CC + keep composition
+    # downstream is untouched.
+    pairs = dedup.jaccard_pairs_prefix(docs, n=3, threshold=0.4).select("doc_a", "doc_b")
     return dedup.keep_list(docs, pairs)
 
 
