@@ -2369,6 +2369,11 @@ def _comention_edges(spark, sf_dir, min_weight=2):
         F.col("user_id").alias("conv_id"),
         F.round("value").cast("int").alias("entity"),
     )
+    # NOT persisted (r6 measured): the edge list is vocabulary-sized and
+    # every consumer persists its own derived frame (pagerank's adjacency,
+    # triangle_counts' oriented set); an extra cache here only inserts a
+    # serial materialization barrier and hides size stats from the
+    # downstream join planner (kg_triangles regressed 1.7s -> 3.4s with it).
     return graph_analytics.co_mention_edges(mentions, min_weight=min_weight)
 
 
