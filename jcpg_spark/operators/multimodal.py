@@ -161,7 +161,16 @@ def parse_mp4_header(payload: bytes) -> tuple[int, int, int]:
     duration_ms = width = height = None
     for btype, body, bend in boxes(payload, *moov):
         if btype == b"mvhd":
+            # fail-as-ValueError contract (r5 ADVICE): validate the body
+            # length BEFORE reading fields — a size-8 (empty-body) mvhd
+            # previously raised IndexError at payload[body] and a short
+            # body raised struct.error at the fixed-offset unpack.
+            if body >= bend:
+                raise ValueError("MP4 truncated mvhd (empty body)")
             version = payload[body]
+            need = 32 if version == 1 else 20
+            if bend - body < need:
+                raise ValueError("MP4 truncated mvhd")
             if version == 1:
                 _c, _m, timescale, duration = struct.unpack(
                     ">QQIQ", payload[body + 4 : body + 32])
@@ -172,14 +181,20 @@ def parse_mp4_header(payload: bytes) -> tuple[int, int, int]:
                 raise ValueError("MP4 mvhd timescale 0")
             duration_ms = duration * 1000 // timescale
         elif btype == b"trak" and width is None:
-            for t2, b2, _e2 in boxes(payload, body, bend):
+            for t2, b2, e2 in boxes(payload, body, bend):
                 if t2 == b"tkhd":
+                    if b2 >= e2:
+                        raise ValueError("MP4 truncated tkhd (empty body)")
                     version = payload[b2]
                     # width/height sit after version/flags(4) +
                     # creation/modification/track/reserved/duration
                     # (20 at v0, 32 at v1) + reserved(8) + layer/group/
                     # volume/reserved(8) + matrix(36) = 76 (v0) / 88 (v1)
                     off = b2 + (88 if version == 1 else 76)
+                    # an in-bounds-but-short tkhd must not silently read
+                    # the NEXT box's bytes as width/height
+                    if off + 8 > e2:
+                        raise ValueError("MP4 truncated tkhd")
                     w_fp, h_fp = struct.unpack(">II", payload[off : off + 8])
                     width, height = w_fp >> 16, h_fp >> 16
     if duration_ms is None:

@@ -147,6 +147,10 @@ def build_graph(
     # persist so mention detection + linking run once.
     linked = swap_persist("pipeline.linked", linked)
 
+    # alias_pairs keeps its closing distinct here (r6 measured): the CC
+    # fast path COLLECTS the pair set, so shuffling the dedup out of the
+    # plan would move intro-turn-scale rows to the driver instead of the
+    # entity-vocabulary-scale set (flagship wall 6.6s -> 8.5s when tried).
     pairs = canonicalize.alias_pairs(transcripts, linked)
     mapping, rounds, converged = canonicalize.connected_components(pairs, max_iter=cc_max_iter)
 

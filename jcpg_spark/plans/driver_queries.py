@@ -1243,10 +1243,14 @@ def q_kg_stream_canonical(spark, sf_dir):
     )
     # 4 parquet files + maxFilesPerTrigger=1 => the union-find state must
     # survive 4 micro-batches (file->batch assignment is hash-arbitrary;
-    # the mapping is batch-order independent, so the result is stable)
+    # the mapping is batch-order independent, so the result is stable).
+    # Keyed by the Spark applicationId (r5 ADVICE): two concurrent harness
+    # sessions on the same sf dir previously raced on one fixed path — one
+    # session's overwrite could delete files mid-replay of the other's.
     path = os.path.join(
         tempfile.gettempdir(),
-        f"jcpg_stream_canon_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"jcpg_stream_canon_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
     )
     turns.repartition(4).write.mode("overwrite").parquet(path)
     dictionary = docs.select(

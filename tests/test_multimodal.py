@@ -161,3 +161,40 @@ def test_exact_dup_media(spark):
     out = {r.canonical_media_id: r.n_dups for r in mm.exact_dup_media(dupes).collect()}
     assert sum(out.values()) == 14
     assert sorted(v for v in out.values()) == [1] * 6 + [2] * 4
+
+
+def test_parse_mp4_truncated_mvhd_tkhd_raise_valueerror():
+    """Structured-truncation cases (r5 ADVICE): box framing is VALID but
+    the mvhd/tkhd body is shorter than its fixed field layout — the walk
+    must classify with ValueError, never IndexError/struct.error, and an
+    in-bounds-but-short tkhd must not read the next box's bytes."""
+    import pytest
+
+    ftyp = mm._mp4_box(b"ftyp", b"isom\x00\x00\x02\x00")
+    # size-8 mvhd: empty body
+    for bad_moov in [
+        mm._mp4_box(b"moov", mm._mp4_box(b"mvhd", b"")),
+        # v0 mvhd body shorter than 20 bytes
+        mm._mp4_box(b"moov", mm._mp4_box(b"mvhd", b"\x00" * 12)),
+        # v1 mvhd body shorter than 32 bytes
+        mm._mp4_box(b"moov", mm._mp4_box(b"mvhd", b"\x01" + b"\x00" * 20)),
+    ]:
+        with pytest.raises(ValueError):
+            mm.parse_mp4_header(ftyp + bad_moov)
+
+    good_mvhd = mm._mp4_box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"
+        + __import__("struct").pack(">IIII", 0, 0, 1000, 5000)
+        + b"\x00" * 80,
+    )
+    for bad_tkhd in [
+        mm._mp4_box(b"tkhd", b""),            # empty body
+        mm._mp4_box(b"tkhd", b"\x00" * 40),   # v0 shorter than 84
+        mm._mp4_box(b"tkhd", b"\x01" + b"\x00" * 90),  # v1 shorter than 96
+    ]:
+        # follow the short tkhd with a sibling box whose bytes a naive
+        # fixed-offset read would misinterpret as width/height
+        trak = mm._mp4_box(b"trak", bad_tkhd + mm._mp4_box(b"free", b"\xff" * 64))
+        with pytest.raises(ValueError):
+            mm.parse_mp4_header(ftyp + mm._mp4_box(b"moov", good_mvhd + trak))
