@@ -365,15 +365,27 @@ class IncrementalCanonicalizer:
             r["surface"] for r in self.dictionary.select("surface").distinct().collect()
         ]
         # static-context fast path (link_mentions' own streaming contract):
-        # with a declared ctx the dictionary-side rank tables build ONCE
-        # instead of per micro-batch; identical output as long as the
-        # stream's (role, tool) pairs are covered — uncovered ones fall
-        # back to the context-free winner rather than dropping.
-        self._link = (
-            linking.make_context_linker(self.dictionary, ctx)
-            if ctx is not None
-            else (lambda m: linking.link_mentions(m, self.dictionary))
-        )
+        # with a declared ctx the dictionary-side rank-1 tables are
+        # DICTIONARY-sized, so they are collected once and broadcast into a
+        # fused per-batch extractor (detection + linking + per-turn pair
+        # collapse in ONE mapInPandas pass — no join, no exchange, no
+        # per-batch AQE stage jobs; a micro-batch job is a single map
+        # stage + driver collect). Identical pair semantics to
+        # detect_mentions -> link_mentions -> alias_pairs, pytest-gated
+        # (test_streaming fused-vs-generic equivalence); uncovered
+        # contexts fall back to the context-free winner, mirroring
+        # _apply_link's anti-join arm.
+        self._best_ctx: dict | None = None
+        self._best0: dict | None = None
+        if ctx is not None:
+            self._best_ctx = {
+                (r["surface"], r["role"], r["_tool_key"]): r["canonical"]
+                for r in linking._context_best(self.dictionary, ctx).collect()
+            }
+            self._best0 = {
+                r["surface"]: r["canonical"]
+                for r in linking._surface_best(self.dictionary).collect()
+            }
         self.parent: dict[str, str] = {}
 
     def _find(self, x: str) -> str:
@@ -383,6 +395,63 @@ class IncrementalCanonicalizer:
             x = self.parent[x]
         return x
 
+    def _fused_pairs(self, transcripts_batch: DataFrame) -> set:
+        """Static-ctx fast path: one map-side pandas pass per micro-batch
+        computing detection + linking + the per-turn (first, second) pair
+        collapse, against the broadcast rank-1 dictionaries. Mirrors
+        detect_mentions -> _apply_link -> alias_pairs exactly: intro-flag
+        filter (INTRO_RX search), mentions in regex scan order, context hit
+        -> context-free fallback -> drop, pair = (least, greatest) of the
+        min-/max-ordinal LINKED canonicals when >= 2 linked and distinct."""
+        import re as _re
+
+        from jcpg_spark.operators import canonicalize, mentions as _m
+
+        sc = self.spark.sparkContext
+        bc_surf = sc.broadcast(sorted(set(self.surfaces)))
+        bc_best = sc.broadcast(self._best_ctx)
+        bc_best0 = sc.broadcast(self._best0)
+        intro_src = canonicalize.INTRO_RX
+        _local: dict = {}
+
+        def extract(batches):
+            import pandas as pd
+
+            rx = _local.get("rx")
+            if rx is None:
+                rx = _m.compile_gazetteer(bc_surf.value)
+                _local["rx"] = rx
+            intro = _re.compile(intro_src)
+            best, best0 = bc_best.value, bc_best0.value
+            for pdf in batches:
+                a_out, b_out = [], []
+                for ro, to, tx in zip(
+                    pdf["role"].values, pdf["tool"].values, pdf["text"].values
+                ):
+                    if not tx or not intro.search(tx):
+                        continue
+                    tool_key = to if isinstance(to, str) else "\x00"
+                    linked = []
+                    for m in rx.finditer(tx):
+                        s = m.group(0).lower()
+                        c = best.get((s, ro, tool_key))
+                        if c is None:
+                            c = best0.get(s)
+                        if c is not None:
+                            linked.append(c)
+                    if len(linked) >= 2 and linked[0] != linked[-1]:
+                        x, y = linked[0], linked[-1]
+                        a_out.append(min(x, y))
+                        b_out.append(max(x, y))
+                yield pd.DataFrame({"a": a_out, "b": b_out})
+
+        rows = (
+            transcripts_batch.select("role", "tool", "text")
+            .mapInPandas(extract, schema="a string, b string")
+            .collect()
+        )
+        return {(r["a"], r["b"]) for r in rows}
+
     def update(self, transcripts_batch: DataFrame) -> int:
         """Fold one micro-batch's alias assertions into the union-find.
         Returns the number of (distinct) pairs observed in the batch."""
@@ -390,25 +459,30 @@ class IncrementalCanonicalizer:
 
         from jcpg_spark.caching import swap_persist
 
-        m = self._mentions.detect_mentions(
-            self.spark, transcripts_batch, self.surfaces,
-            turn_flag_rx=canonicalize.INTRO_RX,
-        )
-        # m feeds link_mentions' observed-context distinct AND its join
-        # side; unpersisted, the mapInPandas detection pass ran TWICE per
-        # micro-batch. The slot swap releases the previous batch's cache.
-        m = swap_persist("incremental_canonicalizer.mentions", m)
-        linked = self._link(m)
-        # dedupe=False drops alias_pairs' closing distinct — one fewer
-        # exchange per MICRO-BATCH; the driver-side set dedupes the tiny
-        # collected pair list instead (the union-find is idempotent, and
-        # the returned count is the distinct count either way).
-        pairs = {
-            (r["a"], r["b"])
-            for r in canonicalize.alias_pairs(
-                transcripts_batch, linked, dedupe=False
-            ).collect()
-        }
+        if self._best_ctx is not None:
+            pairs = self._fused_pairs(transcripts_batch)
+        else:
+            m = self._mentions.detect_mentions(
+                self.spark, transcripts_batch, self.surfaces,
+                turn_flag_rx=canonicalize.INTRO_RX,
+            )
+            # m feeds link_mentions' observed-context distinct AND its join
+            # side; unpersisted, the mapInPandas detection pass ran TWICE
+            # per micro-batch. The slot swap releases the previous batch's
+            # cache.
+            m = swap_persist("incremental_canonicalizer.mentions", m)
+            linked = self._linking.link_mentions(m, self.dictionary)
+            # dedupe=False drops alias_pairs' closing distinct — one fewer
+            # exchange per MICRO-BATCH; the driver-side set dedupes the
+            # tiny collected pair list instead (the union-find is
+            # idempotent, and the returned count is the distinct count
+            # either way).
+            pairs = {
+                (r["a"], r["b"])
+                for r in canonicalize.alias_pairs(
+                    transcripts_batch, linked, dedupe=False
+                ).collect()
+            }
         for a, b in pairs:
             ra, rb = self._find(a), self._find(b)
             if ra != rb:

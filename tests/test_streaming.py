@@ -353,3 +353,54 @@ def test_driver_stream_canonical_equals_batch_cc_entry(spark):
     assert got == want and got
     # the chain graph actually merged something (non-trivial components)
     assert any(a != b for a, b in got)
+
+
+def test_streaming_canonicalize_fused_ctx_matches_generic(spark, stream_dir, dictionary):
+    """The static-ctx FUSED extractor (r6: one map-side pass per
+    micro-batch against broadcast rank-1 dictionaries) must produce
+    exactly the generic detect->link->alias_pairs path's mapping. The ctx
+    here covers every (role, tool) the synth transcripts contain, plus an
+    undeclared-context probe is exercised by leaving one role out."""
+    path, t = stream_dir
+
+    def run(ctx):
+        stream = (
+            spark.readStream.schema(t.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        canon, q = inc.streaming_canonicalize(stream, dictionary, ctx=ctx)
+        q.processAllAvailable()
+        q.stop()
+        return canon.mapping()
+
+    # generic (per-batch observed ctx)
+    stream = (
+        spark.readStream.schema(t.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    canon_g, qg = inc.streaming_canonicalize(stream, dictionary)
+    qg.processAllAvailable()
+    qg.stop()
+    want = canon_g.mapping()
+
+    # full-coverage static ctx
+    full_ctx = t.select("role", "tool").distinct()
+    assert run(full_ctx) == want
+
+    # partial ctx: uncovered contexts fall back to the context-free winner
+    # — must match link_mentions' own fallback semantics run in batch
+    from jcpg_spark.operators import canonicalize as cz, linking, mentions
+    from jcpg_spark.synth import gazetteer_pdf
+
+    part_ctx = t.select("role", "tool").distinct().filter("role <> 'user'")
+    got_part = run(part_ctx)
+    surfaces = gazetteer_pdf()["surface"].tolist()
+    linked = linking.link_mentions(
+        mentions.detect_mentions(spark, t, surfaces), dictionary, ctx=part_ctx
+    )
+    pairs = cz.alias_pairs(t, linked)
+    batch_mapping, _r, _c = cz.connected_components(pairs)
+    want_part = {r.entity: r.canonical_id for r in batch_mapping.collect()}
+    assert got_part == want_part
