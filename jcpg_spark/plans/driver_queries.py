@@ -1280,7 +1280,10 @@ def q_kg_stream_canonical(spark, sf_dir):
     ).where(F.col("doc_id").isNotNull())
     return (
         docs.select("doc_id")
-        .join(mdf, "doc_id", "left")
+        # mdf is the driver-built mapping (entity-vocabulary-sized by the
+        # canonicalizer's state contract) — broadcast it explicitly so the
+        # closing join never plans a shuffle of the docs side
+        .join(F.broadcast(mdf), "doc_id", "left")
         .select("doc_id", F.coalesce("canonical_id", "doc_id").alias("canonical_id"))
     )
 
