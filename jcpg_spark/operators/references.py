@@ -46,10 +46,20 @@ def reference_triples(linked_mentions: DataFrame) -> DataFrame:
     # the high bits, flag in the LSB. A min_by here would fall back to
     # sort-based aggregation at data-scale group counts (TypedImperative
     # aggregates lose hash aggregation beyond the ObjectHashAggregate key
-    # threshold); min(long) stays in whole-stage-codegen HashAggregate with
-    # map-side partial combine.
+    # threshold); min(long) stays in whole-stage-codegen HashAggregate.
+    #
+    # ONE exchange for agg + window (r6): pre-partitioning by the WINDOW
+    # key (conv, canonical) satisfies the aggregation's clustering
+    # requirement too (same-key rows are colocated for any superset key),
+    # so the per-turn rollup and the turn-order window share a single
+    # shuffle instead of agg-keyed + window-keyed back-to-back exchanges.
+    # The trade — losing map-side partial aggregation on the mention rows
+    # — is cheap by construction (mentions ≈ 1.07x turns in this corpus;
+    # the old second exchange carried nearly as many rows as the first):
+    # measured 9.3s -> 8.0s for this layer at 6.3M turns on local[4].
     enc = F.col("ordinal").cast("long") * 2 + F.col("defs_state").cast("long")
-    per_turn = linked_mentions.groupBy("conv_id", "canonical", "turn_idx").agg(
+    pre = linked_mentions.repartition("conv_id", "canonical")
+    per_turn = pre.groupBy("conv_id", "canonical", "turn_idx").agg(
         F.count("*").alias("n_mentions"),
         F.sum(F.col("defs_state").cast("int")).alias("n_exp_def"),
         ((F.min(enc) % 2) == 1).alias("first_def_state"),
@@ -125,7 +135,9 @@ def def_use_rollup(linked_mentions: DataFrame) -> DataFrame:
     further map-side-combinable aggregation onto (conv, turn).
     """
     enc = F.col("ordinal").cast("long") * 2 + F.col("defs_state").cast("long")
-    per_turn = linked_mentions.groupBy("conv_id", "canonical", "turn_idx").agg(
+    # same one-exchange agg+window share as reference_triples (see above)
+    pre = linked_mentions.repartition("conv_id", "canonical")
+    per_turn = pre.groupBy("conv_id", "canonical", "turn_idx").agg(
         F.count("*").alias("n_mentions"),
         F.sum(F.col("defs_state").cast("int")).alias("n_exp_def"),
         ((F.min(enc) % 2) == 1).alias("first_def_state"),

@@ -77,11 +77,13 @@ def test_references_shuffle_budget(spark, tr_parquet, dictionary):
     m = mentions.detect_mentions(spark, tr_parquet, surfaces)
     linked = linking.link_mentions(m, dictionary)
     plan = _plan(references.reference_triples(linked))
-    # data-scale exchanges (keyed by conv_id): one for the per-turn hash
-    # agg, one for the (conv, entity) window — nothing else. Additional
-    # dictionary-sized exchanges live inside the broadcast build side and
-    # don't touch the mention table.
-    assert plan.count("Exchange hashpartitioning(conv_id") == 2
+    # data-scale exchanges (keyed by conv_id): ONE since r6 — the explicit
+    # (conv, entity) pre-partition serves both the per-turn hash agg (its
+    # clustering requirement is satisfied by any superset grouping key)
+    # and the window, where agg-keyed + window-keyed used to run
+    # back-to-back. Additional dictionary-sized exchanges live inside the
+    # broadcast build side and don't touch the mention table.
+    assert plan.count("Exchange hashpartitioning(conv_id") == 1
 
 
 def test_hash_aggregate_not_sort_fallback(spark, tr_parquet, dictionary):
