@@ -142,7 +142,15 @@ def events_gazetteer(spark: SparkSession) -> DataFrame:
 
 def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Window by conv_id, not user_id (r6): conv_id = printf('u%06d',
+    # user_id) is injective on non-negative ids, so the row_number is
+    # identical — but every downstream layer (flow/calls/segment windows,
+    # the fused emitter) partitions by conv_id, and keying THIS exchange
+    # the same way lets Catalyst reuse it: the adapter's shuffle is the
+    # only data-scale exchange in the whole flow/call/branch family
+    # instead of user_id-keyed + conv_id-keyed back-to-back.
+    ev = ev.withColumn("conv_id", F.format_string("u%06d", F.col("user_id")))
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
     role = F.coalesce(
         *[F.when(F.col("event_type") == k, F.lit(v)) for k, v in ROLE_MAP.items()],
         F.lit("user"),
@@ -152,7 +160,7 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string"),
     )
     return ev.select(
-        F.format_string("u%06d", F.col("user_id")).alias("conv_id"),
+        "conv_id",
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         role.alias("role"),
         F.concat(
