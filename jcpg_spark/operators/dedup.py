@@ -143,7 +143,12 @@ def word_shingles(
     sh = F.array_distinct(shingles)
     if hashed:
         sh = F.transform(sh, lambda s: F.xxhash64(s))
-    return docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    # no cross-row distinct (r6): array_distinct already dedupes WITHIN a
+    # doc and doc_id is the documents primary key, so (doc_id, shingle)
+    # rows are unique by construction — the closing .distinct() was a
+    # full exchange of the corpus-scale shingle stream that changed
+    # nothing, paid by every consumer (jaccard/minhash/decontaminate).
+    return docs.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 def jaccard_pairs(
