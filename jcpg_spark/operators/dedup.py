@@ -22,7 +22,7 @@ Four strategies, increasing in fuzziness; all shuffle-aware:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from jcpg_spark.functions.text import normalize_text, words
@@ -167,10 +167,16 @@ def jaccard_pairs(
     # hashed=True shuffles 8-byte longs instead of strings through the
     # distinct, the df-count, the semi join, and the candidate self-join
     sh = word_shingles(docs, n=n, text_col=text_col, hashed=True)
-    # document-frequency filter (two-pass: cheap agg, then semi join)
-    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    sh = sh.join(
-        df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle", "left_semi"
+    # document-frequency filter as ONE window pass (r6): count(*) over
+    # (partition by shingle) is exactly the groupBy df; the former
+    # agg + semi-join-back shape shuffled the shingle stream twice AND
+    # re-ran the shingle derivation once per side (the stream fed both the
+    # agg and the join's left input). Hub rows still colocate per shingle
+    # either way; the cap drops them inside the task.
+    sh = (
+        sh.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(F.col("df") <= max_df)
+        .drop("df")
     )
     # the capped shingle set feeds four consumers (sizes + both self-join
     # sides, each otherwise re-running the regexp+explode+distinct chain) —
@@ -513,10 +519,12 @@ def jaccard_pairs_prefix(
     from jcpg_spark.caching import swap_persist
 
     sh = word_shingles(docs, n=n, text_col=text_col, hashed=True)
-    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    sh = sh.join(
-        df_counts.filter(F.col("df") <= max_df), "shingle"
-    )  # inner: keeps df for the global rare-first order
+    # df as ONE window pass keeping the count column for the global
+    # rare-first order (r6; see jaccard_pairs — former agg + join-back
+    # shuffled the stream twice and derived the shingles once per side)
+    sh = sh.withColumn(
+        "df", F.count("*").over(Window.partitionBy("shingle"))
+    ).filter(F.col("df") <= max_df)
     # one row per doc: shingles sorted rare-first (df asc, hash asc), plus
     # the plain sorted-hash array for the exact verify step
     per_doc = sh.groupBy("doc_id").agg(
@@ -1061,9 +1069,11 @@ def containment_pairs(
     from jcpg_spark.caching import swap_persist
 
     sh = word_shingles(docs, n=n, text_col=text_col, hashed=True)
-    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    sh = sh.join(
-        df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle", "left_semi"
+    # df cap as ONE window pass (r6; see jaccard_pairs)
+    sh = (
+        sh.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(F.col("df") <= max_df)
+        .drop("df")
     )
     sh = swap_persist("containment_pairs.shingles", sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
