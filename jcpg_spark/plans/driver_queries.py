@@ -258,10 +258,16 @@ FROM r WHERE role = 'assistant' AND tool IS NOT NULL
 def q_kg_reaching_ref(spark, sf_dir):
     """Full ref.* triples over events-derived transcripts (one mention per
     turn: the event_type surface; defs = signup/error or first occurrence)."""
+    from jcpg_spark.caching import swap_persist
     from jcpg_spark.operators import linking, mentions
 
     t = transcripts_from_events(spark, sf_dir)
     m = mentions.detect_mentions(spark, t, [g[0] for g in EVENTS_GAZETTEER])
+    # link_mentions' default ctx is a distinct() over m, so unpersisted m
+    # runs the Python detection pass TWICE (once for ctx, once for the join
+    # side) — persist so the one adjudicated Python stage runs once (r6;
+    # same move as pipeline.build_graph's mentions slot).
+    m = swap_persist("driver.kg_reaching_ref.m", m)
     linked = linking.link_mentions(m, events_gazetteer(spark))
     return references.reference_triples(linked).select("src", "pred", "dst", "var", "conv_id")
 
@@ -379,10 +385,13 @@ def q_kg_imports(spark, sf_dir):
     """IMPORTS edges in the graph (cpgCFGEdge.java:28; import semi-join
     JavacpgICFGBuilder.java:190-213): conversation -> every dictionary
     namespace its linked mentions touch (linking.import_triples)."""
+    from jcpg_spark.caching import swap_persist
     from jcpg_spark.operators import linking, mentions
 
     t = transcripts_from_events(spark, sf_dir)
     m = mentions.detect_mentions(spark, t, [g[0] for g in EVENTS_GAZETTEER])
+    # persist: one Python detection pass, not two (see q_kg_reaching_ref)
+    m = swap_persist("driver.kg_imports.m", m)
     linked = linking.link_mentions(m, events_gazetteer(spark))
     return linking.import_triples(linked).select("src", "pred", "dst", "conv_id")
 
@@ -412,6 +421,10 @@ def q_kg_export_gml(spark, sf_dir):
 
     t = transcripts_from_events(spark, sf_dir)
     m = mentions.detect_mentions(spark, t, [g[0] for g in EVENTS_GAZETTEER])
+    # persist: one Python detection pass, not two (see q_kg_reaching_ref)
+    from jcpg_spark.caching import swap_persist
+
+    m = swap_persist("driver.kg_export_gml.m", m)
     linked = linking.link_mentions(m, events_gazetteer(spark))
     tn = (
         structural.turn_nodes(t)
