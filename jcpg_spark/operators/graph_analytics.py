@@ -56,11 +56,16 @@ def co_mention_edges(
     with more than ``max_per_conv`` distinct entities are excluded from
     pair generation (hub cap — see module docstring).
     """
-    m = mentions.select("conv_id", "entity").distinct()
-    small = m.groupBy("conv_id").agg(F.count("*").alias("n_ent")).where(
-        F.col("n_ent") <= max_per_conv
-    )
-    m = m.join(small.select("conv_id"), "conv_id")
+    # ONE conv-keyed exchange for distinct + hub cap + self-join (r6): the
+    # explicit conv_id repartition satisfies the distinct's clustering
+    # (subset key), the cap becomes a window count on the same layout (no
+    # per-conv count table + join-back — that shape cost an agg exchange
+    # plus a re-join exchange), and both self-join sides inherit the
+    # partitioning. Edge set proven identical at sf0.1 (33,408 rows).
+    m = mentions.select("conv_id", "entity").repartition("conv_id").distinct()
+    m = m.withColumn(
+        "n_ent", F.count("*").over(Window.partitionBy("conv_id"))
+    ).where(F.col("n_ent") <= max_per_conv)
     a = m.select("conv_id", F.col("entity").alias("a"))
     b = m.select("conv_id", F.col("entity").alias("b"))
     return (
