@@ -601,10 +601,17 @@ def cooccurrence_lift(
     """
     from jcpg_spark.caching import swap_persist
 
-    m = mentions.select("conv_id", "entity").distinct()
-    per_conv = m.groupBy("conv_id").agg(F.count("*").alias("n_ent"))
-    m = m.join(
-        per_conv.where(F.col("n_ent") <= max_per_conv).select("conv_id"), "conv_id"
+    # same one-exchange distinct + hub-cap layout as co_mention_edges (r6):
+    # conv_id repartition satisfies the distinct's clustering, the cap is a
+    # window count on that layout, and the persisted cache keeps the conv
+    # partitioning for the pair self-join below.
+    m = (
+        mentions.select("conv_id", "entity")
+        .repartition("conv_id")
+        .distinct()
+        .withColumn("n_ent", F.count("*").over(Window.partitionBy("conv_id")))
+        .where(F.col("n_ent") <= max_per_conv)
+        .drop("n_ent")
     )
     m = swap_persist("cooccurrence_lift.mentions", m)
     pairs = (
@@ -656,6 +663,10 @@ def entity_salience(mentions: DataFrame, k: int = 3) -> DataFrame:
     for a total order.
     """
     per = mentions.groupBy("conv_id", "entity").agg(F.count("*").alias("tf"))
+    # a persisted shared `per` (df/N as rollups of it) was tried in r6 and
+    # REVERTED on measurement: 0.70s -> 1.05s at sf0.1 — the cache
+    # materialization barrier costs more than re-running these three cheap
+    # aggregations over the (already narrow) mentions input.
     df_ = mentions.groupBy("entity").agg(F.countDistinct("conv_id").alias("df"))
     total = mentions.select(F.countDistinct("conv_id").alias("n_conv"))
     from pyspark.sql import Window

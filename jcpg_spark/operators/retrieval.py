@@ -127,9 +127,13 @@ def tfidf_keywords(
         F.col(id_col).alias("doc_id"), F.explode(_words(F.col(text_col))).alias("word")
     )
     dw = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("n"))
-    dfw = dw.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    # df as a window count on dw (r6): dw's rows are distinct (doc, word)
+    # pairs, so count-per-word over dw == document frequency — and the
+    # former dfw agg + join-back computed the whole explode+agg subtree
+    # TWICE (once per branch) plus two more word-keyed exchanges.
+    dw = dw.withColumn("df", F.count("*").over(Window.partitionBy("word")))
     n_docs = docs.select(F.col(id_col)).distinct().count()
-    scored = dw.join(dfw, "word").select(
+    scored = dw.select(
         "doc_id", "word",
         F.round(
             F.col("n") * F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)), 6
