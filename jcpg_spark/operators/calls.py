@@ -90,6 +90,81 @@ def return_triples(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def call_return_triples(transcripts: DataFrame) -> DataFrame:
+    """Fused CALLS + RETURN emitter: both kinds in ONE window pass.
+
+    Row-identical to ``call_triples(t) UNION return_triples(t)``
+    (pytest-gated) — the call layer is a pure filter over columns the
+    return layer's window pass already carries, so unioning the two
+    standalone operators re-computed the (possibly derived) transcripts
+    input and its conv-window once per layer (2 scans + 2 exchanges for
+    the events adapter). Same single-pass struct-array + explode shape as
+    ``cfg_triples``, restricted to the two ICFG kinds; the standalone
+    operators remain for targeted queries.
+    """
+    prev_role = F.lag("role").over(w_conv())
+    prev_tool = F.lag("tool").over(w_conv())
+    prev_idx = F.lag("turn_idx").over(w_conv())
+    next_role = F.lead("role").over(w_conv())
+
+    is_tool = F.col("role") == "tool"
+    run_start = is_tool & ((prev_role != "tool") | prev_role.isNull())
+    callsite_ok = (prev_role == "assistant") & prev_tool.isNotNull()
+
+    t = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        is_tool.alias("is_tool"),
+        F.when(
+            run_start,
+            F.when(callsite_ok, S.turn_node(F.col("conv_id"), prev_idx)).otherwise(
+                F.lit(_SENTINEL)
+            ),
+        ).alias("run_callsite"),
+        F.when(run_start, F.when(callsite_ok, prev_tool)).alias("run_tool"),
+        ((next_role != "tool") | next_role.isNull()).alias("run_end"),
+    )
+    w_fill = w_conv().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t = t.select(
+        "*",
+        F.last("run_callsite", ignorenulls=True).over(w_fill).alias("callsite"),
+        F.last("run_tool", ignorenulls=True).over(w_fill).alias("callee_tool"),
+    )
+    turn = S.turn_node(F.col("conv_id"), F.col("turn_idx"))
+    arr = F.array_compact(
+        F.array(
+            F.when(
+                (F.col("role") == "assistant") & F.col("tool").isNotNull(),
+                F.struct(
+                    turn.alias("src"),
+                    F.lit("call").alias("pred"),
+                    S.tool_node(F.col("tool")).alias("dst"),
+                    F.col("tool").alias("var"),
+                ),
+            ),
+            F.when(
+                F.col("is_tool") & F.col("run_end") & (F.col("callsite") != _SENTINEL),
+                F.struct(
+                    turn.alias("src"),
+                    F.lit("return").alias("pred"),
+                    F.col("callsite").alias("dst"),
+                    F.col("callee_tool").alias("var"),
+                ),
+            ),
+        )
+    )
+    out = t.select("conv_id", F.explode(arr).alias("m"))
+    return out.select(
+        F.col("m.src").alias("src"),
+        F.col("m.pred").alias("pred"),
+        F.col("m.dst").alias("dst"),
+        F.col("m.var").alias("var"),
+        "conv_id",
+    )
+
+
 def cfg_triples(transcripts: DataFrame, failure_rx: str | None = None) -> DataFrame:
     """Fused CFG/ICFG/CDG emitter: ast.has_turn + act.role + flow.next +
     flow.branch_* + call + return + cdg.in_segment + cdg.follows in ONE

@@ -149,12 +149,11 @@ FROM e WHERE role = 'assistant' AND tool IS NOT NULL AND nxt IS NOT NULL
 
 
 def q_kg_call_return(spark, sf_dir):
+    # fused emitter (r6): both ICFG kinds in one window pass — the union of
+    # the standalone operators computed the events adapter (scan + conv
+    # window) once per layer; row-identical, pytest-gated in test_calls
     t = transcripts_from_events(spark, sf_dir)
-    return (
-        calls.call_triples(t)
-        .unionByName(calls.return_triples(t))
-        .select("src", "pred", "dst", "var", "conv_id")
-    )
+    return calls.call_return_triples(t).select("src", "pred", "dst", "var", "conv_id")
 
 
 SQL_KG_CALL_RETURN = f"""

@@ -72,6 +72,34 @@ def test_orphan_tool_run_emits_no_return(spark):
     assert _edges(calls.return_triples(_t(spark, rows))) == set()
 
 
+def test_fused_call_return_matches_union(spark):
+    # call_return_triples must be row-identical to call_triples UNION
+    # return_triples on every shape the standalone tests exercise: multi-
+    # turn runs, orphan runs, stale call sites, interleaved conversations.
+    rows = [
+        ("c1", 0, "assistant", "x", "db"),
+        ("c1", 1, "tool", "part 1", None),
+        ("c1", 2, "tool", "part 2", None),
+        ("c1", 3, "user", "thanks", None),
+        ("c1", 4, "assistant", "y", "search"),
+        ("c1", 5, "tool", "out", None),
+        ("c2", 0, "user", "x", None),
+        ("c2", 1, "tool", "orphan", None),
+        ("c2", 2, "assistant", "z", "db"),
+        ("c2", 3, "tool", "ok", None),
+        ("c2", 4, "user", "y", None),
+        ("c2", 5, "tool", "orphan again", None),
+        ("c3", 0, "assistant", "no tool", None),
+    ]
+    t = _t(spark, rows)
+    fused = {tuple(r) for r in calls.call_return_triples(t).collect()}
+    union = {
+        tuple(r)
+        for r in calls.call_triples(t).unionByName(calls.return_triples(t)).collect()
+    }
+    assert fused == union and fused
+
+
 def test_stale_callsite_not_attributed_to_later_run(spark):
     # valid call+run, then an orphan run later: the orphan must NOT inherit
     # the earlier call site via the forward fill.
